@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action (collect on the
+aggregate result) so the full plan runs; timings are wall-clock per
+query after a warm-up of the session (first query pays JVM+codegen
+warm-up, so a trivial warm-up query runs first and is not recorded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from real_time_ride_hailing_data_pipeline_spark import queries as q
+from real_time_ride_hailing_data_pipeline_spark.session import get_spark
+
+# Headline set: the flagship pipeline queries + the heaviest relational
+# / extension operators. Keep this list in rough cost order.
+HEADLINE = [
+    "city_window_metrics",
+    "city_running_totals",
+    "top_cities_by_trips",
+    "tpch_q1_pricing_summary",
+    "filter_project",
+    "join_broadcast_enrichment",
+    "agg_distinct_users_per_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+
+    registry = q.all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # include any registered query not in the headline list, so new
+    # operators are benchmarked by default
+    names += [n for n in sorted(registry) if n not in names]
+
+    # warm-up: JVM, parquet footer reads, codegen
+    registry[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows = registry[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = len(rows)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

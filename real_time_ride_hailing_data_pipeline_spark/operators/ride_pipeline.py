@@ -1,0 +1,184 @@
+"""The reference pipeline, re-expressed as composable Spark transforms.
+
+Reference trace (/root/reference/spark_jobs/streaming_job.py):
+  - ride-event JSON schema            streaming_job.py:78-96
+  - binary->string cast + from_json   streaming_job.py:107-109   (P1-P3)
+  - epoch-double -> timestamp cast    streaming_job.py:111       (P5)
+  - 10-min watermark                  streaming_job.py:114       (T1)
+  - 1-min tumbling window x city agg  streaming_job.py:117-125   (A1-A3, T2)
+  - count(trip_id), avg(fare_amount)  streaming_job.py:123-124
+  - projection/rename window.end ->   streaming_job.py:18-23     (P4)
+    last_updated
+  - legacy ISO-timestamp casts        streaming_job.py:211-213   (P6)
+
+Every function here takes a DataFrame and returns a DataFrame, so the
+same code path serves ``spark.read`` (batch backfill / testing) and
+``spark.readStream`` (production) — batch/streaming parity is the core
+Structured Streaming design point.
+
+Scale notes: the windowed aggregation shuffles on (window, city).
+City cardinality in the reference is 10 — a skew hazard at 100 TB
+(hot cities dominate). AQE skew handling is enabled in session.py;
+for the streaming path, state is partitioned by the full composite
+key (window, city), so the number of distinct windows × cities bounds
+state size, and the watermark evicts closed windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Consumer-declared ride-event schema (streaming_job.py:78-96). Lat/lon
+# deliberately strings, pickup/dropoff ISO strings — matching the wire
+# format the reference producer emits (run_producer.py:29-47).
+LOCATION_SCHEMA = T.StructType(
+    [
+        T.StructField("latitude", T.StringType()),
+        T.StructField("longitude", T.StringType()),
+    ]
+)
+
+RIDE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("trip_id", T.StringType()),
+        T.StructField("driver_id", T.StringType()),
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("pickup_datetime", T.StringType()),
+        T.StructField("dropoff_datetime", T.StringType()),
+        T.StructField("pickup_location", LOCATION_SCHEMA),
+        T.StructField("dropoff_location", LOCATION_SCHEMA),
+        T.StructField("fare_amount", T.DoubleType()),
+        T.StructField("tip_amount", T.DoubleType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("event_timestamp", T.DoubleType()),
+    ]
+)
+
+# Schema used when parsing with corrupt-record capture: PERMISSIVE mode
+# needs the corrupt column declared inside the struct.
+RIDE_EVENT_SCHEMA_WITH_CORRUPT = T.StructType(
+    list(RIDE_EVENT_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+)
+
+
+def parse_ride_events(
+    raw: DataFrame,
+    value_col: str = "value",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Kafka-wire bytes/string -> typed ride-event columns (P1-P3).
+
+    The reference silently nulls malformed JSON (from_json PERMISSIVE,
+    streaming_job.py:107-109, despite ProjectStory.txt:19 claiming
+    validation). With ``keep_corrupt=True`` malformed payloads are
+    retained in a ``_corrupt_record`` column for dead-lettering —
+    the behavior the reference *intended*.
+    """
+    schema = RIDE_EVENT_SCHEMA_WITH_CORRUPT if keep_corrupt else RIDE_EVENT_SCHEMA
+    json_str = F.col(value_col).cast("string")  # P1: binary -> string
+    parsed = raw.select(
+        F.from_json(
+            json_str,
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("data")
+    )
+    return parsed.select("data.*")  # P3: struct flatten
+
+
+def with_event_time(df: DataFrame, source_col: str = "event_timestamp") -> DataFrame:
+    """Epoch-seconds double -> TimestampType event-time column (P5)."""
+    return df.withColumn(source_col, F.col(source_col).cast(T.TimestampType()))
+
+
+def with_trip_times(df: DataFrame) -> DataFrame:
+    """ISO-8601 pickup/dropoff strings -> timestamps + trip duration (P6).
+
+    Restores the legacy cast the reference dropped
+    (streaming_job.py:211-213); duration enables trip-length analytics.
+    """
+    pickup = F.to_timestamp("pickup_datetime")
+    dropoff = F.to_timestamp("dropoff_datetime")
+    return (
+        df.withColumn("pickup_ts", pickup)
+        .withColumn("dropoff_ts", dropoff)
+        .withColumn(
+            "trip_duration_sec",
+            (F.unix_timestamp(dropoff) - F.unix_timestamp(pickup)).cast("long"),
+        )
+    )
+
+
+def city_window_metrics(
+    df: DataFrame,
+    time_col: str = "event_timestamp",
+    key_col: str = "city",
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
+    id_col: str = "trip_id",
+    fare_col: str = "fare_amount",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) window x key: trip count + average fare.
+
+    The reference's core computation (A1-A3/T1-T3): 1-minute tumbling
+    window, count(trip_id) AS total_trips, avg(fare_amount) AS
+    average_fare. ``watermark`` applies only on streaming inputs
+    (10 minutes in the reference, streaming_job.py:114); pass None for
+    batch. Slide defaults to the window width (tumbling), matching
+    window(col, "1 minute", "1 minute") at streaming_job.py:119.
+
+    The plan Spark produces: partial HashAggregate per input partition
+    -> exchange on (window, key) -> final HashAggregate (streaming:
+    merged with the state store). Map-side partial aggregation means
+    shuffle volume is O(|windows| x |cities|) per partition, not O(rows)
+    — the property that makes this viable at 100 TB.
+    """
+    if watermark is not None:
+        df = df.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), window_duration, slide_duration or window_duration)
+    return df.groupBy(win.alias("window"), F.col(key_col)).agg(
+        F.count(id_col).alias("total_trips"),
+        F.avg(fare_col).alias("average_fare"),
+    )
+
+
+def to_city_metrics_output(df: DataFrame, key_col: str = "city") -> DataFrame:
+    """Final projection (P4): flatten the window struct, rename
+    window.end -> last_updated (streaming_job.py:18-23), round the
+    average to the sink's NUMERIC(10,2) scale (infra/init.sql:5 — the
+    reference leaves rounding to Postgres; we make it explicit)."""
+    return df.select(
+        F.col(key_col),
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("last_updated"),
+        F.col("total_trips"),
+        F.round(F.col("average_fare"), 2).alias("average_fare"),
+    )
+
+
+def ride_pipeline_batch(raw: DataFrame, keep_corrupt: bool = False) -> DataFrame:
+    """Full reference pipeline, batch form: parse -> cast -> window agg
+    -> output projection. Identical transforms run the streaming form
+    (streaming/job.py adds watermark + sink)."""
+    df = parse_ride_events(raw, keep_corrupt=keep_corrupt)
+    if keep_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    df = with_event_time(df)
+    agg = city_window_metrics(df)
+    return to_city_metrics_output(agg)
+
+
+def city_running_totals(metrics: DataFrame, key_col: str = "city") -> DataFrame:
+    """Per-city running totals over windowed metrics — the quantity the
+    reference accumulates *in the sink* (Postgres additive upsert,
+    streaming_job.py:41-42). In-engine this is a second aggregation
+    over the windowed results, which is idempotent under replay
+    (unlike the reference's sink-side addition, which double-counts on
+    restart: no checkpoint + startingOffsets=earliest, SURVEY §4)."""
+    return metrics.groupBy(key_col).agg(
+        F.sum("total_trips").alias("total_trips"),
+        F.max("last_updated").alias("last_updated"),
+    )

@@ -1,0 +1,244 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) as a named (PySpark callable, DuckDB
+oracle SQL) pair.
+
+Contract (see /root/repo/__spark_entry__.py): each callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle is equivalent
+ANSI SQL DuckDB runs over the same parquet. Column names are aliased
+identically on both sides; double-valued aggregates are rounded on both
+sides so the value-hash comparison is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_ride_hailing_data_pipeline_spark import catalog
+from real_time_ride_hailing_data_pipeline_spark.operators import ride_pipeline as rp
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's city-metrics computation (A1-A3, T2, P4, O1)
+# on the driver's `events` table (event_type plays the city role, value
+# the fare). Reference: streaming_job.py:117-125 + 18-23.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "city_window_metrics",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           round(avg(value), 2)                        AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def city_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling window x key: count + avg (the reference's core
+    aggregation, streaming_job.py:117-125). Plan: partial HashAggregate
+    -> shuffle on (window, event_type) -> final HashAggregate; the
+    window struct is computed map-side so the shuffle carries only
+    group keys + partial (count, sum)."""
+    events = _t(spark, sf_dir, "events")
+    agg = rp.city_window_metrics(
+        events, time_col="ts", key_col="event_type", id_col="event_id", fare_col="value"
+    )
+    return agg.select(
+        F.col("event_type"),
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("last_updated"),
+        F.col("total_trips"),
+        F.round("average_fare", 2).alias("average_fare"),
+    )
+
+
+@query(
+    "city_running_totals",
+    oracle="""
+    SELECT event_type,
+           count(event_id)                              AS total_trips,
+           max(date_trunc('minute', ts) + INTERVAL 1 MINUTE) AS last_updated
+    FROM events
+    GROUP BY 1
+    """,
+)
+def city_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running totals — the quantity the reference accumulates
+    sink-side via additive upsert (streaming_job.py:41-42), computed
+    in-engine (idempotent under replay) as a re-aggregation of the
+    windowed metrics."""
+    metrics = _QUERIES["city_window_metrics"](spark, sf_dir)
+    return metrics.groupBy("event_type").agg(
+        F.sum("total_trips").alias("total_trips"),
+        F.max("last_updated").alias("last_updated"),
+    )
+
+
+@query(
+    "top_cities_by_trips",
+    oracle="""
+    SELECT event_type, count(event_id) AS total_trips
+    FROM events
+    GROUP BY 1
+    ORDER BY total_trips DESC, event_type
+    LIMIT 5
+    """,
+)
+def top_cities_by_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI-layer query (README.md:110: ORDER BY total_trips DESC),
+    internalized (O1). Spark plans TakeOrderedAndProject — no global
+    sort, each partition keeps its top 5 and the driver merges."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("event_id").alias("total_trips"))
+        .orderBy(F.desc("total_trips"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core on the star schema (SURVEY §2.2/§2.4/§2.6 generalized)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregation with multiple aggregates (A1-A3
+    generalized to the TPC-H Q1 shape). Filter pushed to the parquet
+    scan; two-phase hash agg; 4-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection (§2.2): both reach the parquet scan
+    (PushedFilters + pruned ReadSchema in the physical plan) — the
+    property that matters at 100 TB, where the scan IS the query."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "join_broadcast_enrichment",
+    oracle="""
+    SELECT n_name, r_name,
+           count(*)                    AS n_customers,
+           round(sum(c_acctbal), 2)    AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static-shaped enrichment join (§2.3): fact joined to two
+    small dimensions, explicitly broadcast — zero shuffle for the join
+    at any fact-table scale; the only exchange is the final group-by."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS distinct_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (§2.4 extension): Spark plans expand +
+    two-phase agg; distinct and non-distinct aggs combined."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

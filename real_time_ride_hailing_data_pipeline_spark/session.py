@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference builds its session at
+``/root/reference/spark_jobs/streaming_job.py:69-72`` with nothing but an
+app name and Kafka/JDBC jars. For a general engine we pin the configs
+that matter for correctness (UTC session timezone — the DuckDB oracle
+compares naive-UTC timestamps) and for scale (AQE, Arrow, shuffle
+partition sizing).
+
+Scale notes (100 TB / 1000-executor design point):
+- ``spark.sql.shuffle.partitions`` is a *local* default here; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant, and
+  ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` (128 MB) governs
+  post-shuffle partition sizing instead.
+- AQE is on: runtime join-strategy switching (broadcast when a side
+  turns out small), skew-join splitting, partition coalescing.
+- Arrow is on for every pandas-UDF boundary (similarity / multimodal
+  operators) — row-at-a-time Python UDFs are banned in this codebase.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "real_time_ride_hailing_data_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
