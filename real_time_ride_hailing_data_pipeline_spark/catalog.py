@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_ride_hailing_data_pipeline_spark.session import configure_runtime
+
 TABLES = (
     "region",
     "nation",
@@ -42,14 +44,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Applied for every table (not just events) so results never depend
+    # on table-load order; idempotent, works under the driver's session.
+    configure_runtime(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. Read nanos as long (runtime-settable legacy
-        # conf, so it works under the driver's own session too) and
-        # rebuild the timestamp with exact integer arithmetic — nanos
-        # DIV 1000 matches DuckDB's nanos->micros truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # rejects outright. With nanosAsLong set (configure_runtime) the
+        # column reads as long; rebuild the timestamp with exact integer
+        # arithmetic — nanos DIV 1000 matches DuckDB's nanos->micros
+        # truncation.
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(table_path(sf_dir, name))

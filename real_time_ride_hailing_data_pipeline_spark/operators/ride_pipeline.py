@@ -120,6 +120,7 @@ def city_window_metrics(
     id_col: str = "trip_id",
     fare_col: str = "fare_amount",
     watermark: str | None = None,
+    exact_cents_avg: bool = False,
 ) -> DataFrame:
     """Tumbling (or sliding) window x key: trip count + average fare.
 
@@ -135,10 +136,35 @@ def city_window_metrics(
     merged with the state store). Map-side partial aggregation means
     shuffle volume is O(|windows| x |cities|) per partition, not O(rows)
     — the property that makes this viable at 100 TB.
+
+    ``exact_cents_avg=True`` computes ``average_fare`` in exact integer
+    arithmetic: fares are 2-decimal currency (the sink column is
+    NUMERIC(10,2), reference infra/init.sql:5), so each fare is an exact
+    integer number of cents; the average rounded half-up to the cent is
+    ``(2*sum_cents + n) DIV (2*n) / 100``. Unlike ``round(avg(double),
+    2)``, this is deterministic across engines and summation orders —
+    float avg lands on half-cent boundaries for small groups and rounds
+    differently in different engines (IEEE-754 vs decimal half-up).
+    The shuffle shape is identical (partial sum+count map-side).
     """
     if watermark is not None:
         df = df.withWatermark(time_col, watermark)
     win = F.window(F.col(time_col), window_duration, slide_duration or window_duration)
+    if exact_cents_avg:
+        df = df.withColumn("_fare_cents", F.round(F.col(fare_col) * 100).cast("long"))
+        return (
+            df.groupBy(win.alias("window"), F.col(key_col))
+            .agg(
+                F.count(id_col).alias("total_trips"),
+                F.sum("_fare_cents").alias("_sum_cents"),
+                F.count(fare_col).alias("_n_fares"),
+            )
+            .withColumn(
+                "average_fare",
+                F.expr("(2 * _sum_cents + _n_fares) DIV (2 * _n_fares)") / 100.0,
+            )
+            .drop("_sum_cents", "_n_fares")
+        )
     return df.groupBy(win.alias("window"), F.col(key_col)).agg(
         F.count(id_col).alias("total_trips"),
         F.avg(fare_col).alias("average_fare"),

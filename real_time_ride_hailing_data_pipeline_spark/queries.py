@@ -61,7 +61,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            date_trunc('minute', ts)                    AS window_start,
            date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
            count(event_id)                             AS total_trips,
-           round(avg(value), 2)                        AS average_fare
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -71,17 +72,26 @@ def city_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, streaming_job.py:117-125). Plan: partial HashAggregate
     -> shuffle on (window, event_type) -> final HashAggregate; the
     window struct is computed map-side so the shuffle carries only
-    group keys + partial (count, sum)."""
+    group keys + partial (count, sum). average_fare is the exact
+    cent-rounded average (see rp.city_window_metrics): fares are
+    2-decimal currency, so integer-cents arithmetic is deterministic
+    where round(avg(double), 2) diverges across engines on half-cent
+    boundaries."""
     events = _t(spark, sf_dir, "events")
     agg = rp.city_window_metrics(
-        events, time_col="ts", key_col="event_type", id_col="event_id", fare_col="value"
+        events,
+        time_col="ts",
+        key_col="event_type",
+        id_col="event_id",
+        fare_col="value",
+        exact_cents_avg=True,
     )
     return agg.select(
         F.col("event_type"),
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("last_updated"),
         F.col("total_trips"),
-        F.round("average_fare", 2).alias("average_fare"),
+        F.col("average_fare"),
     )
 
 
@@ -138,42 +148,80 @@ def top_cities_by_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q1_pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100)      AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+             CAST(round(l_discount * 100)      AS BIGINT) AS d_c,
+             CAST(round(l_tax * 100)           AS BIGINT) AS t_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ), g AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(qty_c) AS sq, sum(ep_c) AS sep, sum(d_c) AS sd,
+             sum(ep_c * (100 - d_c))             AS s4,
+             sum(ep_c * (100 - d_c) * (100 + t_c)) AS s6,
+             count(*) AS n
+      FROM c GROUP BY 1, 2
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
+           sq / 100.0                               AS sum_qty,
+           sep / 100.0                              AS sum_base_price,
+           ((2 * s4 + 100) // 200) / 100.0          AS sum_disc_price,
+           ((2 * s6 + 10000) // 20000) / 100.0      AS sum_charge,
+           ((2 * sq * 100 + n) // (2 * n)) / 10000.0  AS avg_qty,
+           ((2 * sep * 100 + n) // (2 * n)) / 10000.0 AS avg_price,
+           ((2 * sd * 100 + n) // (2 * n)) / 10000.0  AS avg_disc,
+           n AS count_order
+    FROM g ORDER BY l_returnflag, l_linestatus
     """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped hash aggregation with multiple aggregates (A1-A3
     generalized to the TPC-H Q1 shape). Filter pushed to the parquet
-    scan; two-phase hash agg; 4-row result."""
+    scan; two-phase hash agg; 4-row result.
+
+    All monetary/rate inputs are exact 2-decimal values, so everything
+    is computed in integer "cents" (qty*100, price*100, ...): sums are
+    exact longs, disc_price/charge products are exact in 1e-4/1e-6
+    units, and the final 2-/4-decimal roundings use the half-up integer
+    identity round(a/b) = (2a+b) DIV 2b — bit-identical across engines
+    and summation orders, unlike float sum+round. Long sums stay exact
+    below ~sf10 (charge units ~1.1e11/row vs 9.2e18 int64 max)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            cents("l_quantity").alias("qty_c"),
+            cents("l_extendedprice").alias("ep_c"),
+            cents("l_discount").alias("d_c"),
+            cents("l_tax").alias("t_c"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("qty_c").alias("sq"),
+            F.sum("ep_c").alias("sep"),
+            F.sum("d_c").alias("sd"),
+            F.sum(F.col("ep_c") * (100 - F.col("d_c"))).alias("s4"),
+            F.sum(F.col("ep_c") * (100 - F.col("d_c")) * (100 + F.col("t_c"))).alias("s6"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq") / 100.0).alias("sum_qty"),
+        (F.col("sep") / 100.0).alias("sum_base_price"),
+        (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("sum_disc_price"),
+        (F.expr("(2 * s6 + 10000) DIV 20000") / 100.0).alias("sum_charge"),
+        (F.expr("(2 * sq * 100 + n) DIV (2 * n)") / 10000.0).alias("avg_qty"),
+        (F.expr("(2 * sep * 100 + n) DIV (2 * n)") / 10000.0).alias("avg_price"),
+        (F.expr("(2 * sd * 100 + n) DIV (2 * n)") / 10000.0).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query(

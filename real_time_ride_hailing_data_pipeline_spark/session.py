@@ -48,6 +48,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -59,4 +60,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    configure_runtime(spark)
     return spark
+
+
+def configure_runtime(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine's correctness depends on.
+
+    Idempotent; safe to call per query. Exists because the driver owns
+    its own SparkSession (built without this module), so these must be
+    applied to *any* session before the engine reads tables: UTC session
+    timezone (the DuckDB oracle compares naive-UTC timestamps) and
+    nanos-as-long parquet reads (events.ts is TIMESTAMP(NANOS), which
+    Spark's vectorized reader otherwise rejects).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -60,11 +60,16 @@ def compare_query(spark, sf_dir: str, fn, sql: str) -> None:
         f"row count differs: spark={len(spark_rows)} duckdb={len(duck_rows)}"
     )
 
+    def _key(t):
+        # None-safe, mixed-type-safe ordering
+        return tuple((v is None, str(type(v)), str(v)) for v in t)
+
     s_set = sorted(
-        tuple(_norm(row[c]) for c in spark_cols) for row in spark_rows
+        (tuple(_norm(row[c]) for c in spark_cols) for row in spark_rows), key=_key
     )
     d_set = sorted(
-        tuple(_norm(row[colmap_duck[c]]) for c in spark_cols) for row in duck_rows
+        (tuple(_norm(row[colmap_duck[c]]) for c in spark_cols) for row in duck_rows),
+        key=_key,
     )
     mism = [(a, b) for a, b in zip(s_set, d_set) if a != b]
     assert not mism, f"{len(mism)} value mismatches; first 3: {mism[:3]}"

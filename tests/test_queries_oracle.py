@@ -19,5 +19,5 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_every_query_returns_rows(spark, sf_dir):
     for name, fn in q.all_queries().items():
         df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+        assert df.count() > 0, name
         assert len(df.columns) > 0, name
