@@ -1,0 +1,84 @@
+"""Relational operator library: joins beyond broadcast, analytic window
+functions, set operations (SURVEY.md §2.3/§2.5/§2.7).
+
+The reference implements none of these (it is a single-stream pipeline,
+SURVEY §2.3: "None implemented in the reference") but any analytics user
+of the engine hits them immediately; they are required surface per
+SURVEY §2.3/§2.5/§2.7. Everything here is a thin, documented
+composition of Spark built-ins — Catalyst plans the physical strategy.
+
+Scale notes (100 TB / 1000 executors):
+- ``sort_merge_join``: the big⋈big strategy. Both sides shuffle on the
+  join key, sort, and stream-merge — no build-side memory blowup, spills
+  gracefully. With bucketed tables pre-partitioned on the key the
+  shuffle disappears entirely; AQE converts to broadcast at runtime if
+  one side turns out small.
+- semi/anti joins ship only the join key of the right side through the
+  shuffle (no payload columns), and Spark rewrites them to broadcast
+  variants when the right side is small.
+- window functions shuffle once on partitionBy keys, then sort within
+  partitions; skewed partition keys (one giant user) are the hazard —
+  bound state with a two-stage top-n (partial per-partition top-n before
+  the shuffle) when n is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sort_merge_join(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Big⋈big join, explicitly hinted to sort-merge.
+
+    The MERGE hint pins the strategy so toy-scale test inputs exercise
+    the same physical plan that runs at 100 TB (without it, AQE would
+    broadcast the small test side and the plan under test would be the
+    wrong one).
+    """
+    return left.hint("merge").join(right, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with at least one match in ``right`` (EXISTS).
+
+    Left-semi ships only join keys of the right side; output columns
+    are exactly ``left``'s.
+    """
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
+    return left.join(right, on, "left_anti")
+
+
+def top_n_per_group(
+    df: DataFrame, partition_cols: list[str], order_cols: list, n: int
+) -> DataFrame:
+    """Ranking window: row_number over (partition, order), keep top n.
+
+    ``order_cols`` must make the order total (include a unique
+    tie-breaker column) or the result is nondeterministic.
+    One shuffle on ``partition_cols``; at scale, Spark 3.5+ inserts a
+    WindowGroupLimit (partial per-partition top-n) before the shuffle,
+    so shuffle volume is O(n × partitions), not O(rows).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "delta",
+) -> DataFrame:
+    """Analytic lag: difference between a value and its predecessor
+    within the partition (per-entity time-series delta). One shuffle on
+    ``partition_cols``, sort within partitions."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(out_col, F.col(value_col) - F.lag(value_col).over(w))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_ride_hailing_data_pipeline_spark import catalog
+from real_time_ride_hailing_data_pipeline_spark.operators import relational as rel
 from real_time_ride_hailing_data_pipeline_spark.operators import ride_pipeline as rp
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -268,6 +269,240 @@ def join_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond broadcast, analytic windows, set ops, rollup
+# (SURVEY §2.3/§2.5/§2.7 — absent in the reference, required surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_merge_order_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             // 200) / 100.0 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sort_merge_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big⋈big sort-merge join (J2): orders⋈lineitem on orderkey,
+    revenue per order priority. MERGE hint pins the 100 TB physical
+    plan (shuffle both sides on orderkey, sort, stream-merge) even at
+    toy scale where AQE would otherwise broadcast. Revenue in exact
+    1e-4 units -> half-up cents (see tpch_q1 docstring)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    return (
+        rel.sort_merge_join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_u4").alias("s4"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_open_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J2/EXISTS): customers having at least one open
+    order, counted per market segment. The semi join ships only
+    o_custkey through the shuffle — no payload columns."""
+    customer = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        rel.semi_join(customer, open_orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_customers_without_big_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_customers_without_big_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Left-anti join (J2/NOT EXISTS): customers who never placed an
+    order above 250k, per market segment — the classic churn-risk
+    query. The right-side filter is pushed to the orders scan before
+    the anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        rel.anti_join(customer, big_orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "window_rank_top_events_per_type",
+    oracle="""
+    SELECT event_type, rn, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function (W): top-3 events by value per type via
+    row_number with a unique tie-breaker (event_id). Spark 3.5+ plans a
+    WindowGroupLimit: each input partition keeps its local top-3 before
+    the shuffle, so shuffle volume is O(3 x partitions) at any scale."""
+    events = _t(spark, sf_dir, "events")
+    return rel.top_n_per_group(
+        events.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        3,
+    ).select("event_type", "rn", "event_id", "value")
+
+
+@query(
+    "window_lag_user_value_delta",
+    oracle="""
+    SELECT user_id, event_id, delta FROM (
+      SELECT user_id, event_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events
+    ) WHERE user_id % 97 = 0
+    """,
+)
+def window_lag_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag (W): per-user value delta between consecutive
+    events — the per-entity time-series pattern. One shuffle on
+    user_id, sort by (ts, event_id) within partitions; the post-window
+    filter only trims the output (deliberately NOT pushed below the
+    window — the full window must be computed)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        rel.lag_delta(events, ["user_id"], ["ts", "event_id"], "value")
+        .filter(F.col("user_id") % 97 == 0)
+        .select("user_id", "event_id", "delta")
+    )
+
+
+@query(
+    "set_union_engaged_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_union_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op UNION DISTINCT (U): users who purchased or signed up.
+    Spark: union + distinct — one shuffle on user_id; partial distinct
+    runs map-side."""
+    events = _t(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select("user_id")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id")
+    return purch.union(signup).distinct()
+
+
+@query(
+    "set_intersect_view_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT (U): users who both viewed and purchased
+    (conversion audience)."""
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    purch = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(purch)
+
+
+@query(
+    "set_except_open_not_finished_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_open_not_finished_custkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set op EXCEPT DISTINCT (U): customers with open orders but no
+    finished ones (new-customer cohort). Spark's subtract = EXCEPT
+    DISTINCT."""
+    orders = _t(spark, sf_dir, "orders")
+    opened = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return opened.subtract(finished)
+
+
+@query(
+    "rollup_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical aggregation (§2.4 extension): per
+    (status, priority), per status, and grand total in one pass —
+    Spark plans a single Expand + hash agg, not three scans. Sum in
+    exact cents."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("tp_c", F.round(F.col("o_totalprice") * 100).cast("long"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("tp_c").alias("s_c"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("s_c") / 100.0).alias("total_price"),
         )
     )
 
