@@ -1,0 +1,215 @@
+"""Deduplication operators over the ``documents`` table: exact
+(hash-groupBy), MinHash-LSH near-dup, SimHash, and n-gram Jaccard.
+
+The dedup half of the LLM-training-data operator set (SURVEY.md §7
+Stage 3; absent from the reference pipeline, which deduplicates
+nothing). Design rules for the 100 TB target:
+
+- **Never all-pairs.** Candidate generation is always a *bucket join*:
+  documents only meet if they share an LSH band hash (MinHash), a
+  SimHash segment, or a bucketing key. All-pairs O(n^2) similarity is
+  banned; the brute Jaccard verifier below is only ever applied to the
+  candidate set, and the one exact all-pairs oracle query runs inside
+  small per-source partitions.
+- **No Python in the hot path.** Shingling, hashing, signatures and
+  band extraction are Spark SQL higher-order functions (codegen'd,
+  map-only). The only shuffles are the bucket groupBys/joins, which
+  carry (hash, doc_id) pairs — a few dozen bytes per row regardless
+  of document size.
+- **Deterministic hash family.** MinHash permutations are simulated
+  with md5(seed || shingle) — stable across runs, engines, and
+  partitionings (unlike xxhash64 seeds or rand()), so re-runs and
+  oracles agree bit-for-bit.
+- **Skew guard.** A degenerate band value (e.g. many near-empty docs
+  sharing a signature) creates a hot bucket; ``lsh_candidate_pairs``
+  caps bucket size and AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Canonical form for exact dedup: lower-case, trim, collapse
+    internal whitespace. Map-only expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact deduplication by normalized-content hash: keep the lowest
+    id per distinct content, report the copy count.
+
+    One hash-groupBy: the shuffle carries (md5, id) — 48 bytes/row at
+    any document size, so this scales to 100 TB as a cheap shuffle of
+    ~n * 50 B. Returns (kept doc_id, content_hash, n_copies).
+    """
+    h = F.md5(normalize_text(text_col).cast("binary")).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of trimmed lower-cased text.
+
+    ``transform(sequence(...), i -> concat_ws(' ', slice(tokens, i,
+    n)))`` — pure SQL, map-only. Documents shorter than n words yield
+    their full token string as the single shingle.
+    """
+    return F.expr(
+        "array_distinct(transform("
+        f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}))))"
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
+    """MinHash signature: for hash i, min over shingles of
+    md5(i || ':' || shingle).
+
+    md5-simulated permutations (see module docstring). Cost is
+    O(|shingles| * num_hashes) md5 calls per document, all inside one
+    codegen stage — no shuffle, no state.
+    """
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"  i -> array_min(transform({shingle_col}, "
+        f"         s -> md5(cast(concat(cast(i as string), ':', s) as binary)))))"
+    )
+
+
+def lsh_band_hashes(signature_col: str, bands: int, rows_per_band: int) -> Column:
+    """Split a MinHash signature into ``bands`` bands of
+    ``rows_per_band`` values; hash each band to one md5.
+
+    Two documents become candidates iff they agree on *all* rows of at
+    least one band — the standard S-curve: P(candidate) =
+    1 - (1 - j^rows)^bands for Jaccard j.
+    """
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"  b -> md5(cast(concat_ws('|', slice({signature_col}, b * {rows_per_band} + 1, "
+        f"       {rows_per_band})) as binary)))"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH bucket join.
+
+    Pipeline: shingle -> signature (map-only) -> explode band hashes ->
+    self-join *within* (band_idx, band_hash) buckets -> distinct
+    (a < b) pairs. The join key is the band hash, so candidate
+    generation is O(sum over buckets of bucket^2) — at scale the
+    bucket sizes are tiny for honest data; ``max_bucket`` drops
+    degenerate buckets (a bucket of 10^6 identical boilerplate docs is
+    better handled by exact dedup first, and dropping it bounds the
+    worst case). Returns (doc_a, doc_b) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    ).select(F.col(id_col), minhash_signature("shingles", num_hashes).alias("sig"))
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    # cap degenerate buckets before the quadratic self-join
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_idx", "band_hash"],
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_a")
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Joins the shingle arrays back onto the (already sparse) candidate
+    set and computes |A∩B| / |A∪B| with exact integer sizes; the
+    4-decimal value uses the half-up integer identity so it matches
+    any decimal-arithmetic oracle. Never run this on all pairs.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    joined = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("_i"), union.alias("_u"))
+    )
+    # exact half-up 4-decimal Jaccard via integer DIV (never float+floor)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.expr("((2 * _i * 10000 + _u) DIV (2 * _u)) / 10000.0").alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(text_col: str, id_col: str = "doc_id") -> Column:
+    """60-bit SimHash over whitespace tokens.
+
+    Each token hashes to 60 bits (15 md5 hex nibbles); bit b of the
+    fingerprint is 1 iff more tokens have bit b set than unset.
+    Expressed entirely in SQL: per bit, sum +/-1 over tokens of
+    (nibble >> (b % 4)) & 1. Map-only per document; near-dup docs
+    differ in few bits (Hamming distance).
+
+    Nibbles are decoded with instr('0123456789abcdef', ch) - 1 (no
+    hex-literal casts, portable to any oracle dialect).
+    """
+    toks = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    # bit b lives in hex nibble (b DIV 4) (0-indexed from the left of
+    # the 15-nibble prefix), at position (b % 4) inside the nibble.
+    return F.expr(
+        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc + "
+        "  case when aggregate("
+        f"    {toks}, cast(0 as bigint), "
+        "    (s, t) -> s + 2 * (((instr('0123456789abcdef', "
+        "         substr(md5(cast(t as binary)), cast(b div 4 as int) + 1, 1)) - 1) "
+        "         div shiftleft(cast(1 as bigint), cast(b % 4 as int))) % 2) - 1"
+        "  ) > 0 then shiftleft(cast(1 as bigint), cast(b as int)) "
+        "  else 0 end)"
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k (the exact baseline) and an LSH-bucketed
+approximate variant (the scale path).
+
+Part of the LLM-training-data operator set (SURVEY.md §7 Stage 3).
+The reference pipeline has no vector surface; the engine adds one
+because dedup/retrieval over embeddings is core to a 100 TB data
+pipeline.
+
+Scale design:
+- **Brute force is a broadcast, not a cross join.** The query vector
+  (or a small query *set*) is broadcast to executors; scoring is a
+  map-only stage over the embeddings scan followed by a
+  TakeOrderedAndProject top-k — no shuffle of the big side, ever.
+  At 100 TB this is scan-bound, the right baseline.
+- **LSH variant prunes the scan.** Random-hyperplane signs (seeded,
+  deterministic) bucket vectors; only buckets matching the query's
+  signature within a Hamming radius are scored. Bucket ids are a
+  partition-prunable column when the table is written partitioned by
+  them.
+- **Exact arithmetic for oracle-stable scores.** Dot products and
+  norms accumulate per-element double products cast to
+  DECIMAL(30,12): float->double widening is exact, the double product
+  is IEEE-identical everywhere, the decimal cast is deterministic, and
+  decimal summation is exact (order-independent). Both engines
+  therefore compute bit-identical cosines before the final rounding —
+  no half-boundary divergence (the round-1 flagship bug class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact decimal dot product of two array<float>/array<double> columns.
+# See module docstring for why this is engine-stable.
+def _dot_decimal(a: str, b: str) -> str:
+    # the merge lambda re-casts: Spark widens DECIMAL(38,12)+DECIMAL(30,12)
+    # to DECIMAL(38,11), which would no longer match the accumulator type
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"  cast(cast(x as double) * cast(y as double) as decimal(30,12))), "
+        f"cast(0 as decimal(38,12)), (acc, v) -> cast(acc + v as decimal(38,12)))"
+    )
+
+
+def cosine_similarity_expr(a: str, b: str, decimals: int = 6) -> Column:
+    """Cosine similarity of two vector columns, rounded to ``decimals``.
+
+    cast(double) of exact decimal dot/norms -> identical doubles in
+    every engine -> identical rounding.
+    """
+    return F.expr(
+        f"round(cast({_dot_decimal(a, b)} as double) / "
+        f"  (sqrt(cast({_dot_decimal(a, a)} as double)) * "
+        f"   sqrt(cast({_dot_decimal(b, b)} as double))), {decimals})"
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a (1-row or small) query set.
+
+    ``crossJoin(broadcast(query))`` never shuffles the big side: Spark
+    plans BroadcastNestedLoopJoin (build = the query rows) -> map-side
+    scoring -> TakeOrderedAndProject. Ties broken by id for
+    determinism. Returns (vec_id, sim) sorted desc.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = embeddings.crossJoin(q).select(
+        F.col(id_col),
+        cosine_similarity_expr(vec_col, "_qvec").alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64) -> Column:
+    """Deterministic random-hyperplane LSH signature (a bit per plane).
+
+    Plane p's normal has component c_j in {-1, +1} derived from
+    md5(p:j) — seedless, engine-portable determinism. Sign of the
+    (+/-1-weighted) projection gives bit p. Map-only.
+    """
+    # component sign: first hex nibble of md5("p:j") odd -> +1 else -1
+    proj = (
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), (x, j) -> "
+        f"  cast(cast(x as double) * (2 * ((instr('0123456789abcdef', "
+        f"    substr(md5(cast(concat(cast(p as string), ':', cast(j as string)) as binary)), 1, 1)) - 1) % 2) - 1) "
+        f"  as decimal(30,12))), cast(0 as decimal(38,12)), "
+        f"  (acc, v) -> cast(acc + v as decimal(38,12)))"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {num_planes - 1}), cast(0 as bigint), (acc, p) -> "
+        f"  acc + case when {proj} > 0 then cast(shiftleft(cast(1 as bigint), cast(p as int)) as bigint) else 0 end)"
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature
+    matches the query's exactly (Hamming radius 0; widen by unioning
+    neighboring signatures for higher recall).
+
+    The signature equality is a *filter*, not a join of the big side:
+    with the table written partitioned/bucketed by signature this is
+    partition pruning — the 100 TB scan shrinks by ~2^-num_planes.
+    """
+    sig = hyperplane_signature(vec_col, num_planes, dim)
+    emb_sig = embeddings.withColumn("_sig", sig)
+    q_sig = F.broadcast(
+        query.select(F.col(vec_col).alias("_qvec")).withColumn(
+            "_qsig", hyperplane_signature("_qvec", num_planes, dim)
+        )
+    )
+    scored = (
+        emb_sig.join(q_sig, F.col("_sig") == F.col("_qsig"))
+        .select(F.col(id_col), cosine_similarity_expr(vec_col, "_qvec").alias("sim"))
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def norm_stats_by_label(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label L2-norm-squared statistics — the sanity profile run
+    before any ANN work (catches unnormalized or degenerate vectors).
+
+    Per-row norm-squares are exact DECIMALs (see module docstring), the
+    per-label sum/max over them are exact and order-independent, and
+    only the final division/sqrt touch doubles — on inputs that are
+    bit-identical in every engine, so the 6-decimal rounding is stable.
+    """
+    per_row = embeddings.select(
+        F.col(label_col),
+        F.expr(_dot_decimal(vec_col, vec_col)).alias("_norm_sq"),
+    )
+    return (
+        per_row.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("_norm_sq").alias("_sum_sq"),
+            F.max("_norm_sq").alias("_max_sq"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("n_vectors"),
+            F.expr("round(cast(_sum_sq as double) / n_vectors, 6)").alias("avg_norm_sq"),
+            F.expr("round(sqrt(cast(_max_sq as double)), 6)").alias("max_norm"),
+        )
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis operators over the ``documents`` table: tokenization,
+token statistics, quality scoring, language identification, and
+content fingerprinting.
+
+These are the text half of the LLM-training-data operator set (the
+reference pipeline has no text surface — SURVEY.md §2.8 "No string
+functions" — but a 100 TB data engine needs one; see SURVEY §7
+Stage 3).
+
+Everything here is built-in Spark SQL expressions — no Python UDFs.
+Per-row text functions run inside whole-stage codegen, so the scan +
+tokenize + score pipeline is a single no-shuffle stage that scales
+linearly with input splits: at 100 TB these operators are pure map
+work, embarrassingly parallel across executors.
+
+Determinism notes (the oracle gate compares value hashes vs DuckDB):
+- token split is a single regex on whitespace after trim/lower —
+  identical semantics in Spark ``split`` and DuckDB
+  ``regexp_split_to_array``;
+- all ratios/averages use exact *integer* arithmetic and the half-up
+  identity ``round(a/b, d) = (2*a*10^d + b) DIV (2*b) / 10^d`` with
+  integer ``DIV`` (never float division + floor, which is off-by-one
+  when the true quotient is an exactly-representable integer);
+- fingerprints are md5 hex strings (md5 is identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small marker vocabularies for the marker-word language heuristic.
+# Real language ID would use a trained model; the engine's contract is
+# the *plumbing*: a deterministic per-document classifier expressible
+# as vectorized SQL. Markers are common function words per language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "y", "los", "es"),
+}
+
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+)
+
+# round(n/d, 4) as exact integer arithmetic over long columns named in
+# the enclosing plan. Usage: select the named longs first, then apply.
+RATIO4 = "((2 * {n} * 10000 + {d}) DIV (2 * {d})) / 10000.0"
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed, lower-cased text.
+
+    ``split(trim(lower(text)), '\\s+')`` — one codegen'd expression,
+    no UDF. Empty text yields a single empty-string token; callers
+    that care filter it (the test corpus has no empty documents).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: count, distinct count, exact
+    4-decimal average token length.
+
+    Token counting is the unit-economics primitive of LLM data work
+    (dataset sizing, dedup weighting, pricing). Whitespace tokens here;
+    a BPE-ish refinement is ``bpeish_token_count``.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        .alias("_sum_len"),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.expr(RATIO4.format(n="_sum_len", d="n_tokens")).alias("avg_token_len"),
+    )
+
+
+def bpeish_token_count(text_col: str | Column) -> Column:
+    """Approximate BPE token count: word pieces of <=4 chars.
+
+    A common public heuristic (tokens ~= ceil(chars/4) per word) that
+    needs no vocabulary: each whitespace word of length L contributes
+    ceil(L/4) = (L+3) DIV 4 tokens. Exact integers, codegen-friendly.
+    """
+    toks = tokens(text_col)
+    # (L+3)/4 in double is exact for word-scale L (quarters are exactly
+    # representable); the long cast truncates, i.e. integer DIV.
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + ((F.length(t) + 3) / 4).cast("long"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality signals: length, stopword ratio, mean word
+    length, alpha-char ratio — the standard cheap filters applied
+    before expensive dedup/training stages.
+
+    All ratios are exact 4-decimal (see module docstring); the whole
+    computation is one map-only stage.
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        bpeish_token_count(text_col).alias("n_bpeish_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("_n_stop"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        .cast("long")
+        .alias("_n_alpha"),
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "n_bpeish_tokens",
+        F.expr(RATIO4.format(n="_n_stop", d="n_tokens")).alias("stopword_ratio"),
+        F.expr(RATIO4.format(n="_n_alpha", d="n_chars")).alias("alpha_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic marker-word language heuristic.
+
+    Scores each document against per-language function-word sets and
+    picks the argmax (first language in LANG_MARKERS order wins ties;
+    all-zero scores -> 'und'). Vectorized SQL, no UDF — at scale this
+    is a map-only stage over the scan.
+    """
+    toks = tokens(text_col)
+
+    def _contains(arr):
+        # single-arg lambda factory: a 2-arg lambda would be treated by
+        # PySpark as the (element, index) variant
+        return lambda t: F.array_contains(arr, t)
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(F.size(F.filter(toks, _contains(arr))).alias(f"score_{lang}"))
+    scored = df.select(F.col(id_col), *score_cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first-wins tie-break: fold from the last language backwards
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("marker_hits"))
+
+
+def char_shingle_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over all
+    k-char shingles (a 1-hash MinHash — the winnowing/fingerprint
+    primitive used for near-dup detection and contamination checks).
+
+    ``array_min(transform(sequence(1, len-k+1), i -> md5(substr(text,
+    i, k))))`` — O(len) per row, map-only, no shuffle. md5 hex strings
+    compare identically across engines.
+    """
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> md5(cast(substr({text_col}, i, {k}) as binary))))"
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

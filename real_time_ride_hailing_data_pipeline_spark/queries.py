@@ -17,8 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_ride_hailing_data_pipeline_spark import catalog
+from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+from real_time_ride_hailing_data_pipeline_spark.operators import multimodal as mm
 from real_time_ride_hailing_data_pipeline_spark.operators import relational as rel
 from real_time_ride_hailing_data_pipeline_spark.operators import ride_pipeline as rp
+from real_time_ride_hailing_data_pipeline_spark.operators import similarity as sim
+from real_time_ride_hailing_data_pipeline_spark.operators import text as tx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -505,6 +509,300 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("s_c") / 100.0).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data operators (SURVEY §7 Stage 3): dedup, text
+# analysis, similarity search, multimodal — over documents/embeddings.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 2
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (operators/dedup.py):
+    one groupBy whose shuffle carries (md5, id) — ~50 bytes/row
+    regardless of document size, the 100 TB-safe exact-dedup plan."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT                    AS n_tokens,
+           len(list_distinct(toks))::BIGINT     AS n_distinct_tokens,
+           ((2 * CAST(list_sum(list_transform(toks, s -> length(s))) AS BIGINT)
+               * 10000 + len(toks)) // (2 * len(toks))) / 10000.0 AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (operators/text.py) — map-only
+    codegen stage, no shuffle; exact integer average (half-up DIV
+    identity) so the value hash is engine-stable."""
+    return tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars,
+             len(toks)::BIGINT    AS n_tokens,
+             CAST(list_sum(list_transform(toks, s -> (length(s) + 3) // 4)) AS BIGINT)
+               AS n_bpeish_tokens,
+             len(list_filter(toks, s -> list_contains(
+               ['the','a','an','of','to','and','in','is','it','for'], s)))::BIGINT AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, n_bpeish_tokens,
+           ((2 * n_stop  * 10000 + n_tokens) // (2 * n_tokens)) / 10000.0 AS stopword_ratio,
+           ((2 * n_alpha * 10000 + n_chars)  // (2 * n_chars))  / 10000.0 AS alpha_ratio
+    FROM c
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter signals (operators/text.py): length, BPE-ish
+    token count, stopword/alpha ratios — the cheap pre-dedup filters
+    of an LLM data pipeline; map-only, exact-integer ratios."""
+    return tx.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_language_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, s -> list_contains(['the','a','of','and','is'], s)))::BIGINT AS score_en,
+        len(list_filter(toks, s -> list_contains(['der','die','das','und','ist'], s)))::BIGINT AS score_de,
+        len(list_filter(toks, s -> list_contains(['le','la','et','les','est'], s)))::BIGINT AS score_fr,
+        len(list_filter(toks, s -> list_contains(['el','la','y','los','es'], s)))::BIGINT AS score_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           greatest(score_en, score_de, score_fr, score_es) AS marker_hits
+    FROM s
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic (operators/text.py): argmax over
+    per-language function-word hit counts, first-language-wins ties —
+    deterministic, vectorized, no UDF."""
+    return tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(text) - 7, 1)),
+             i -> md5(substr(text, CAST(i AS INT), 8)))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content fingerprint (operators/text.py): min md5
+    over 8-char shingles — the winnowing primitive; O(len) per row,
+    map-only."""
+    return tx.char_shingle_fingerprint(_t(spark, sf_dir, "documents"), k=8)
+
+
+@query(
+    "dedup_near_duplicates",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM tk
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::BIGINT AS i,
+             (len(a.sh) + len(b.sh))::BIGINT - len(list_intersect(a.sh, b.sh)) AS u
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ((2 * i * 10000 + u) // (2 * u)) / 10000.0 AS jaccard
+    FROM p
+    WHERE ((2 * i * 10000 + u) // (2 * u)) / 10000.0 >= 0.5
+    """,
+)
+def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: MinHash-LSH candidates (bucket join, never
+    all-pairs — operators/dedup.py) + exact trigram-Jaccard verify at
+    threshold 0.5. The oracle computes the ground-truth all-pairs
+    answer (affordable only at test scale); LSH recall at j>=0.5 with
+    32 hashes / 8 bands is ~1 - 1e-9, and the md5 hash family makes
+    the outcome deterministic, so the outputs coincide. At 100 TB only
+    the LSH plan survives: shuffle volume is (band hash, id) pairs,
+    candidates are per-bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
+    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+
+
+@query(
+    "simhash_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, g.b,
+             CAST(list_sum(list_transform(t.toks,
+               s -> 2 * (((instr('0123456789abcdef',
+                       substr(md5(s), CAST(g.b // 4 AS INT) + 1, 1)) - 1)
+                     // (1 << CAST(g.b % 4 AS INT))) % 2) - 1)) AS BIGINT) AS sgn
+      FROM t, generate_series(0, 59) g(b)
+    )
+    SELECT doc_id,
+           sum(CASE WHEN sgn > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup signature (operators/dedup.py): 60-bit
+    fingerprint from per-token md5 bit votes — map-only per document;
+    near-dups differ in few bits. Pure SQL on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), dd.simhash64("text").alias("simhash"))
+
+
+_DOT_DECIMAL_DUCK = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(30,12)))) "
+    "AS DECIMAL(38,12))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             round(CAST({_DOT_DECIMAL_DUCK.format(a="embedding", b="qv")} AS DOUBLE)
+               / (sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="embedding", b="embedding")} AS DOUBLE))
+                * sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="qv", b="qv")} AS DOUBLE))), 6) AS sim
+      FROM embeddings CROSS JOIN q
+    )
+    SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, exact baseline (operators/similarity.py):
+    top-10 by cosine to the vec_id=0 query vector. Broadcast nested
+    loop (query side tiny) -> map-side scoring -> TakeOrderedAndProject
+    — the big side never shuffles. Dot products accumulate exact
+    DECIMAL so both engines compute bit-identical cosines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scale path (operators/similarity.py):
+    random-hyperplane LSH signature filter, then score only the
+    query's bucket — the 2^-planes scan-pruning plan for 100 TB.
+    Approximate by construction (bucket recall < 1), hence rows-only:
+    no SQL oracle reproduces the same bucketing economically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # 4 planes -> 16 buckets: sized so the test corpus (500 vectors)
+    # keeps ~30 candidates in the query's bucket; at 100 TB you'd raise
+    # planes to keep bucket size ~ k * overscan.
+    return sim.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, num_planes=4
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT label, {_DOT_DECIMAL_DUCK.format(a="embedding", b="embedding")} AS nsq
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(CAST(sum(nsq) AS DOUBLE) / count(*), 6) AS avg_norm_sq,
+           round(sqrt(CAST(max(nsq) AS DOUBLE)), 6)      AS max_norm
+    FROM p GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-sanity aggregate (operators/similarity.py): per-label
+    count / mean norm-squared / max norm with exact decimal sums —
+    order-independent, engine-stable."""
+    return sim.norm_stats_by_label(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           sha256(text) AS content_sha256,
+           CASE WHEN regexp_matches(lower(hex(encode(substr(text, 1, 8)))), '^[2-7][0-9a-f]')
+                THEN 'text/plain' ELSE 'application/octet-stream' END AS mime
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators/multimodal.py): opaque binary
+    payload + typed metadata (byte length, sha256 content address,
+    magic-byte mime sniff). Metadata lives in columns so a 100 TB
+    media table prunes on them before any decode."""
+    payload = mm.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return payload.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_sha256").alias("content_sha256"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched featurizer over binary payloads via mapInPandas
+    (operators/multimodal.py) — the real decode is stubbed (no media
+    libs in this container) but the batch path, schema, and
+    deterministic fake features are exercised end-to-end. Rows-only:
+    binary/array outputs have no economical SQL oracle."""
+    payload = mm.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.extract_features(payload)
 
 
 @query(
