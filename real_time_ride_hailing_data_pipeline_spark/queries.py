@@ -511,6 +511,32 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "streaming_city_metrics_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual architecture, executed (T1-T7 + S4-S6):
+    a real StreamingQuery replays `events` with availableNow ->
+    withWatermark -> stateful windowed agg -> update-mode foreachBatch
+    -> keyed idempotent parquet upsert sink (streaming/job.py,
+    streaming/sinks.py; reference streaming_job.py:99-135). The oracle
+    is the batch aggregation — batch/streaming parity is the
+    correctness contract."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_city_metrics_replay(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data operators (SURVEY §7 Stage 3): dedup, text
 # analysis, similarity search, multimodal — over documents/embeddings.
