@@ -197,6 +197,66 @@ def ride_pipeline_batch(raw: DataFrame, keep_corrupt: bool = False) -> DataFrame
     return to_city_metrics_output(agg)
 
 
+def events_to_ride_wire(
+    events: DataFrame, corrupt_every: int | None = None
+) -> DataFrame:
+    """Deterministically map the driver's `events` fixture onto the
+    reference producer's JSON wire format (run_producer.py:29-47 ->
+    json.dumps().encode() :60): one binary ``value`` column.
+
+    Purpose: give the parse path (P1-P3/P5/P6, F1/F5) an
+    oracle-checkable round trip — every wire field derives from
+    `events` columns, so a DuckDB query over `events` predicts the
+    parsed-and-aggregated output exactly. ``corrupt_every=N`` mangles
+    every Nth record (by event_id) to exercise the corrupt-record
+    capture path.
+
+    Field mapping (all deterministic):
+      trip_id       = event_id as string     fare_amount = value
+      driver_id     = 'd-' || user_id        tip_amount  = round(value/10, 2)
+      customer_id   = 'c-' || user_id        city        = event_type
+      pickup        = ts truncated to second (ISO)
+      dropoff       = pickup + (event_id % 3600 + 300) sec
+      locations     = lat/lon strings derived from user_id
+      event_timestamp = epoch seconds (double) of ts
+    """
+    fmt = "yyyy-MM-dd'T'HH:mm:ss"
+    pickup = F.date_trunc("second", F.col("ts"))
+    duration_s = (F.pmod(F.col("event_id"), F.lit(3600)) + 300).cast("long")
+    dropoff = F.timestamp_seconds(F.unix_timestamp(pickup) + duration_s)
+    loc = lambda seed_off: F.struct(  # noqa: E731
+        (F.pmod(F.col("user_id") + seed_off, F.lit(180)) - 90).cast("string").alias("latitude"),
+        (F.pmod(F.col("user_id") * 7 + seed_off, F.lit(360)) - 180).cast("string").alias("longitude"),
+    )
+    wire = events.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("string").alias("trip_id"),
+                F.concat(F.lit("d-"), F.col("user_id")).alias("driver_id"),
+                F.concat(F.lit("c-"), F.col("user_id")).alias("customer_id"),
+                F.date_format(pickup, fmt).alias("pickup_datetime"),
+                F.date_format(dropoff, fmt).alias("dropoff_datetime"),
+                loc(0).alias("pickup_location"),
+                loc(13).alias("dropoff_location"),
+                F.col("value").alias("fare_amount"),
+                F.round(F.col("value") / 10, 2).alias("tip_amount"),
+                F.col("event_type").alias("city"),
+                F.col("ts").cast("double").alias("event_timestamp"),
+            )
+        ).alias("json"),
+        F.col("event_id"),
+    )
+    if corrupt_every is not None:
+        wire = wire.withColumn(
+            "json",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(corrupt_every)) == 0,
+                F.concat(F.lit("#corrupt#"), F.col("json")),
+            ).otherwise(F.col("json")),
+        )
+    return wire.select(F.col("json").cast("binary").alias("value"))
+
+
 def city_running_totals(metrics: DataFrame, key_col: str = "city") -> DataFrame:
     """Per-city running totals over windowed metrics — the quantity the
     reference accumulates *in the sink* (Postgres additive upsert,

@@ -511,6 +511,118 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Ride-event parse path (P1-P3, P5-P6, F1, F5): the reference's Kafka
+# wire -> from_json -> flatten -> cast pipeline, oracle-checked via a
+# deterministic round trip through the JSON wire format.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ride_roundtrip_city_metrics",
+    oracle="""
+    SELECT event_type AS city,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ride_roundtrip_city_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full consume path executed end-to-end on wire
+    bytes: JSON-serialize events to the producer wire format (F5,
+    run_producer.py:60) -> binary->string cast + from_json + struct
+    flatten (P1-P3, streaming_job.py:107-109) -> epoch-double->
+    timestamp cast (P5, :111) -> windowed count/avg (A1-A3). The
+    oracle aggregates `events` directly: parse fidelity is the thing
+    under test."""
+    events = _t(spark, sf_dir, "events")
+    wire = rp.events_to_ride_wire(events)
+    parsed = rp.with_event_time(rp.parse_ride_events(wire))
+    agg = rp.city_window_metrics(
+        parsed, time_col="event_timestamp", exact_cents_avg=True
+    )
+    return agg.select(
+        F.col("city"),
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("last_updated"),
+        F.col("total_trips"),
+        F.col("average_fare"),
+    )
+
+
+@query(
+    "ride_corrupt_record_capture",
+    oracle="""
+    SELECT count(*)                                  AS n_total,
+           count(*) FILTER (event_id % 50 <> 0)      AS n_parsed,
+           count(*) FILTER (event_id % 50 = 0)       AS n_corrupt
+    FROM events
+    """,
+)
+def ride_corrupt_record_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record capture (P2): every 50th wire record is mangled;
+    PERMISSIVE from_json retains the raw payload in _corrupt_record
+    instead of silently nulling it (the reference's silent-null
+    behavior, streaming_job.py:107-109, made observable)."""
+    events = _t(spark, sf_dir, "events")
+    wire = rp.events_to_ride_wire(events, corrupt_every=50)
+    parsed = rp.parse_ride_events(wire, keep_corrupt=True)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("trip_id").alias("n_parsed"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
+@query(
+    "ride_trip_durations",
+    oracle="""
+    SELECT event_type AS city,
+           count(*) AS n_trips,
+           ((2 * sum(event_id % 3600 + 300) * 10000 + count(*))
+             // (2 * count(*))) / 10000.0 AS avg_duration_sec
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ride_trip_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip-duration analytics over the parsed wire (P6): ISO
+    pickup/dropoff strings -> timestamps -> duration (the legacy cast
+    the reference dropped, streaming_job.py:211-213, restored). The
+    wire's dropoff is pickup + (event_id % 3600 + 300) s, so the
+    oracle predicts durations from `events` alone."""
+    events = _t(spark, sf_dir, "events")
+    parsed = rp.with_trip_times(rp.parse_ride_events(rp.events_to_ride_wire(events)))
+    base = parsed.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.sum("trip_duration_sec").alias("_sum_dur"),
+    )
+    return base.select(
+        "city",
+        "n_trips",
+        F.expr("((2 * _sum_dur * 10000 + n_trips) DIV (2 * n_trips)) / 10000.0").alias(
+            "avg_duration_sec"
+        ),
+    )
+
+
+@query("generator_ride_events")
+def generator_ride_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic producer (S2, F6-F9): distributed Spark-native rebuild
+    of the reference's Faker loop (run_producer.py:21-47) — uuid()/
+    rand()/element_at projections over spark.range. Rows-only: the
+    payload is random by design (distribution asserted in unit tests);
+    the round-trip parse fidelity is covered by the oracle-checked
+    ride_roundtrip queries."""
+    from real_time_ride_hailing_data_pipeline_spark.sources import generator as gen
+
+    return gen.ride_events_batch(spark, n=10_000)
+
+
 @query(
     "streaming_city_metrics_replay",
     oracle="""
