@@ -25,7 +25,10 @@ from real_time_ride_hailing_data_pipeline_spark import queries as q
 from real_time_ride_hailing_data_pipeline_spark.session import get_spark
 
 # Headline set: the flagship pipeline queries + the heaviest relational
-# / extension operators. Keep this list in rough cost order.
+# / extension operators, in rough cost order. Every other registered
+# query (LLM-pipeline ops, streaming replay, parse round-trips) is
+# appended automatically below so new operators are benchmarked by
+# default.
 HEADLINE = [
     "city_window_metrics",
     "city_running_totals",
@@ -34,6 +37,10 @@ HEADLINE = [
     "filter_project",
     "join_broadcast_enrichment",
     "agg_distinct_users_per_type",
+    "sort_merge_order_revenue",
+    "tpch_q3_shipping_priority",
+    "streaming_city_metrics_replay",
+    "dedup_near_duplicates",
 ]
 
 

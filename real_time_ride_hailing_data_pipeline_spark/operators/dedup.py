@@ -71,18 +71,58 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
-    """MinHash signature: for hash i, min over shingles of
-    md5(i || ':' || shingle).
+def _minhash_seeds(num_hashes: int) -> list[int]:
+    """Fixed 60-bit seeds, one per simulated permutation (md5-derived,
+    so stable across processes/engines)."""
+    import hashlib
 
-    md5-simulated permutations (see module docstring). Cost is
-    O(|shingles| * num_hashes) md5 calls per document, all inside one
-    codegen stage — no shuffle, no state.
+    return [
+        int.from_bytes(hashlib.md5(f"mh:{i}".encode()).digest()[:8], "big") >> 4
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
+    """MinHash signature from ONE md5 per shingle: the 60-bit digest x
+    is re-keyed per permutation i as ``mix(x XOR seed_i)`` (fixed
+    random seeds + two xorshift rounds); signature[i] = min over
+    shingles.
+
+    Why this exact shape:
+    - one digest per shingle: the naive md5(i||s) family costs
+      num_hashes x |shingles| digests/doc and measured 202 s at bench
+      scale (this form: seconds);
+    - seeds + NONLINEAR mixing, not affine ``a + i*b``
+      (Kirsch-Mitzenmacher): affine per-i hashes are order-correlated
+      — the shingle with the minimal base value tends to win *every*
+      permutation, so one differing shingle flips many signature
+      positions together and true near-dup pairs get missed
+      (observed: a j=0.9 pair lost all 16 bands). Xorshift rounds are
+      a 64-bit bijection, so each seed yields an effectively
+      independent ordering;
+    - all xor/shift bigint ops: deterministic everywhere, no
+      multiplication (no ANSI overflow), HOF-interpreter cheap;
+    - single ``aggregate`` fold with the digest array as *input*:
+      anything inside the per-hash lambda is re-evaluated per hash by
+      the interpreter, and CollapseProject would inline a separate
+      column right back in — as fold input the digests run once.
     """
+    seeds = ", ".join(f"cast({s} as bigint)" for s in _minhash_seeds(num_hashes))
+    xvals = (
+        f"transform(transform({shingle_col}, s -> md5(cast(s as binary))), "
+        "h -> cast(conv(substr(h, 1, 15), 16, 10) as bigint))"
+    )
+
+    def _xs(v: str, shift: int, left: bool) -> str:
+        op = "shiftleft" if left else "shiftright"
+        return f"(({v}) ^ {op}(({v}), {shift}))"
+
+    mixed = _xs(_xs("x ^ s", 13, True), 7, False)
     return F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"  i -> array_min(transform({shingle_col}, "
-        f"         s -> md5(cast(concat(cast(i as string), ':', s) as binary)))))"
+        f"aggregate({xvals}, "
+        f"  transform(sequence(1, {num_hashes}), i -> cast(9223372036854775807 as bigint)), "
+        f"  (acc, x) -> zip_with(acc, array({seeds}), "
+        f"    (m, s) -> least(m, {mixed})))"
     )
 
 
@@ -107,7 +147,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH bucket join.
@@ -120,6 +160,12 @@ def minhash_lsh_candidates(
     degenerate buckets (a bucket of 10^6 identical boilerplate docs is
     better handled by exact dedup first, and dropping it bounds the
     worst case). Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    Default banding 16 bands x 2 rows: candidate probability
+    1-(1-j^2)^16 — recall ~1-2e-12 at j=0.9, ~0.99 at j=0.5, while a
+    background pair (j ~ 0.02) needs two simultaneous minhash
+    collisions per band, keeping false candidates negligible. (8x4
+    banding measurably missed a true j~0.9 pair on the test corpus.)
     """
     rows_per_band = num_hashes // bands
     sigs = df.select(
@@ -131,6 +177,10 @@ def minhash_lsh_candidates(
             "band_idx", "band_hash"
         ),
     )
+    # the banded relation feeds three plan branches (bucket sizing +
+    # both sides of the self-join); cache it so the signature pipeline
+    # runs once, not three times
+    banded = banded.cache()
     # cap degenerate buckets before the quadratic self-join
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_n")
@@ -180,11 +230,14 @@ def jaccard_verify(
         .join(b, "doc_b")
         .select("doc_a", "doc_b", inter.alias("_i"), union.alias("_u"))
     )
-    # exact half-up 4-decimal Jaccard via integer DIV (never float+floor)
+    # exact half-up 4-decimal Jaccard via integer DIV (never float+floor);
+    # cast: SQL `10000.0` is a decimal literal, result must stay double
     return joined.select(
         "doc_a",
         "doc_b",
-        F.expr("((2 * _i * 10000 + _u) DIV (2 * _u)) / 10000.0").alias("jaccard"),
+        F.expr(
+            "cast(((2 * _i * 10000 + _u) DIV (2 * _u)) / 10000.0 as double)"
+        ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -199,17 +252,30 @@ def simhash64(text_col: str, id_col: str = "doc_id") -> Column:
 
     Nibbles are decoded with instr('0123456789abcdef', ch) - 1 (no
     hex-literal casts, portable to any oracle dialect).
+
+    Shaped so each token is digested ONCE: the md5 array is the input
+    of the bit-vote ``aggregate`` (HOF bodies are interpreted — a
+    digest inside the per-bit lambda would run 60x per token; this
+    form measured 8.2 s -> <1 s at bench scale).
     """
-    toks = f"array_distinct(split(trim(lower({text_col})), '\\\\s+'))"
+    hashes = (
+        f"transform(array_distinct(split(trim(lower({text_col})), '\\\\s+')), "
+        "t -> md5(cast(t as binary)))"
+    )
     # bit b lives in hex nibble (b DIV 4) (0-indexed from the left of
-    # the 15-nibble prefix), at position (b % 4) inside the nibble.
+    # the 15-nibble prefix), at position (b % 4) inside the nibble;
+    # one fold over tokens accumulates all 60 +/-1 votes at once.
+    votes = (
+        f"aggregate({hashes}, "
+        "  transform(sequence(0, 59), b -> cast(0 as bigint)), "
+        "  (acc, h) -> zip_with(acc, sequence(0, 59), "
+        "    (s, b) -> s + 2 * (((instr('0123456789abcdef', "
+        "         substr(h, cast(b div 4 as int) + 1, 1)) - 1) "
+        "         div shiftleft(cast(1 as bigint), cast(b % 4 as int))) % 2) - 1))"
+    )
     return F.expr(
-        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc + "
-        "  case when aggregate("
-        f"    {toks}, cast(0 as bigint), "
-        "    (s, t) -> s + 2 * (((instr('0123456789abcdef', "
-        "         substr(md5(cast(t as binary)), cast(b div 4 as int) + 1, 1)) - 1) "
-        "         div shiftleft(cast(1 as bigint), cast(b % 4 as int))) % 2) - 1"
-        "  ) > 0 then shiftleft(cast(1 as bigint), cast(b as int)) "
-        "  else 0 end)"
+        f"aggregate(zip_with({votes}, sequence(0, 59), "
+        "  (s, b) -> case when s > 0 then shiftleft(cast(1 as bigint), cast(b as int)) "
+        "            else cast(0 as bigint) end), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
     )

@@ -70,6 +70,51 @@ def top_n_per_group(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the ``value_col`` of the most
+    recent right row with ``right_ts <= left_ts`` and equal keys
+    (left-join semantics: no prior right row -> NULL).
+
+    Spark has no native ASOF JOIN; a range join would be O(n*m) per
+    key. This is the scalable *union trick*: interleave both sides,
+    sort by (key, ts) once, and carry the latest right value forward
+    with ``last(ignorenulls)`` over an unbounded-preceding window —
+    ONE shuffle on the key, linear scan within partitions, no range
+    explosion. The 100 TB plan for temporal enrichment.
+
+    At equal timestamps the right row sorts first (side 0 < side 1),
+    i.e. `<=` semantics — matching e.g. DuckDB's ASOF JOIN.
+    """
+    out_col = out_col or value_col
+    val_type = dict(right.dtypes)[value_col]
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_val", F.lit(None).cast(val_type))
+    r = (
+        right.select(*on, F.col(right_ts).alias("_ts"), F.col(value_col).alias("_val"))
+        .withColumn("_side", F.lit(0))
+    )
+    combined = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        combined.withColumn(out_col, F.last("_val", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_ts", "_side", "_val")
+    )
+
+
 def lag_delta(
     df: DataFrame,
     partition_cols: list[str],

@@ -45,8 +45,9 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 # round(n/d, 4) as exact integer arithmetic over long columns named in
-# the enclosing plan. Usage: select the named longs first, then apply.
-RATIO4 = "((2 * {n} * 10000 + {d}) DIV (2 * {d})) / 10000.0"
+# the enclosing plan; outer cast because SQL-parsed `10000.0` is a
+# DECIMAL literal and long/decimal would type the column decimal.
+RATIO4 = "cast(((2 * {n} * 10000 + {d}) DIV (2 * {d})) / 10000.0 as double)"
 
 
 def tokens(text_col: str | Column) -> Column:

@@ -511,6 +511,173 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "asof_join_last_signup",
+    oracle="""
+    SELECT e.event_id, e.user_id, s.sts AS signup_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN
+         (SELECT user_id AS su, ts AS sts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.su AND e.ts >= s.sts
+    """,
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J2 extension): each purchase matched to the user's
+    most recent signup at-or-before it — the canonical temporal
+    enrichment. Union-trick implementation (rel.asof_join): one
+    shuffle on user_id, no range explosion; DuckDB's native ASOF JOIN
+    is the oracle."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    return rel.asof_join(
+        purchases, signups, ["user_id"], "ts", "signup_ts", "signup_ts"
+    ).select("event_id", "user_id", "signup_ts")
+
+
+@query(
+    "session_window_user_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (T2 extension, built-in since Spark 3.2):
+    per-user sessions with a 30-min inactivity gap. One shuffle on
+    user_id; state in streaming mode is merged incrementally. The
+    oracle is the classic gaps-and-islands rewrite (new session when
+    the gap >= 30 min — session_window's end is exclusive, so an
+    exactly-gap-sized pause starts a new session in both engines)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "cube_orders_totals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (§2.4 extension): all 4 grouping combinations
+    in one Expand + hash-agg pass (no multiple scans). Exact cents."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("tp_c", F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("tp_c").alias("s_c"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("s_c") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             // 200) / 100.0 AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast customer into
+    orders -> sort-merge orders⋈lineitem -> agg -> top-10. Filters
+    push to all three scans; the only wide shuffle is on orderkey.
+    Exact-cents revenue; fully deterministic order (revenue, date,
+    key)."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev_u4").alias("s4"))
+        .select(
+            "l_orderkey",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct / HyperLogLog++ (§2.4 extension): the
+    100 TB cardinality-estimation path (fixed-size sketch, map-side
+    mergeable — countDistinct's expand+dedup shuffle doesn't scale to
+    high-cardinality keys). Rows-only: HLL estimates are
+    implementation-specific, so no cross-engine value oracle; the
+    exact variant agg_distinct_users_per_type is the value-checked
+    twin."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ride-event parse path (P1-P3, P5-P6, F1, F5): the reference's Kafka
 # wire -> from_json -> flatten -> cast pipeline, oracle-checked via a
@@ -604,9 +771,9 @@ def ride_trip_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "city",
         "n_trips",
-        F.expr("((2 * _sum_dur * 10000 + n_trips) DIV (2 * n_trips)) / 10000.0").alias(
-            "avg_duration_sec"
-        ),
+        F.expr(
+            "cast(((2 * _sum_dur * 10000 + n_trips) DIV (2 * n_trips)) / 10000.0 as double)"
+        ).alias("avg_duration_sec"),
     )
 
 

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes
+(pushdown, broadcast, sort-merge, no row-wise Python) so they can't
+silently regress. Also covers the spark.sql surface via
+catalog.register_views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_ride_hailing_data_pipeline_spark import catalog
+from real_time_ride_hailing_data_pipeline_spark import queries as q
+from real_time_ride_hailing_data_pipeline_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filters,
+    assert_sort_merge_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_project_pushes_predicates_to_scan(spark):
+    df = q.all_queries()["filter_project"](spark, SF)
+    assert_pushed_filters(df, "o_orderstatus", "o_totalprice")
+    assert_no_python_udf(df)
+
+
+def test_enrichment_join_broadcasts_both_dims(spark):
+    df = q.all_queries()["join_broadcast_enrichment"](spark, SF)
+    assert_broadcast_join(df, expected=2)
+
+
+def test_big_join_is_sort_merge(spark):
+    df = q.all_queries()["sort_merge_order_revenue"](spark, SF)
+    assert_sort_merge_join(df)
+
+
+def test_tpch_q3_pushes_filters_and_broadcasts_customer(spark):
+    df = q.all_queries()["tpch_q3_shipping_priority"](spark, SF)
+    assert_pushed_filters(df, "c_mktsegment", "o_orderdate", "l_shipdate")
+    assert_broadcast_join(df, expected=1)
+
+
+def test_no_query_plan_contains_row_python_udf(spark):
+    """The engine-wide no-row-UDF invariant (session.py docstring):
+    every registered query plans without BatchEvalPython. (mapInPandas
+    queries plan MapInPandas — Arrow-batched, allowed.)"""
+    for name, fn in q.all_queries().items():
+        if name == "streaming_city_metrics_replay":
+            continue  # runs a side-effecting stream; covered in streaming tests
+        assert_no_python_udf(fn(spark, SF))
+
+
+def test_spark_sql_surface_over_registered_views(spark):
+    """catalog.register_views exposes every table to spark.sql; a SQL
+    aggregation equals its DataFrame-API twin."""
+    catalog.register_views(spark, SF)
+    sql_rows = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_type, count(event_id) AS total_trips "
+            "FROM events GROUP BY event_type"
+        ).collect()
+    }
+    df_rows = {
+        tuple(r)
+        for r in catalog.load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("event_id").alias("total_trips"))
+        .collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) > 0
