@@ -136,14 +136,23 @@ def run_city_metrics_replay(
     )
     metrics = city_metrics_update_stream(events, watermark)
     sink = ParquetUpsertSink(sink_path, key_cols=("event_type", "window_start"))
-    query = (
-        metrics.writeStream.outputMode("update")
-        .foreachBatch(sink.write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # State partition count is frozen into the checkpoint on first run.
+    # The group cardinality here is |open windows| x |keys| — small —
+    # so a handful of state partitions beats the batch default (each
+    # state partition pays per-commit file I/O on every trigger).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(sink.write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink
 
 

@@ -99,27 +99,30 @@ class ParquetUpsertSink:
         )
         out_cols = batch.columns
 
+        if not self._table_exists():
+            # first batch: nothing to merge with — write directly (the
+            # common availableNow single-batch replay pays one write
+            # instead of three FS round trips)
+            batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
+            return
+
         # Stage the batch (the reference's S4 staging write, parquet
-        # instead of JDBC). Decouples the merge read from the source
-        # stream and makes retries re-read a stable input.
+        # instead of JDBC): the merge must not read and overwrite the
+        # same files, and retries re-read a stable input.
         batch.write.mode("overwrite").parquet(self.staging_path)
         staged = spark.read.parquet(self.staging_path)
 
-        if self._table_exists():
-            existing = spark.read.parquet(self.path)
-            # only partitions the batch touches participate in the merge
-            touched = [r[0] for r in staged.select("part_date").distinct().collect()]
-            existing = existing.filter(F.col("part_date").isin(touched))
-            # overwrite-per-key: drop existing rows for keys present in
-            # the batch, keep the rest (broadcast: a micro-batch of
-            # aggregates is small)
-            keep = existing.join(
-                F.broadcast(staged.select(*self.key_cols)), self.key_cols, "left_anti"
-            )
-            merged = keep.select(*out_cols).unionByName(staged.select(*out_cols))
-        else:
-            merged = staged.select(*out_cols)
-
+        existing = spark.read.parquet(self.path)
+        # only partitions the batch touches participate in the merge
+        touched = [r[0] for r in staged.select("part_date").distinct().collect()]
+        existing = existing.filter(F.col("part_date").isin(touched))
+        # overwrite-per-key: drop existing rows for keys present in
+        # the batch, keep the rest (broadcast: a micro-batch of
+        # aggregates is small)
+        keep = existing.join(
+            F.broadcast(staged.select(*self.key_cols)), self.key_cols, "left_anti"
+        )
+        merged = keep.select(*out_cols).unionByName(staged.select(*out_cols))
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
