@@ -70,6 +70,43 @@ def top_n_per_group(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
 
 
+def salted_two_stage_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant aggregation: salt the group key into
+    ``salt_buckets`` sub-keys, partially aggregate, then re-aggregate
+    without the salt.
+
+    For additive aggregates (count/sum/min/max) the result is
+    IDENTICAL to a direct groupBy — the salt only reshapes the
+    shuffle: a hot key that would hammer one reducer spreads across
+    ``salt_buckets`` of them, each partial fitting in memory. This is
+    the manual fallback when AQE skew handling can't apply (e.g.
+    first-stage aggregations, which AQE skew-join doesn't cover).
+    ``sum_cols`` maps input col -> output alias; a __count__ entry
+    yields a row count.
+    """
+    salt_src = salt_source or key_cols[0]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_src), F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial_aggs = [F.count(F.lit(1)).alias("_pc")] + [
+        F.sum(src).alias(f"_ps_{alias}") for src, alias in sum_cols.items() if src != "__count__"
+    ]
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+    final_aggs = []
+    for src, alias in sum_cols.items():
+        if src == "__count__":
+            final_aggs.append(F.sum("_pc").alias(alias))
+        else:
+            final_aggs.append(F.sum(f"_ps_{alias}").alias(alias))
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -663,6 +663,252 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_group_totals",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation (rel.salted_two_stage_agg):
+    salt -> partial agg -> re-agg. Result provably identical to the
+    direct groupBy (the oracle IS the direct groupBy); the salt only
+    spreads a hot key (event_type has 5 values — a real 100 TB skew
+    shape) across reducers."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    agg = rel.salted_two_stage_agg(
+        events,
+        ["event_type"],
+        {"__count__": "n_events", "value_c": "total_c"},
+        salt_buckets=16,
+    )
+    return agg.select(
+        "event_type", "n_events", (F.col("total_c") / 100.0).alias("total_value")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (W): per-customer running order total
+    ordered by date. One shuffle on o_custkey, sorted frame scan within
+    partitions; exact cents."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0).alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.4 extension): per-user event-type count matrix. The
+    pivot value list is declared explicitly — with it, Spark plans a
+    single pass (no extra distinct-values job), which is the required
+    form at scale."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the spark.sql surface (§2.4; also exercises
+    catalog view registration): two disjoint groupings in one Expand
+    pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "text_term_frequencies",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token LIMIT 50
+    """,
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (the TF/DF halves of TF-IDF, kept in
+    exact integers — IDF's log would be libm-dependent): explode
+    tokens -> two-phase agg -> top-50. The explode is map-side; the
+    shuffle carries (token, partial counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_ngram_doc_frequency",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1])))) AS ngram
+      FROM tk
+    )
+    SELECT ngram, count(*) AS doc_freq
+    FROM t GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram LIMIT 30
+    """,
+)
+def text_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram document frequency (n-gram analysis over the
+    corpus): per-doc distinct bigrams -> explode -> count docs per
+    bigram -> top-30. Same shingling primitive the MinHash dedup
+    uses (dd.word_shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"), F.explode(dd.word_shingles("text", 2)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(30)
+    )
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the
+    events file is delivered TWICE (at-least-once duplication);
+    in-stream dedup on the event key must restore the single-copy
+    aggregate — the oracle aggregates one copy. Bounded dedup state
+    via watermark (streaming/job.py:run_streaming_dedup_replay)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_streaming_dedup_replay(spark, sf_dir)
+
+
+@query(
+    "stream_static_enrichment",
+    oracle="""
+    WITH fs AS (SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id)
+    SELECT e.event_type,
+           count(*) AS n_events,
+           ((2 * sum(CAST(floor(epoch(e.ts)) AS BIGINT)
+                     - CAST(floor(epoch(fs.first_seen)) AS BIGINT)) * 10000
+              + count(*)) // (2 * count(*))) / 10000.0 AS avg_age_sec
+    FROM events e JOIN fs USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join, executed as a real StreamingQuery
+    (streaming/job.py:run_stream_static_enrichment): the stream
+    enriched per micro-batch with a batch-derived dimension, then
+    aggregated in complete mode. Zero shuffle of the stream side."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_stream_static_enrichment(spark, sf_dir)
+
+
+@query(
+    "stream_stream_join_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           s.event_id AS signup_id, s.ts AS signup_ts, p.ts AS purchase_ts
+    FROM events p
+    JOIN events s
+      ON p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND p.user_id = s.user_id
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+)
+def stream_stream_join_purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and an
+    event-time range bound (streaming/job.py:run_stream_stream_join):
+    purchases attributed to same-user signups in the prior 7 days.
+    The time bound + watermarks give bounded join state at any scale;
+    the availableNow replay equals the batch range join (the
+    oracle)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_stream_stream_join(spark, sf_dir)
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the

@@ -156,6 +156,167 @@ def run_city_metrics_replay(
     return sink
 
 
+def run_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (T-extension, SURVEY §2.9 "absent in
+    reference"): the events file is fed to the stream TWICE (duplicate
+    delivery — Kafka's at-least-once reality), deduplicated in-stream
+    with ``dropDuplicatesWithinWatermark`` on the event key, then
+    windowed-aggregated. Output must equal the batch aggregation of
+    the SINGLE copy — that equality is the oracle.
+
+    State: one entry per event id inside the watermark horizon,
+    evicted after; at 100 TB this is the bounded-memory dedup plan
+    (exact dedup of unbounded history would need unbounded state).
+    """
+    workdir = tempfile.mkdtemp(prefix="rtrh_dedup_")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    events_file = os.path.join(sf_dir, "events.parquet")
+    os.symlink(events_file, os.path.join(src, "copy1.parquet"))
+    os.symlink(events_file, os.path.join(src, "copy2.parquet"))
+
+    events = events_parquet_stream(spark, src)
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    metrics = city_metrics_update_stream(deduped, watermark=None)
+    sink = ParquetUpsertSink(
+        os.path.join(workdir, "out"), key_cols=("event_type", "window_start")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(sink.write_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read(spark)
+
+
+def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (SURVEY §2.3: the stream-static enrichment
+    the reference never built): the events stream joined to a static
+    dimension (per-user first-seen timestamp, batch-derived), then
+    aggregated — per event_type, event count and exact average seconds
+    since the user was first seen.
+
+    The static side is broadcast into every micro-batch: zero shuffle
+    of the stream at any scale (the dimension is loaded once per
+    trigger). availableNow replay makes it deterministic and
+    oracle-checkable against a batch self-join.
+    """
+    from real_time_ride_hailing_data_pipeline_spark import catalog
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_enrich_")
+    events_batch = catalog.load_table(spark, sf_dir, "events")
+    first_seen = events_batch.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen")
+    )
+
+    stream = events_parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    enriched = stream.join(F.broadcast(first_seen), "user_id")
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.unix_timestamp("ts") - F.unix_timestamp("first_seen")
+        ).alias("_sum_age"),
+    )
+    out_path = os.path.join(workdir, "out")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_path).select(
+        "event_type",
+        "n_events",
+        F.expr(
+            "cast(((2 * _sum_age * 10000 + n_events) DIV (2 * n_events)) / 10000.0 "
+            "as double)"
+        ).alias("avg_age_sec"),
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + event-time bounds
+    (SURVEY §2.3/§2.9: absent in the reference): purchases joined to
+    the same user's signups that happened in the preceding 7 days.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range, so each side's state is evicted once the other
+    side's watermark passes the bound — bounded state at any scale.
+    availableNow replay emits exactly the batch-join result, which the
+    DuckDB oracle reproduces as a plain range join.
+    """
+    workdir = tempfile.mkdtemp(prefix="rtrh_ssj_")
+    src = os.path.join(sf_dir, "events.parquet")
+    purchases = (
+        events_parquet_stream(spark, src, wrapper_dir=os.path.join(workdir, "w1"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    signups = (
+        events_parquet_stream(spark, src, wrapper_dir=os.path.join(workdir, "w2"))
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 minute")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select("purchase_id", "user_id", "signup_id", "signup_ts", "purchase_ts")
+
+    out_path = os.path.join(workdir, "out")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_path)
+
+
 def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry point: replay the `events` table through the real
     streaming path (fresh sink + checkpoint in a temp dir) and return
