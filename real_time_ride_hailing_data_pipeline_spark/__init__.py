@@ -11,6 +11,8 @@ deployment while remaining testable on local[N].
 Layout:
     session.py    SparkSession factory (scale-aware config)
     catalog.py    test-data table loader / temp-view registration
+    queries.py    registry: every operator as (PySpark fn, oracle SQL)
+    functions/    exact cross-engine arithmetic builders
     sources/      batch + streaming source adapters (parquet, JSON-wire,
                   synthetic ride-event generator, Kafka import-guarded)
     operators/    the query library: ride pipeline, relational ops,

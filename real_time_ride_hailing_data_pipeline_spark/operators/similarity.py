@@ -32,16 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Exact decimal dot product of two array<float>/array<double> columns.
-# See module docstring for why this is engine-stable.
-def _dot_decimal(a: str, b: str) -> str:
-    # the merge lambda re-casts: Spark widens DECIMAL(38,12)+DECIMAL(30,12)
-    # to DECIMAL(38,11), which would no longer match the accumulator type
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> "
-        f"  cast(cast(x as double) * cast(y as double) as decimal(30,12))), "
-        f"cast(0 as decimal(38,12)), (acc, v) -> cast(acc + v as decimal(38,12)))"
-    )
+# Exact decimal dot product (canonical builder in functions/exact.py;
+# see module docstring there for why this is engine-stable).
+from real_time_ride_hailing_data_pipeline_spark.functions.exact import (  # noqa: E402
+    decimal_dot as _dot_decimal,
+)
 
 
 def cosine_similarity_expr(a: str, b: str, decimals: int = 6) -> Column:

@@ -44,10 +44,9 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
 )
 
-# round(n/d, 4) as exact integer arithmetic over long columns named in
-# the enclosing plan; outer cast because SQL-parsed `10000.0` is a
-# DECIMAL literal and long/decimal would type the column decimal.
-RATIO4 = "cast(((2 * {n} * 10000 + {d}) DIV (2 * {d})) / 10000.0 as double)"
+# canonical exact-arithmetic builders (see functions/exact.py for the
+# full determinism rationale)
+from real_time_ride_hailing_data_pipeline_spark.functions.exact import RATIO4  # noqa: E402
 
 
 def tokens(text_col: str | Column) -> Column:

@@ -1252,10 +1252,8 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(F.col("doc_id"), dd.simhash64("text").alias("simhash"))
 
 
-_DOT_DECIMAL_DUCK = (
-    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(30,12)))) "
-    "AS DECIMAL(38,12))"
+from real_time_ride_hailing_data_pipeline_spark.functions.exact import (  # noqa: E402
+    DUCKDB_DECIMAL_DOT as _DOT_DECIMAL_DUCK,
 )
 
 

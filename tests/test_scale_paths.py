@@ -1,0 +1,116 @@
+"""Scale-path tests: bucketed co-located joins (shuffle elimination),
+the processingTime-trigger live stream (T5), and sink retry behavior
+(X1/X2) — the pieces whose value only shows at cluster scale, pinned
+here at toy scale so they can't regress.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_ride_hailing_data_pipeline_spark import catalog
+from real_time_ride_hailing_data_pipeline_spark.plans import physical_plan
+from real_time_ride_hailing_data_pipeline_spark.sources import generator as gen
+from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import with_retries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Pre-bucketing both join sides on the join key removes the
+    Exchange entirely: the sort-merge join reads co-located buckets.
+    At 100 TB this is THE difference between an orders⋈lineitem that
+    moves 100 TB over the network and one that moves nothing."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    try:
+        catalog.load_table(spark, SF, "orders").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("bdb.orders_b")
+        catalog.load_table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bdb.lineitem_b")
+
+        joined = (
+            spark.table("bdb.orders_b")
+            .hint("merge")  # pin SMJ so broadcast doesn't mask the point
+            .join(
+                spark.table("bdb.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it returns the same rows as the shuffling variant
+        n_bucketed = joined.count()
+        n_plain = (
+            catalog.load_table(spark, SF, "orders")
+            .join(
+                catalog.load_table(spark, SF, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert n_bucketed == n_plain > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_processing_time_trigger_live_stream(spark):
+    """T5: a live rate-source stream (the S2 streaming generator) under
+    a processingTime trigger produces windowed output while running.
+    Stopped explicitly — the only wall-clock-dependent test, bounded
+    at ~30 s."""
+    stream = gen.ride_events_stream(spark, rows_per_second=200)
+    agg = stream.groupBy("city").agg(F.count(F.lit(1)).alias("n"))
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("live_city_counts")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT count(*) FROM live_city_counts").first()[0]
+            if rows > 0:
+                break
+            time.sleep(0.5)
+        assert rows > 0, "no output after 30s of processingTime triggers"
+        cities = {
+            r["city"] for r in spark.sql("SELECT city FROM live_city_counts").collect()
+        }
+        assert cities <= set(gen.CITIES)
+    finally:
+        query.stop()
+
+
+def test_with_retries_retries_then_succeeds():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+
+    with_retries(flaky, retries=3, delay_s=0.01)
+    assert len(calls) == 3
+
+
+def test_with_retries_exhausts_and_raises():
+    calls = []
+
+    def always_fails():
+        calls.append(1)
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        with_retries(always_fails, retries=2, delay_s=0.01)
+    assert len(calls) == 3  # initial + 2 retries
