@@ -126,6 +126,55 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def bucketed_cosine_pairs(
+    embeddings: DataFrame,
+    bucket_col: str = "label",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-style: vectors only
+    meet inside their coarse cell (``bucket_col`` — here the cluster
+    label; in production the assignment of a trained coarse
+    quantizer), so the pair space is sum(|cell|^2), never n^2. The
+    all-pairs cosine join is banned at scale; this is the sanctioned
+    shape.
+
+    Norms are precomputed per vector BEFORE the self-join (one exact
+    decimal dot each) so each candidate pair costs a single dot
+    product. Exact-decimal arithmetic end-to-end -> bit-identical
+    cosines across engines (module docstring).
+    """
+    with_norm = embeddings.select(
+        F.col(bucket_col).alias("_bkt"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(f"sqrt(cast({_dot_decimal(vec_col, vec_col)} as double))").alias("_nrm"),
+    )
+    a = with_norm.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = with_norm.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    sim = F.expr(
+        f"round(cast({_dot_decimal('_va', '_vb')} as double) / (_na * _nb), {decimals})"
+    )
+    return (
+        a.join(b, ["_bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def norm_stats_by_label(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -1298,6 +1298,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT label, vec_id, embedding,
+             sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="embedding", b="embedding")} AS DOUBLE)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(CAST({_DOT_DECIMAL_DUCK.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(CAST({_DOT_DECIMAL_DUCK.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+                / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-style (sim.
+    bucketed_cosine_pairs): candidate pairs only within a coarse cell
+    (the cluster label), exact-decimal cosines, threshold 0.4 — the
+    fifth dedup modality of the LLM-pipeline set (exact / MinHash /
+    SimHash / n-gram Jaccard / embedding-cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.bucketed_cosine_pairs(emb, threshold=0.4)
+
+
+@query(
     "embedding_norm_stats",
     oracle=f"""
     WITH p AS (

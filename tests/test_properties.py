@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): the exact-arithmetic identity,
+sink idempotence, and as-of join semantics hold on arbitrary inputs,
+not just the shipped fixtures. Each example evaluates through real
+Spark, so example counts are deliberately small and each example
+batches many generated cases into one job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_ride_hailing_data_pipeline_spark.functions.exact import RATIO4
+from real_time_ride_hailing_data_pipeline_spark.operators import relational as rel
+from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import ParquetUpsertSink
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@SLOW
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ratio4_is_decimal_half_up(spark, pairs):
+    """RATIO4's integer-DIV identity == true decimal half-up rounding
+    of n/d to 4 places, for arbitrary n, d."""
+    df = spark.createDataFrame(pairs, "n long, d long")
+    got = {
+        (r["n"], r["d"]): r["ratio"]
+        for r in df.select(
+            "n", "d", F.expr(RATIO4.format(n="n", d="d")).alias("ratio")
+        ).collect()
+    }
+    for n, d in pairs:
+        expected = float(
+            (Decimal(n) / Decimal(d)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+        assert got[(n, d)] == expected, (n, d)
+
+
+@SLOW
+@given(
+    batch=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=3),  # window index
+            st.integers(min_value=1, max_value=100),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_upsert_sink_batch_idempotent(spark, tmp_path_factory, batch):
+    """Applying any batch twice leaves exactly the once-applied state
+    (the invariant that makes streaming replays safe)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=w), t0 + dt.timedelta(minutes=w + 1), n, 1.0)
+        for k, w, n in batch
+    ]
+    schema = (
+        "event_type string, window_start timestamp, last_updated timestamp, "
+        "total_trips long, average_fare double"
+    )
+    sink = ParquetUpsertSink(
+        str(tmp_path_factory.mktemp("sink") / "t"),
+        key_cols=("event_type", "window_start"),
+    )
+    df = spark.createDataFrame(rows, schema)
+    sink.write_batch(df, 0)
+    sink.write_batch(df, 1)
+    assert {tuple(r) for r in sink.read(spark).collect()} == {tuple(r) for r in rows}
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=1000),  # ts (seconds)
+            st.booleans(),  # True = left (query) row, False = right row
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, data):
+    """rel.asof_join == brute-force 'latest right ts <= left ts per
+    key' on arbitrary interleavings (including ties: right row at the
+    same timestamp matches)."""
+    t0 = dt.datetime(2024, 1, 1)
+    lefts = [
+        (i, u, t0 + dt.timedelta(seconds=s))
+        for i, (u, s, is_l) in enumerate(data)
+        if is_l
+    ]
+    rights = [
+        (u, t0 + dt.timedelta(seconds=s))
+        for (u, s, is_l) in data
+        if not is_l
+    ]
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(lefts, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(rights, "user_id long, rts timestamp")
+    got = {
+        r["event_id"]: r["matched"]
+        for r in rel.asof_join(
+            ldf, rdf, ["user_id"], "ts", "rts", "rts", out_col="matched"
+        ).collect()
+    }
+    for eid, u, ts in lefts:
+        candidates = [rts for ru, rts in rights if ru == u and rts <= ts]
+        expected = max(candidates) if candidates else None
+        assert got[eid] == expected, (eid, u, ts)
