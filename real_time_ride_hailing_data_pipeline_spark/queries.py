@@ -909,6 +909,80 @@ def stream_stream_join_purchase_attribution(
     return sj.run_stream_stream_join(spark, sf_dir)
 
 
+@query(
+    "stateful_sessionizer_closed_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), g AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_last,
+             count(*) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS max_sid
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_last, n_events
+    FROM g
+    WHERE sid < max_sid
+       OR session_last + INTERVAL 90 MINUTE < (SELECT max(ts) FROM events)
+    """,
+)
+def stateful_sessionizer_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-user sessionizer with explicit keyed
+    state and event-time timeout, executed as a real StreamingQuery.
+    Two emission paths, both modeled by the oracle: (1) a session
+    closed by a >=30-min gap within the data; (2) a trailing session
+    whose event-time TIMEOUT fired — timeout ts (last + 30 min) below
+    the final watermark (global max ts - 1 h), flushed by the trailing
+    no-data micro-batch availableNow runs. Remaining open sessions
+    stay in state. This is the engine's (flat)MapGroupsWithState
+    surface (absent in the reference, SURVEY §2.9)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_stateful_sessionizer(spark, sf_dir)
+
+
+@query(
+    "grouped_median_value",
+    oracle="""
+    SELECT event_type, median(value) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas (Arrow-batched —
+    the sanctioned Python boundary): exact per-group median, an
+    aggregate Spark SQL lacks exactly (percentile_approx is the
+    built-in). Both engines compute the even-count median as the IEEE
+    mean of the two middle doubles, so no rounding is needed. One
+    shuffle on the group key; each group is one Arrow batch."""
+    import pandas as pd
+
+    def median_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [float(pdf["value"].median())],
+            }
+        )
+
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").applyInPandas(
+        median_fn, "event_type string, median_value double"
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the

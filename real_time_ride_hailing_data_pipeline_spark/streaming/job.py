@@ -317,6 +317,37 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def run_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator executed end-to-end
+    (streaming/stateful.py): applyInPandasWithState sessionizer over
+    the events replay; emits closed sessions (append mode), keeps the
+    open tail in keyed state with an event-time timeout."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.stateful import sessionize
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_state_")
+    stream = events_parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    sessions = sessionize(stream)
+    out_path = os.path.join(workdir, "out")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            sessions.writeStream.outputMode("append")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_path)
+
+
 def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry point: replay the `events` table through the real
     streaming path (fresh sink + checkpoint in a temp dir) and return
