@@ -983,6 +983,141 @@ def grouped_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_props_metrics",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ((2 * sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000
+              + count(*)) // (2 * count(*))) / 10000.0 AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling (the from_json surface, F1, on
+    the driver's `events.props` JSON): parse against a declared
+    schema map-side, aggregate the extracted field with exact integer
+    arithmetic. At scale the parse is codegen'd inside the scan
+    stage — no shuffle until the 5-group agg."""
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    base = events.select(F.col("event_type"), k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k")
+    )
+    return base.select(
+        "event_type",
+        "n_events",
+        "sum_k",
+        F.expr(
+            "cast(((2 * sum_k * 10000 + n_events) DIV (2 * n_events)) / 10000.0 as double)"
+        ).alias("avg_k"),
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             // 200) / 100.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the deepest join tree in the registry (6
+    tables incl. the otherwise-unused supplier): region/nation/
+    supplier broadcast (small dims), customer⋈orders⋈lineitem carry
+    the shuffles, same-nation customer/supplier predicate applied at
+    the supplier join. Exact-cents revenue."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    asia_suppliers = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(asia_suppliers),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_u4").alias("s4"))
+        .select(
+            "n_name",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap, avg(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           count(*) AS n_lineitems,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON ap = l_partkey
+    WHERE l_quantity < 0.5 * aq
+    GROUP BY p_brand
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated-aggregate filter rewritten as a
+    self-join (lineitems under half their part's average quantity).
+    The per-part average is a first aggregation whose result re-joins
+    the fact table; the comparison 0.5*avg is float on BOTH sides of
+    the oracle (a pure filter — rows either match in both engines or
+    neither, since the doubles are bit-identical). Output aggregates
+    are exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the
