@@ -92,6 +92,61 @@ def test_processing_time_trigger_live_stream(spark):
         query.stop()
 
 
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A table written partitioned by a filter column is pruned at
+    planning time: the scan's PartitionFilters carry the predicate and
+    non-matching partitions are never listed. At 100 TB, partition
+    layout + pruning is the first-order scan optimization (before
+    row-group skipping)."""
+    part_dir = str(tmp_path / "events_by_type")
+    catalog.load_table(spark, SF, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(part_dir)
+    df = spark.read.parquet(part_dir).filter(F.col("event_type") == "view")
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    n = df.count()
+    n_expected = (
+        catalog.load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert n == n_expected > 0
+
+
+def test_rocksdb_state_store_streaming(spark, tmp_path):
+    """Large-state streaming path: the same windowed aggregation runs
+    on the RocksDB state store provider (the 100 TB choice — state
+    spills to local disk instead of living on the JVM heap) and
+    produces the identical result."""
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = sj.run_city_metrics_replay(
+            spark,
+            source_dir="/root/testdata/sf0.001/events.parquet",
+            sink_path=str(tmp_path / "metrics"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        got = {tuple(r) for r in sink.read(spark).collect()}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    batch = {
+        tuple(r)
+        for r in q.all_queries()["city_window_metrics"](spark, SF).collect()
+    }
+    assert got == batch
+
+
 def test_with_retries_retries_then_succeeds():
     calls = []
 
