@@ -1118,6 +1118,40 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "tpch_q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING sum(l_quantity) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) over the
+    orders⋈lineitem join, top-100 by total quantity. Quantities are
+    integral doubles, so the sum is order-exact; cast to BIGINT for a
+    stable hash. The HAVING predicate prunes after the two-phase agg —
+    only qualifying groups reach the TakeOrderedAndProject."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the

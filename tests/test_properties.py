@@ -88,6 +88,66 @@ def test_upsert_sink_batch_idempotent(spark, tmp_path_factory, batch):
     assert {tuple(r) for r in sink.read(spark).collect()} == {tuple(r) for r in rows}
 
 
+VOCAB = [f"w{i}" for i in range(40)]
+
+FAST3 = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@FAST3
+@given(data=st.data())
+def test_minhash_lsh_finds_exactly_the_brute_force_pairs(spark, data):
+    """End-to-end LSH dedup == brute-force trigram Jaccard >= 0.5 on
+    arbitrary corpora, provided no pair sits in the LSH gray zone:
+    docs are random word strings plus planted near-copies (one word
+    substituted -> j ~ 0.8+, where 16x2-band recall is ~1-4e-8);
+    unrelated random docs sit near j ~ 0."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+
+    n_docs = data.draw(st.integers(min_value=4, max_value=10))
+    docs = []
+    for i in range(n_docs):
+        words = data.draw(
+            st.lists(st.sampled_from(VOCAB), min_size=25, max_size=35)
+        )
+        docs.append((i, " ".join(words)))
+    # plant near-duplicates of the first half
+    base_n = len(docs)
+    for j in range(data.draw(st.integers(min_value=1, max_value=3))):
+        src_id, text = docs[j % base_n]
+        words = text.split()
+        pos = data.draw(st.integers(min_value=0, max_value=len(words) - 1))
+        words[pos] = data.draw(st.sampled_from(VOCAB))
+        docs.append((base_n + j, " ".join(words)))
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+
+    expected = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a][1]), shingles(docs[b][1])
+            jac = len(sa & sb) / len(sa | sb)
+            assert not (0.35 < jac < 0.65), "gray-zone pair; widen the construction"
+            if jac >= 0.5:
+                expected.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_verify(
+            dd.minhash_lsh_candidates(df), df, threshold=0.5
+        ).collect()
+    }
+    assert got == expected
+
+
 @SLOW
 @given(
     data=st.lists(
