@@ -178,6 +178,54 @@ def test_late_data_amend_and_state_eviction(spark, tmp_path):
     }
 
 
+def test_crash_mid_stream_recovers_exactly_once(spark, tmp_path):
+    """T6 hardening: the worst crash window — a micro-batch's sink
+    effect lands but its offset commit doesn't (the foreachBatch
+    raises AFTER writing). On restart Spark re-runs that batch; the
+    keyed overwrite-per-key sink absorbs the duplicate application and
+    the final state equals the batch result. Exactly-once via
+    idempotence, under an injected mid-stream crash."""
+    source_dir = str(tmp_path / "src")
+    _write_stream_file(
+        spark, [_ev(1, 0), _ev(2, 0), _ev(3, 1)], source_dir, "f1", 1_700_000_000
+    )
+    _write_stream_file(
+        spark, [_ev(4, 2), _ev(5, 2)], source_dir, "f2", 1_700_000_100
+    )
+    sink = ParquetUpsertSink(
+        str(tmp_path / "metrics"), key_cols=("event_type", "window_start")
+    )
+    crashed = {"done": False}
+
+    def crashing_write(batch_df, epoch_id):
+        sink.write_batch(batch_df, epoch_id)  # effect applied...
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after sink write, before commit")
+
+    def run():
+        events = sj.events_parquet_stream(spark, source_dir, max_files_per_trigger=1)
+        metrics = sj.city_metrics_update_stream(events, "10 minutes")
+        q_ = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(crashing_write)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    run()  # restart: re-runs the uncommitted batch, then finishes
+
+    got = {
+        (r["event_type"], r["window_start"].minute, r["total_trips"])
+        for r in sink.read(spark).collect()
+    }
+    assert got == {("view", 0, 2), ("view", 1, 1), ("view", 2, 2)}
+
+
 def test_streaming_registry_query_matches_batch(spark):
     """The registry's streaming entry (used by the driver gate) equals
     the batch flagship query."""
