@@ -164,13 +164,24 @@ def bucketed_cosine_pairs(
         F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"),
     )
-    sim = F.expr(
+    # two-phase refine: a cheap double-arithmetic dot prunes the pair
+    # space (relative error ~1e-13, margin 1e-6 -> no false negatives),
+    # then the exact-decimal cosine runs only on survivors (~the
+    # matching pairs). The decimal fold costs ~3-5x the double one per
+    # element; paying it for every candidate pair dominated the query.
+    approx = F.expr(
+        f"aggregate(zip_with(_va, _vb, (x, y) -> "
+        f"cast(x as double) * cast(y as double)), cast(0 as double), "
+        f"(acc, v) -> acc + v) / (_na * _nb)"
+    )
+    exact = F.expr(
         f"round(cast({_dot_decimal('_va', '_vb')} as double) / (_na * _nb), {decimals})"
     )
     return (
         a.join(b, ["_bkt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(approx >= threshold - 1e-6)
+        .select("vec_a", "vec_b", exact.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
