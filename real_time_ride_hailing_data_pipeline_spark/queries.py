@@ -585,6 +585,71 @@ def session_window_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_metrics",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts) - (i.i * INTERVAL 1 MINUTE) AS window_start,
+           count(event_id) AS total_trips,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events CROSS JOIN range(5) i(i)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (T2's overlapping form, slide < width): 5-minute
+    windows sliding by 1 minute — each event lands in exactly 5
+    windows. Spark expands the window struct map-side (an Expand of
+    factor width/slide), then the usual two-phase agg; the oracle
+    reproduces the expansion with a cross join on range(5). Shuffle
+    volume is 5x the tumbling case — the documented cost of
+    overlapping windows at scale."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "5 minutes", "1 minute").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("event_id").alias("total_trips"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "total_trips",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "argmax_event_per_type",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id, value AS top_value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def argmax_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate (max_by): the top event per type by value,
+    tie-broken by event_id via struct ordering — deterministic where a
+    bare max_by(id, value) is not. One two-phase agg; no window, no
+    sort of the full input (the oracle uses the window form DuckDB's
+    arg_max can't tie-break)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("top_event_id"),
+        F.max(F.struct("value", "event_id"))["value"].alias("top_value"),
+    )
+
+
+@query(
     "cube_orders_totals",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
