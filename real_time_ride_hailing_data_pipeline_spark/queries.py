@@ -123,6 +123,32 @@ def city_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "city_running_totals_direct",
+    oracle="""
+    SELECT event_type,
+           count(event_id)                              AS total_trips,
+           max(date_trunc('minute', ts) + INTERVAL 1 MINUTE) AS last_updated
+    FROM events
+    GROUP BY 1
+    """,
+)
+def city_running_totals_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production plan for per-key running totals: aggregate the
+    events directly — ONE shuffle carrying 5 partial rows per map
+    task. `city_running_totals` computes the same result by
+    re-aggregating the windowed metrics (mirroring the sink-side
+    accumulation semantics, two shuffles); this is the variant to run
+    when the windowed table isn't needed."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("event_id").alias("total_trips"),
+        F.max(
+            F.date_trunc("minute", F.col("ts")) + F.expr("INTERVAL 1 MINUTE")
+        ).alias("last_updated"),
+    )
+
+
+@query(
     "top_cities_by_trips",
     oracle="""
     SELECT event_type, count(event_id) AS total_trips

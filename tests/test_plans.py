@@ -52,6 +52,13 @@ def test_no_query_plan_contains_row_python_udf(spark):
         assert_no_python_udf(fn(spark, SF))
 
 
+def test_catalog_rejects_unknown_table(spark):
+    import pytest
+
+    with pytest.raises(KeyError, match="unknown table"):
+        catalog.load_table(spark, SF, "nope")
+
+
 def test_spark_sql_surface_over_registered_views(spark):
     """catalog.register_views exposes every table to spark.sql; a SQL
     aggregation equals its DataFrame-API twin."""
