@@ -60,7 +60,7 @@ def with_binary_payload(
     hexhead = F.lower(F.hex(F.substring(payload, 1, 8)))
     mime = F.lit("application/octet-stream")
     for prefix, m in reversed(MAGIC_PREFIXES):
-        mime = F.when(hexhead.startswith(prefix.upper()) | hexhead.startswith(prefix), F.lit(m)).otherwise(mime)
+        mime = F.when(hexhead.startswith(prefix), F.lit(m)).otherwise(mime)
     # utf-8 text payloads: printable ASCII head -> text/plain
     mime = F.when(hexhead.rlike("^[2-7][0-9a-f]"), F.lit("text/plain")).otherwise(mime)
     return df.select(

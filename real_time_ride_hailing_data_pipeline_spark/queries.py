@@ -1243,6 +1243,128 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_ntile_order_deciles",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    ) GROUP BY decile
+    """,
+)
+def window_ntile_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (W): order-value deciles with a total order
+    (price, key) so bucket boundaries are deterministic. A global-sort
+    window — the one window shape that genuinely costs a full sort at
+    scale; the decile aggregate itself is cheap after it."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "orders_by_weekday",
+    oracle="""
+    SELECT dayofweek(o_orderdate) + 1 AS weekday,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (F8 family): order counts per weekday.
+    Convention bridged explicitly in the oracle: Spark's dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.dayofweek("o_orderdate").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "csv_source_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source surface (S-extension): events materialized to CSV
+    (timestamps as epoch micros, money as cents — no float text
+    round-trip) then read back with an explicit schema and aggregated.
+    The oracle reads the parquet original: reader fidelity is the
+    thing under test."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    csv_dir = tempfile.mkdtemp(prefix="rtrh_csv_") + "/events"
+    events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).write.option("header", True).mode("overwrite").csv(csv_dir)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, ts_us long, event_type string, value_c long")
+        .csv(csv_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+
+
+@query(
+    "json_source_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source surface (S-extension, distinct from the
+    from_json wire parsing): events written as JSONL and read back via
+    spark.read.json with an explicit schema (no inference job), then
+    aggregated against the parquet truth."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    json_dir = tempfile.mkdtemp(prefix="rtrh_json_") + "/events"
+    events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).write.mode("overwrite").json(json_dir)
+    back = spark.read.schema("event_id long, event_type string, value_c long").json(
+        json_dir
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the
