@@ -1365,6 +1365,44 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "python_datasource_city_fares",
+    oracle="""
+    WITH g AS (
+      SELECT id,
+             ['New York','Los Angeles','Chicago','Houston','Phoenix',
+              'Philadelphia','San Antonio','San Diego','Dallas','San Jose']
+               [CAST(id % 10 AS INT) + 1] AS city,
+             500 + CAST(list_sum(list_transform(generate_series(1, 12),
+                     j -> (instr('0123456789abcdef',
+                             substr(md5(CAST(id AS VARCHAR)), CAST(j AS INT), 1))
+                           - 1)::BIGINT << CAST(4 * (12 - j) AS INT)))
+                   AS BIGINT) % 14500 AS fare_cents
+      FROM range(10000) t(id)
+    )
+    SELECT city,
+           count(*) AS n_trips,
+           sum(fare_cents) / 100.0 AS total_fares
+    FROM g GROUP BY city
+    """,
+)
+def python_datasource_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (sources/python_datasource.py):
+    a custom partition-parallel source with every field derived from
+    the row id via md5 — so a DuckDB generate_series query regenerates
+    the identical rows and a *custom Python connector* gets a full
+    value-hash oracle. The Python read path is the connector slow
+    path by design; transforms stay JVM-side."""
+    from real_time_ride_hailing_data_pipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    df = spark.read.format("ride_events_py").option("n", 10_000).load()
+    return df.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        (F.sum("fare_cents") / 100.0).alias("total_fares"),
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the
