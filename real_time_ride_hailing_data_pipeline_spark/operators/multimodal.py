@@ -74,6 +74,41 @@ def with_binary_payload(
     )
 
 
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling over opaque binary payloads: split the payload
+    into fixed-size frames, keep every ``every_n``-th — the video
+    frame-sample access pattern with the decode stubbed (frames are
+    byte slices; a real deployment decodes them downstream).
+
+    Pure SQL on binary (substring is 1-indexed on bytes), map-only:
+    at scale this is the cheap pre-decode reduction that keeps the
+    expensive decode stage at 1/every_n of the data.
+    """
+    frames = F.expr(
+        f"transform(sequence(0, cast(ceil(media_meta.byte_len / {frame_bytes}) as int) - 1, {every_n}), "
+        f"  i -> substring(payload, i * {frame_bytes} + 1, {frame_bytes}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        frames.alias("frames"),
+    ).select(
+        F.col(id_col),
+        F.size("frames").cast("long").alias("n_sampled_frames"),
+        F.sha2(F.element_at("frames", 1), 256).alias("first_frame_sha256"),
+        F.aggregate(
+            F.expr("transform(frames, f -> length(f))"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sampled_bytes"),
+    )
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1863,6 +1863,35 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             octet_length(encode(text))::BIGINT AS blen,
+             generate_series(0,
+               CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1, 2) AS idxs
+      FROM documents
+    )
+    SELECT doc_id,
+           len(idxs)::BIGINT AS n_sampled_frames,
+           sha256(substr(text, 1, 256)) AS first_frame_sha256,
+           CAST(list_sum(list_transform(idxs, i -> least(256, blen - i * 256)))
+                AS BIGINT) AS sampled_bytes
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (mm.sample_frames): 256-byte
+    frames, every 2nd kept — the video frame-sample access pattern,
+    decode-free (frames are byte slices; the oracle hashes the same
+    bytes via char substrings, valid because the corpus is pure
+    ASCII). The pre-decode reduction that halves the expensive stage's
+    input at scale."""
+    payload = mm.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.sample_frames(payload, frame_bytes=256, every_n=2)
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched featurizer over binary payloads via mapInPandas
