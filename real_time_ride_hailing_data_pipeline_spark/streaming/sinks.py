@@ -142,6 +142,34 @@ class ParquetUpsertSink:
         """The materialized table (without the physical partition col)."""
         return spark.read.parquet(self.path).drop("part_date")
 
+    def compact(self, spark: SparkSession, files_per_partition: int = 1) -> None:
+        """Small-file compaction: rewrite the table so each date
+        partition holds ``files_per_partition`` files.
+
+        Streaming upserts inevitably accrete small files (every
+        micro-batch rewrites its touched partitions with
+        task-parallel output); scan efficiency at 100 TB depends on
+        periodic compaction toward ~128 MB files. Implemented as a
+        full-fidelity rewrite through a staging directory (same
+        crash-safety posture as the merge: the staging copy is
+        complete before the target is replaced)."""
+        current = spark.read.parquet(self.path)
+        staging = self.path.rstrip("/") + "__compact"
+        (
+            current.repartition(files_per_partition, "part_date")
+            .write.mode("overwrite")
+            .partitionBy("part_date")
+            .parquet(staging)
+        )
+        (
+            spark.read.parquet(staging)
+            .repartition(files_per_partition, "part_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("part_date")
+            .parquet(self.path)
+        )
+
 
 class JdbcUpsertSink:
     """JDBC variant of the keyed upsert (S4+S5): staging table write +

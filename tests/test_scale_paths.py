@@ -147,6 +147,52 @@ def test_rocksdb_state_store_streaming(spark, tmp_path):
     assert got == batch
 
 
+def test_sink_compaction_reduces_files_preserves_data(spark, tmp_path):
+    """Streaming upserts accrete small files; compact() rewrites each
+    date partition to one file with identical contents."""
+    import datetime as dt
+    import glob as g
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(str(tmp_path / "t"), key_cols=("event_type", "window_start"))
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_type string, window_start timestamp, last_updated timestamp, "
+        "total_trips long, average_fare double"
+    )
+    for i in range(4):  # four micro-batches into the same partition
+        rows = [(f"k{i}", t0 + dt.timedelta(minutes=i), t0, i + 1, 1.0)]
+        sink.write_batch(spark.createDataFrame(rows, schema), i)
+    before = {tuple(r) for r in sink.read(spark).collect()}
+    part_dir = g.glob(str(tmp_path / "t" / "part_date=*"))[0]
+    assert len(g.glob(part_dir + "/*.parquet")) > 1
+
+    sink.compact(spark)
+    part_dir = g.glob(str(tmp_path / "t" / "part_date=*"))[0]
+    assert len(g.glob(part_dir + "/*.parquet")) == 1
+    assert {tuple(r) for r in sink.read(spark).collect()} == before
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution surface: a v2 writer adds a column; reading
+    with mergeSchema yields the union schema with nulls for v1 rows —
+    the append-only evolution path a long-lived 100 TB table needs."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, x string, score double"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
 def test_with_retries_retries_then_succeeds():
     calls = []
 
