@@ -29,6 +29,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -184,6 +186,46 @@ def bucketed_cosine_pairs(
         .select("vec_a", "vec_b", exact.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quantize_int8_stats(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Int8 symmetric quantization of embeddings (the storage/serving
+    compression step of a vector pipeline), via a SCALAR Arrow
+    pandas_udf — numpy-vectorized over whole record batches, the
+    sanctioned fast path for array math the built-in functions can't
+    express well.
+
+    Determinism across engines: codes are floor(x*scale + 0.5)
+    (explicit half-up — numpy's rint is half-even and would diverge
+    from SQL round) on doubles that are bit-identical everywhere
+    (float->double widening, IEEE multiply). Returns per-vector code
+    stats rather than the int8 payloads so the result is value-hash
+    comparable.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    out_type = "sum_codes long, max_abs_code long, qscale double"
+
+    @pandas_udf(out_type)
+    def quant(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        scale = 127.0 / np.abs(m).max(axis=1)
+        codes = np.floor(m * scale[:, None] + 0.5)
+        return pd.DataFrame(
+            {
+                "sum_codes": codes.sum(axis=1).astype(np.int64),
+                "max_abs_code": np.abs(codes).max(axis=1).astype(np.int64),
+                # half-up to 6 decimals (python round() is half-even)
+                "qscale": np.floor(scale * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    q = embeddings.select(F.col(id_col), quant(F.col(vec_col)).alias("q"))
+    return q.select(id_col, "q.sum_codes", "q.max_abs_code", "q.qscale")
 
 
 def norm_stats_by_label(

@@ -1818,6 +1818,37 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS codes
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_max(list_transform(codes, x -> abs(x))) AS BIGINT) AS max_abs_code,
+           floor(scale * 1e6 + 0.5) / 1e6 AS qscale
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization stats via a scalar Arrow pandas_udf
+    (sim.quantize_int8_stats) — completes the pandas-UDF API trio
+    (scalar pandas_udf / applyInPandas / mapInPandas /
+    applyInPandasWithState all exercised). Codes use explicit half-up
+    floor on bit-identical doubles, so even the Python-side math is
+    value-hash reproducible in SQL."""
+    return sim.quantize_int8_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
     "embedding_norm_stats",
     oracle=f"""
     WITH p AS (
