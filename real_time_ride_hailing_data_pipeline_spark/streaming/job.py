@@ -348,6 +348,51 @@ def run_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path)
 
 
+def run_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas running totals executed end-to-end
+    (streaming/stateful.py:running_user_totals) with a keyed
+    overwrite sink on user_id — replay-idempotent cumulative state.
+
+    Environment-gated: the transformWithState runtime speaks protobuf
+    to its state server; without the ``protobuf`` package only plan
+    construction works (applyInPandasWithState — the other custom
+    stateful API, fully exercised in the registry — has no such
+    dependency)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise EnvironmentError(
+            "transformWithStateInPandas execution requires the protobuf "
+            "package (pip install protobuf); plan construction works without it"
+        ) from exc
+    from real_time_ride_hailing_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_tws_")
+    stream = events_parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    totals = running_user_totals(stream)
+    sink = ParquetUpsertSink(
+        os.path.join(workdir, "out"),
+        key_cols=("user_id",),
+        partition_source="last_ts",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(sink.write_batch)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read(spark)
+
+
 def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry point: replay the `events` table through the real
     streaming path (fresh sink + checkpoint in a temp dir) and return

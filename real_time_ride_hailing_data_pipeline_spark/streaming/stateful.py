@@ -52,6 +52,83 @@ STATE_SCHEMA = T.StructType(
 
 GAP_SECONDS = 30 * 60
 
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_c", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing successor to
+    applyInPandasWithState (StatefulProcessor + typed ValueState).
+    The engine exercises BOTH APIs: this one's explicit state handle
+    supports multiple typed states, timers, and TTL per key.
+
+    Update semantics: every batch emits each touched user's cumulative
+    (count, value-cents, last event time); a keyed overwrite sink then
+    holds exactly the per-user totals — the in-engine, idempotent form
+    of the reference's additive sink accumulation
+    (streaming_job.py:41-42).
+
+    The processor class is defined inside this function ON PURPOSE:
+    module-level classes are cloudpickled by reference and Python
+    workers cannot import this module when the engine runs from a
+    plain checkout (no sys.path propagation); a nested class is
+    serialized by value.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total_c bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+            (user_id,) = key
+            n, total_c, last_us = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total_c += int(pdf["value_c"].sum())
+                last_us = max(
+                    last_us, int(pd.to_datetime(pdf["ts"]).max().value // 1000)
+                )
+            self._state.update((n, total_c, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value_c": [total_c],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
 
 def sessionize(
     events: DataFrame, gap_seconds: int = GAP_SECONDS, watermark: str = "1 hour"
