@@ -538,6 +538,48 @@ def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "range_join_views_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           count(v.event_id) AS n_prior_views
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (§2.3 "range/interval via non-equi conditions"):
+    each purchase joined to the same user's views in the preceding
+    hour. The equi key (user_id) drives the shuffle; the interval
+    bound is a residual predicate evaluated inside the sort-merge —
+    never a cartesian. The attribution-window primitive."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("view_id").alias("n_prior_views"))
+    )
+
+
+@query(
     "asof_join_last_signup",
     oracle="""
     SELECT e.event_id, e.user_id, s.sts AS signup_ts
