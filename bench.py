@@ -67,13 +67,37 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": "all_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     print(json.dumps(out))
+
+    # The driver captures only the TAIL of stdout, and the full per-query
+    # line above (65+ entries) overflowed that capture in round 2
+    # (BENCH_r02.json parsed:null). Emit the regression-gated numbers —
+    # the frozen 7-query BASELINE.md set — as their own short FINAL line
+    # so they always survive tail capture.
+    frozen = [
+        "city_window_metrics",
+        "city_running_totals",
+        "top_cities_by_trips",
+        "tpch_q1_pricing_summary",
+        "filter_project",
+        "join_broadcast_enrichment",
+        "agg_distinct_users_per_type",
+    ]
+    frozen_t = {n: timings[n] for n in frozen if n in timings}
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(frozen_t.values()), 4),
+        "unit": "sec",
+        "queries": frozen_t,
+        "sf": sf,
+    }
+    print(json.dumps(headline))
     spark.stop()
 
 
