@@ -135,8 +135,26 @@ def sessionize(
 ) -> DataFrame:
     """Per-user custom sessionizer: emits each CLOSED session (a gap of
     >= ``gap_seconds`` follows it); the trailing open session stays in
-    state awaiting the event-time timeout."""
-    import pandas as pd  # executors
+    state awaiting the event-time timeout.
+
+    Implementation: each Arrow chunk is sorted and collapsed to
+    ``(start_us, last_us, n)`` session intervals with numpy, then the
+    chunk intervals plus the stored open-session interval are merged by
+    a sorted sweep. Two properties follow:
+
+    * **Late events merge correctly.** An event arriving in a later
+      micro-batch with a timestamp inside or before the open session
+      (permitted within the watermark) merges into it — or forms its
+      own earlier session if it is a full gap before — instead of
+      dragging the open session's end backwards.
+    * **Memory is O(sessions), not O(events).** A hot user replaying
+      100k+ events folds chunk-by-chunk into a handful of interval
+      tuples; no per-event Python list of the whole history is kept
+      (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds each
+      chunk, default 10k rows).
+    """
+    import numpy as np  # executors
+    import pandas as pd
 
     def fn(
         key: tuple[Any, ...],
@@ -157,25 +175,38 @@ def sessionize(
             )
             return
 
-        ts_us = sorted(
-            int(t.value // 1000)
-            for pdf in pdfs
-            for t in pd.to_datetime(pdf["ts"])
-        )
+        gap_us = gap_seconds * 1_000_000
+        intervals: list[tuple[int, int, int]] = []
         if state.exists:
             start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = 0, 0, 0
-        closed: list[tuple[int, int, int]] = []
-        gap_us = gap_seconds * 1_000_000
-        for t in ts_us:
-            if n == 0:  # no open session
-                start_us, last_us, n = t, t, 1
-            elif t - last_us >= gap_us:  # gap closes the open session
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-            else:  # extends the open session
-                last_us, n = t, n + 1
+            intervals.append((start_us, last_us, n))
+        for pdf in pdfs:
+            ts = np.sort(
+                pd.to_datetime(pdf["ts"])
+                .values.astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            if ts.size == 0:
+                continue
+            brk = np.nonzero(np.diff(ts) >= gap_us)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [ts.size - 1]))
+            intervals.extend(
+                (int(ts[s]), int(ts[e]), int(e - s + 1))
+                for s, e in zip(starts, ends)
+            )
+        if not intervals:
+            return
+        intervals.sort()
+        merged: list[tuple[int, int, int]] = [intervals[0]]
+        for s, e, c in intervals[1:]:
+            ps, pe, pc = merged[-1]
+            if s - pe < gap_us:  # overlaps or within gap: same session
+                merged[-1] = (ps, max(pe, e), pc + c)
+            else:
+                merged.append((s, e, c))
+        closed = merged[:-1]
+        start_us, last_us, n = merged[-1]
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         if closed:

@@ -145,3 +145,69 @@ def test_session_state_survives_restart(spark, tmp_path):
     assert (1, 0, 20, 3) in rows
     # the minute-70 session is still open (in state), not emitted
     assert not any(s == 70 for (_, s, _, _) in rows)
+
+
+def test_late_events_merge_into_open_session(spark, tmp_path):
+    """Late events (within the watermark) arriving in a LATER run with
+    timestamps inside or before the stored open session must merge into
+    it — not drag the session end backwards. Run 1 opens (10..20); run
+    2 delivers late minutes 5 and 15 plus minute 80 (a closing gap).
+    The closed session must be (5, 20, 4): start pulled back to 5, end
+    NOT moved back from 20, all four events counted."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, [_ev(1, 1, 10), _ev(2, 1, 20)], src, "b1", 1_700_000_000)
+    _run(spark, src, out, ckpt)
+
+    _write(
+        spark, [_ev(3, 1, 5), _ev(4, 1, 15), _ev(5, 1, 80)], src, "b2", 1_700_000_100
+    )
+    _run(spark, src, out, ckpt)
+
+    rows = {
+        (r["user_id"], r["session_start"].minute, r["session_last"].minute, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 5, 20, 4) in rows
+    # the minute-80 session is still open (in state), not emitted
+    assert not any(s == 80 for (_, s, _, _) in rows)
+
+
+def test_hot_user_history_folds_to_intervals(spark, tmp_path):
+    """One hot user with 100k events replayed availableNow must fold
+    chunk-by-chunk into interval tuples (memory O(sessions), not
+    O(events)). Arrow chunk size is pinned to 5k rows so the group
+    arrives as ~20 chunks whose boundaries do NOT align with session
+    gaps — the cross-chunk interval merge is the thing under test.
+    Layout: 100k events at 1-second spacing in 10 bursts of 10k,
+    bursts separated by 40 min (> the 30-min gap) → 9 closed sessions
+    of exactly 10k events each, the 10th still open."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    burst_len, n_bursts = 10_000, 10
+    rows = []
+    for b in range(n_bursts):
+        base = T0 + dt.timedelta(minutes=b * (burst_len // 60 + 40))
+        rows.extend(
+            (b * burst_len + i, base + dt.timedelta(seconds=i), 1, "view", 1.0, "{}")
+            for i in range(burst_len)
+        )
+    _write(spark, rows, src, "hot", 1_700_000_000)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+    try:
+        _run(spark, src, out, ckpt)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = sorted(
+        (r["session_start"], r["session_last"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == n_bursts - 1
+    assert all(n == burst_len for _, _, n in got)
+    assert all((e - s).total_seconds() == burst_len - 1 for s, e, _ in got)
