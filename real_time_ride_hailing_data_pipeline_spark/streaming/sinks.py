@@ -30,13 +30,18 @@ Scale notes:
   key -> union the batch -> write back. The anti-join is
   broadcast-able (a micro-batch of aggregates is small) so the merge
   never shuffles the table side.
-- The two-step (stage, then merge) mirrors the reference's staging
-  table and keeps read-and-overwrite-same-path safe.
+- Three-step write (stage batch -> materialize merged content ->
+  commit): mirrors the reference's staging table, keeps
+  read-and-overwrite-same-path safe, and makes a crash mid-commit
+  recoverable — the merged copy (pre-batch keys included) is durable
+  before the first target file is replaced, and the retry re-commits
+  from it (epoch-marked, removed only after success).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -79,6 +84,7 @@ class ParquetUpsertSink:
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
+        self.merged_path = path.rstrip("/") + "__merged"
         self.key_cols = list(key_cols)
         self.partition_source = partition_source
         self.retries = retries
@@ -86,26 +92,56 @@ class ParquetUpsertSink:
 
     # -- the foreachBatch hook -------------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """MERGE one micro-batch: stage it, then overwrite exactly the
-        (key, window) rows it carries inside the partitions it touches.
+        """MERGE one micro-batch: stage it, MATERIALIZE the merged
+        touched-partition content to a staging directory, then commit
+        by overwriting the touched partitions from that durable copy.
         Idempotent: applying the same batch N times = applying it once.
-        """
-        with_retries(lambda: self._merge(batch_df), self.retries, self.retry_delay_s)
 
-    def _merge(self, batch_df: DataFrame) -> None:
+        Crash safety: the destructive overwrite of the target never
+        begins until the full merged content (pre-batch keys included)
+        is durable under ``<path>__merged`` with an epoch marker. A
+        crash mid-commit therefore loses nothing — the retry (in-process
+        via ``with_retries``, or the streaming restart replaying the
+        same epoch) detects the completed staging for this epoch and
+        re-runs only the commit, restoring any partially-overwritten
+        partition. Only after a successful commit is the staging removed.
+        """
+        with_retries(
+            lambda: self._merge(batch_df, epoch_id), self.retries, self.retry_delay_s
+        )
+
+    def _merge(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if self._merge_staged_for(epoch_id):
+            # crashed commit for this very epoch: finish it from the
+            # durable staging (batch content is already inside it)
+            self._commit(spark)
+            return
+        if batch_df.isEmpty():
+            # update-mode can emit empty micro-batches (e.g. the final
+            # commit batch of an availableNow replay); a partitioned
+            # write of zero rows produces an unreadable empty dir, and
+            # there is nothing to merge — no-op.
+            return
         batch = batch_df.withColumn(
             "part_date", F.to_date(F.col(self.partition_source))
         )
-        out_cols = batch.columns
 
         if not self._table_exists():
             # first batch: nothing to merge with — write directly (the
             # common availableNow single-batch replay pays one write
-            # instead of three FS round trips)
+            # instead of three FS round trips; no read-modify-write, so
+            # no staging needed)
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
             return
 
+        self._stage_merge(spark, batch, epoch_id)
+        self._commit(spark)
+
+    def _stage_merge(self, spark: SparkSession, batch: DataFrame, epoch_id: int) -> None:
+        """Compute keep ∪ batch for the touched partitions and persist
+        it (with an epoch marker) WITHOUT touching the target."""
+        out_cols = batch.columns
         # Stage the batch (the reference's S4 staging write, parquet
         # instead of JDBC): the merge must not read and overwrite the
         # same files, and retries re-read a stable input.
@@ -123,12 +159,37 @@ class ParquetUpsertSink:
             F.broadcast(staged.select(*self.key_cols)), self.key_cols, "left_anti"
         )
         merged = keep.select(*out_cols).unionByName(staged.select(*out_cols))
+        merged.write.mode("overwrite").partitionBy("part_date").parquet(
+            self.merged_path
+        )
+        # marker written last: its presence (with Spark's _SUCCESS)
+        # certifies a COMPLETE staging for exactly this epoch. Local-FS
+        # file here; on an object store this becomes a marker object.
+        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
+            fh.write(str(epoch_id))
+
+    def _commit(self, spark: SparkSession) -> None:
+        """Overwrite the touched partitions from the durable merged
+        copy, then drop the staging. Re-runnable as-is after a crash."""
         (
-            merged.write.mode("overwrite")
+            spark.read.parquet(self.merged_path)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_date")
             .parquet(self.path)
         )
+        shutil.rmtree(self.merged_path, ignore_errors=True)
+
+    def _merge_staged_for(self, epoch_id: int) -> bool:
+        """True iff a COMPLETE merged staging for this epoch survives a
+        crashed commit (leftovers are deleted on success, and epochs
+        are monotonic per checkpoint, so a match is unambiguous)."""
+        marker = os.path.join(self.merged_path, "_EPOCH")
+        success = os.path.join(self.merged_path, "_SUCCESS")
+        if not (os.path.exists(marker) and os.path.exists(success)):
+            return False
+        with open(marker) as fh:
+            return fh.read().strip() == str(epoch_id)
 
     def _table_exists(self) -> bool:
         if not os.path.isdir(self.path):

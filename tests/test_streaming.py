@@ -295,3 +295,38 @@ def test_parquet_upsert_batch_reapply_idempotent(spark, tmp_path):
         tuple(updated[0]),
         tuple(rows[1]),
     }
+
+
+def test_parquet_upsert_recovers_from_crash_mid_commit(spark, tmp_path):
+    """A crash DURING the commit overwrite may leave a touched
+    partition holding only the batch's keys (pre-batch keys gone).
+    The merged staging for that epoch is durable, so replaying the
+    epoch (what a streaming restart does) must restore the partition
+    in full — keys NOT in the batch included."""
+    sink = ParquetUpsertSink(str(tmp_path / "t"), key_cols=("event_type", "window_start"))
+    schema = "event_type string, window_start timestamp, last_updated timestamp, total_trips long, average_fare double"
+    rows = [
+        ("view", T0, T0 + dt.timedelta(minutes=1), 5, 10.0),
+        ("click", T0, T0 + dt.timedelta(minutes=1), 2, 4.0),
+    ]
+    sink.write_batch(spark.createDataFrame(rows, schema), 0)
+
+    # epoch 1 updates ONLY the "view" key; stage its merge, then
+    # simulate the crash: the touched partition is overwritten with
+    # just the batch rows (pre-batch "click" lost) and the process
+    # dies before the staging cleanup.
+    b2 = spark.createDataFrame([("view", T0, T0 + dt.timedelta(minutes=1), 7, 11.0)], schema)
+    batch = b2.withColumn("part_date", F.to_date("window_start"))
+    sink._stage_merge(spark, batch, 1)
+    part_dir = glob.glob(os.path.join(sink.path, "part_date=*"))[0]
+    shutil.rmtree(part_dir)
+    batch.write.mode("append").partitionBy("part_date").parquet(sink.path)
+    assert {r["event_type"] for r in sink.read(spark).collect()} == {"view"}  # corrupted
+
+    # restart replays epoch 1: recovery must come from the staging
+    sink.write_batch(b2, 1)
+    assert {tuple(r) for r in sink.read(spark).collect()} == {
+        ("view", T0, T0 + dt.timedelta(minutes=1), 7, 11.0),
+        ("click", T0, T0 + dt.timedelta(minutes=1), 2, 4.0),
+    }
+    assert not os.path.exists(sink.merged_path)  # cleaned after success
