@@ -90,6 +90,10 @@ _VERIFY_FIRST: list[str] = [
     "stream_stream_join_purchase_attribution",
     "stateful_sessionizer_closed_sessions",
     "streaming_city_metrics_replay",
+    # registered only where protobuf exists (harmless no-op otherwise);
+    # when present it takes a window slot and the last head entry falls
+    # to the tail — acceptable: that entry's exact twin stays verified
+    "transform_with_state_running_totals",
     # pandas-UDF + semi-structured + source connectors
     "grouped_median_value",
     "json_props_metrics",
@@ -1170,6 +1174,47 @@ def stateful_sessionizer_closed_sessions(spark: SparkSession, sf_dir: str) -> Da
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.run_stateful_sessionizer(spark, sf_dir)
+
+
+try:  # environment gate: see transform_with_state_running_totals below
+    import google.protobuf  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+
+    @query(
+        "transform_with_state_running_totals",
+        oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_value_c,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+        """,
+    )
+    def transform_with_state_running_totals(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Spark 4 transformWithStateInPandas (typed ValueState +
+        StatefulProcessor, streaming/stateful.py:running_user_totals)
+        executed as a real StreamingQuery with a keyed overwrite sink:
+        after an availableNow replay the sink holds each user's exact
+        cumulative totals, which is what the batch oracle computes.
+
+        Registered ONLY when the ``protobuf`` package is importable —
+        the transformWithState runtime speaks protobuf to its state
+        server. In containers without it the query is absent from the
+        registry (clean skip); where the package exists the driver
+        verifies it automatically. Plan construction and the explicit
+        environment error are pytest-covered either way
+        (tests/test_stateful.py)."""
+        from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+        return sj.run_running_user_totals(spark, sf_dir)
 
 
 @query(

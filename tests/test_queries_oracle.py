@@ -21,3 +21,26 @@ def test_every_query_returns_rows(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.count() > 0, name
         assert len(df.columns) > 0, name
+
+
+def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
+    """agg_approx_distinct_users carries no value oracle (HLL sketches
+    are implementation-specific), but the estimate is still a testable
+    CLAIM: per group it must land within 3×rsd of the exact count from
+    its value-checked twin agg_distinct_users_per_type (rsd=0.02, so
+    ±6% — ~99.7% confidence under the HLL++ error model)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q.all_queries()["agg_approx_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["distinct_users"]
+        for r in q.all_queries()["agg_distinct_users_per_type"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(1, 3 * 0.02 * n), (
+            etype,
+            approx[etype],
+            n,
+        )

@@ -95,6 +95,13 @@ def test_transform_with_state_plan_builds_and_gate_is_explicit(spark, tmp_path):
         has_protobuf = True
     except ImportError:
         has_protobuf = False
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+
+    # the registry entry must track the gate: present (and then driver-
+    # verified) exactly where the package exists, absent otherwise
+    assert ("transform_with_state_running_totals" in q.all_queries()) == has_protobuf
+    assert ("transform_with_state_running_totals" in q.all_oracles()) == has_protobuf
+
     if not has_protobuf:
         with pytest.raises(EnvironmentError, match="protobuf"):
             sj.run_running_user_totals(spark, "/root/testdata/sf0.001")
