@@ -279,3 +279,58 @@ def simhash64(text_col: str, id_col: str = "doc_id") -> Column:
         "            else cast(0 as bigint) end), "
         "cast(0 as bigint), (acc, v) -> acc + v)"
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns ``(node, comp)``.
+
+    This is the step that turns near-duplicate PAIRS into a
+    deduplicated corpus: docs sharing a component are one duplicate
+    cluster, and ``comp`` (the min doc_id) is the canonical
+    representative to keep.
+
+    Scale: each round is one shuffle-join on node id plus a grouped
+    min — all DataFrame ops, AQE-planned; ``labels`` is cached and the
+    previous round unpersisted, and the loop exits as soon as a round
+    changes nothing. Rounds needed = graph diameter; near-dup clusters
+    are overwhelmingly tiny cliques (diameter 1-2), so 2-3 rounds
+    close a 100 TB corpus. For adversarially long path graphs the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves rounds with the same
+    join primitives — not needed for dedup-shaped graphs.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym.cache()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    labels.cache()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+        )
+        stepped.cache()
+        n_changed = stepped.filter("changed").count()
+        labels.unpersist()
+        labels = stepped.select("node", "comp")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
