@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines: hash-based train/val/test splits, per-group stratified
+sampling, and weighted corpus mixing.
+
+All three share one primitive — a uniform bucket in [0, buckets)
+derived from ``md5(salt || id)`` — built from pure column expressions:
+JVM whole-stage codegen, map-only, zero shuffle, no RNG state. That
+buys the properties a 100 TB split actually needs and
+``df.randomSplit`` / ``df.sample`` cannot give:
+
+* **Reproducible**: the same (salt, id) always lands in the same
+  split, across runs, partitionings, cluster sizes, and engines
+  (Spark's sample is seeded per-partition — adding an executor or
+  re-bucketing the input reassigns rows).
+* **Stable under growth**: appending new data never moves an existing
+  row between train and test (no leakage when the corpus is rebuilt).
+* **Auditable**: membership is a WHERE clause any engine can
+  re-evaluate — which is also what makes these operators
+  oracle-checkable against DuckDB.
+
+The salt namespaces independent decisions (split vs mix vs sample)
+so they are statistically independent of each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, salt: str, buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets): first 32 md5 bits of
+    ``salt || id`` reduced mod buckets. Map-only, codegen'd."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    digest = F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary"))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % F.lit(buckets)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket.
+
+    ``splits`` is an ordered list of (name, weight); weights sum to 1.
+    The assignment column is ``split``. Weights are applied as
+    cumulative thresholds over BUCKETS, so resolution is 1/BUCKETS
+    (0.01%)."""
+    b = hash_bucket(id_col, salt)
+    cum = 0.0
+    expr: Column | None = None
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < F.lit(int(round(cum * BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", assigned)
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, id_col: str, k: int, salt: str = "strat-v1"
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group
+    by ``md5(salt || id)`` (a uniform random order that is the same
+    on every run/engine) and keep the first ``k``.
+
+    One shuffle on the group key; ``WindowGroupLimit`` pushes the
+    top-k below the sort at the executor, so no group is fully
+    sorted — per-partition heaps of size k, exactly the grouped
+    top-k physical shape."""
+    digest = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(digest, F.col(id_col))
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Down-sample each source to its target rate (the corpus-mixing
+    step of a training-data pipeline: e.g. keep 100% of curated text,
+    25% of web crawl). Membership is per-row deterministic
+    (bucket < rate * BUCKETS), so re-runs and engine ports agree
+    row-for-row; filtering is map-only and pushes to the scan."""
+    b = hash_bucket(id_col, salt)
+    rate: Column = F.lit(default_rate)
+    for name, r in rates.items():
+        rate = F.when(F.col(source_col) == name, F.lit(r)).otherwise(rate)
+    return df.filter(b < (rate * BUCKETS).cast("bigint"))

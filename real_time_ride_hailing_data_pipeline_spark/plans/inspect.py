@@ -56,3 +56,74 @@ def assert_no_python_udf(df: DataFrame) -> None:
     MapInPandas) are the sanctioned Python boundary."""
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan, f"row-wise Python UDF in plan:\n{plan}"
+
+
+_STREAMING_QUERIES = {
+    "stateful_sessionizer_closed_sessions",
+    "stream_static_enrichment",
+    "stream_stream_join_purchase_attribution",
+    "streaming_city_metrics_replay",
+    "streaming_dedup_replay",
+    "transform_with_state_running_totals",
+}
+
+_HEADER = """# PLANS — physical-plan audit (generated)
+
+Regenerate with
+`python -m real_time_ride_hailing_data_pipeline_spark.plans.inspect`.
+
+Per-query plan-shape audit at sf0.001 (plan shapes are scale-independent;
+`BroadcastExchange` substrings inflate the raw Exchange count). Invariants
+enforced by tests/test_plans.py: no CartesianProduct anywhere, no
+row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
+filters on the selective scans, BroadcastHashJoin on dim joins,
+SortMergeJoin on big-big joins. The two BroadcastNestedLoopJoin nodes
+below are the *intended* 1-row query-vector broadcast in ann_cosine_topk;
+Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+is the sanctioned Python boundary and appears only in the pandas-UDF
+queries. Queries that execute a StreamingQuery (or an iterative
+fixpoint: dedup_cluster_assignment) are audited by their component
+batch plans and marked below.
+
+| query | Exchange nodes (incl. broadcast) | BNLJ | flags |
+|---|---|---|---|
+"""
+
+
+def generate_plans_md(sf_dir: str = "/root/testdata/sf0.001") -> str:
+    """Regenerate the PLANS.md table over the full current registry."""
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+    from real_time_ride_hailing_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=8)
+    rows = []
+    iterative = {"dedup_cluster_assignment"}
+    for name, fn in sorted(q.all_queries().items()):
+        if name in _STREAMING_QUERIES:
+            rows.append(f"| {name} | (streaming — executed, not statically planned) | — | |")
+            continue
+        if name in iterative:
+            rows.append(f"| {name} | (iterative fixpoint — per-round plans audited) | — | |")
+            continue
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        nex = plan.count("Exchange")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PY_UDF")
+        rows.append(f"| {name} | {nex} | {bnlj} | {' '.join(flags)} |")
+    spark.stop()
+    return _HEADER + "\n".join(rows) + "\n"
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = generate_plans_md()
+    path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
+    with open(path, "w") as fh:
+        fh.write(out)
+    print(f"wrote {path}")

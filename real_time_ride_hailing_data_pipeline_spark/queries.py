@@ -23,6 +23,7 @@ from real_time_ride_hailing_data_pipeline_spark.operators import multimodal as m
 from real_time_ride_hailing_data_pipeline_spark.operators import relational as rel
 from real_time_ride_hailing_data_pipeline_spark.operators import ride_pipeline as rp
 from real_time_ride_hailing_data_pipeline_spark.operators import similarity as sim
+from real_time_ride_hailing_data_pipeline_spark.operators import sampling as smp
 from real_time_ride_hailing_data_pipeline_spark.operators import text as tx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1853,10 +1854,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.char_shingle_fingerprint(_t(spark, sf_dir, "documents"), k=8)
 
 
-@query(
-    "dedup_near_duplicates",
-    oracle=r"""
-    WITH tk AS (
+# Ground-truth near-duplicate pairs (trigram Jaccard >= 0.5, all-pairs —
+# affordable only at oracle scale), shared by the pair query and the
+# cluster-assignment query built on top of it.
+_NEAR_DUP_PAIR_CTES = r"""tk AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       FROM documents
     ), t AS (
@@ -1870,10 +1871,18 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.sh, b.sh))::BIGINT AS i,
              (len(a.sh) + len(b.sh))::BIGINT - len(list_intersect(a.sh, b.sh)) AS u
       FROM t a JOIN t b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, ((2 * i * 10000 + u) // (2 * u)) / 10000.0 AS jaccard
-    FROM p
-    WHERE ((2 * i * 10000 + u) // (2 * u)) / 10000.0 >= 0.5
+    ), pairs AS (
+      SELECT doc_a, doc_b, ((2 * i * 10000 + u) // (2 * u)) / 10000.0 AS jaccard
+      FROM p
+      WHERE ((2 * i * 10000 + u) // (2 * u)) / 10000.0 >= 0.5
+    )"""
+
+
+@query(
+    "dedup_near_duplicates",
+    oracle=f"""
+    WITH {_NEAR_DUP_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1888,6 +1897,55 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
     return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_DUP_PAIR_CTES},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    r(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    ),
+    rep AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM r GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(rep.rep_id, d.doc_id) AS rep_id,
+           coalesce(rep.rep_id, d.doc_id) = d.doc_id AS is_representative
+    FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pairs -> connected
+    components (dd.connected_components, iterative min-label
+    propagation) -> one canonical representative (min doc_id) per
+    duplicate cluster, emitted for EVERY document with a keep flag.
+    This is the step a training pipeline actually consumes — pairs
+    alone don't say which doc to drop when clusters chain (a~b, b~c).
+    The oracle computes the transitive closure with a recursive CTE
+    over the same ground-truth pairs. Scale: rounds = cluster
+    diameter (near-dup clusters are tiny cliques, 2-3 rounds); each
+    round shuffles (node, label) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
+    pairs = dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+    comp = dd.connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("rep_id"),
+        )
+        .withColumn("is_representative", F.col("rep_id") == F.col("doc_id"))
+    )
 
 
 @query(
@@ -2125,3 +2183,95 @@ def agg_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (operators/sampling.py): the
+# split-and-mix stages of a training-data pipeline, hash-based so they
+# are reproducible, growth-stable, and engine-portable (= oracle-able).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents)
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5 bucket
+    (smp.hash_split): map-only, no shuffle, no RNG state; appending
+    documents never moves an existing one across splits (randomSplit
+    reassigns rows whenever partitioning changes — trainset leakage
+    at every rebuild)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = smp.hash_split(
+        docs, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+    )
+    return out.select("doc_id", "split")
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT lang, doc_id, sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 25
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 25 docs per language, ranked
+    by a salted md5 of the id (a fixed uniform random order). One
+    shuffle on lang; WindowGroupLimit keeps per-partition heaps of
+    size k instead of sorting whole groups (tests/test_plans.py
+    asserts the grouped-top-k shape for rank windows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return smp.stratified_sample(docs, "lang", "doc_id", k=25).select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
+@query(
+    "weighted_corpus_mix",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents)
+    WHERE b < CAST((CASE source WHEN 'src0' THEN 1.0
+                                WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25
+                                ELSE 0.1 END) * 10000 AS BIGINT)
+    """,
+)
+def weighted_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (smp.weighted_mix): keep 100% of src0,
+    50% of src1, 25% of src2, 10% of the long tail — the
+    sampling-weights stage of corpus assembly, as a deterministic
+    map-only filter that pushes to the scan (no RNG, no shuffle,
+    re-runs agree row-for-row)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = smp.weighted_mix(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id",
+        default_rate=0.1,
+    )
+    return kept.select("doc_id", "source")
