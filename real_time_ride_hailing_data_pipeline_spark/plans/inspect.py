@@ -77,8 +77,9 @@ Per-query plan-shape audit at sf0.001 (plan shapes are scale-independent;
 enforced by tests/test_plans.py: no CartesianProduct anywhere, no
 row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
 filters on the selective scans, BroadcastHashJoin on dim joins,
-SortMergeJoin on big-big joins. The two BroadcastNestedLoopJoin nodes
-below are the *intended* 1-row query-vector broadcast in ann_cosine_topk;
+SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
+below are *intended* 1-row broadcasts (the query vector in
+ann_cosine_topk; the scalar threshold in tpch_q22);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
 queries. Queries that execute a StreamingQuery (or an iterative

@@ -2275,3 +2275,252 @@ def weighted_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.1,
     )
     return kept.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H shapes (round 3): q4/q10/q14/q19/q22 adapted to the
+# driver's reduced TPC-H-ish schemas (no commit/receipt dates, phone,
+# or container columns — each adaptation keeps the query's defining
+# plan shape and is noted on the query).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> semi join -> priority counts). The
+    schema has no commit/receipt dates, so "late line" is adapted to
+    l_shipdate > o_orderdate + 30 days — same plan: date-pruned orders
+    scan, LEFT SEMI join on orderkey with a non-equi residual
+    condition, then a tiny agg on priority."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             // 200) / 100.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returned items per customer, top 20.
+    Plan: date-pruned orders ⋈ returnflag-filtered lineitem (both
+    filters pushed), broadcast nation onto customer, one wide shuffle
+    on custkey, TakeOrderedAndProject for the top-20. Exact-cents
+    revenue; deterministic tie-break on custkey."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_u4").alias("s4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ((2 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          ELSE 0 END) * 10000
+             + sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))))
+            // (2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))))) / 100.0
+           AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. Plan: month
+    filter pushed to the lineitem scan, part BROADCAST (dimension),
+    conditional aggregation in one pass, single-row output. The
+    percentage is computed in integer arithmetic (half-up at 2
+    decimals) so both engines agree bit-for-bit."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-02-01 00:00:00").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_u4")).otherwise(0)).alias(
+            "promo4"
+        ),
+        F.sum("rev_u4").alias("total4"),
+    )
+    return agg.select(
+        (F.expr("(2 * promo4 * 10000 + total4) DIV (2 * total4)") / 100.0).alias(
+            "promo_pct"
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             // 200) / 100.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table
+    predicates over a part⋈lineitem join. Catalyst extracts the
+    common single-table conjuncts from the OR (brand/size prune the
+    broadcast part build side; quantity bounds prune the lineitem
+    scan) and evaluates the residual disjunction post-join — the
+    pushdown shape that matters when the fact side is 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    agg = joined.filter(cond).agg(F.sum("rev_u4").alias("s4"))
+    return agg.select(
+        (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) // count(*)
+            FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (threshold) + NOT
+    EXISTS anti join + small group-by. Adapted to the reduced schema:
+    segment plays the phone-prefix role, and the anti join excludes
+    customers with an URGENT order (every customer has *some* order
+    at test SF). The threshold is the exact integer-cents mean so
+    both engines filter identical rows (a float avg could flip
+    boundary customers per summation order). Plan: the 1-row
+    threshold is a broadcast nested-loop (scalar) input, the anti
+    join shuffles on custkey, the final agg is tiny."""
+    customer = _t(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    thresh = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.expr("sum(bal_c) DIV count(*)").alias("thresh_c"))
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    rich = customer.join(F.broadcast(thresh)).filter(
+        F.col("bal_c") > F.col("thresh_c")
+    )
+    no_urgent = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_urgent.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("bal_c") / 100.0).alias("totacctbal"),
+    )
