@@ -52,6 +52,36 @@ def test_no_query_plan_contains_row_python_udf(spark):
         assert_no_python_udf(fn(spark, SF))
 
 
+def test_sampling_split_and_mix_are_map_only(spark):
+    """hash_split / weighted_mix must stay shuffle-free: the whole
+    point of hash-bucketed splitting at 100 TB is that assignment is a
+    column expression evaluated inside the scan stage — zero Exchange
+    nodes in the plan."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    for name in ("split_train_val_test", "weighted_corpus_mix"):
+        plan = physical_plan(q.all_queries()[name](spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """The k-per-group sample must plan WindowGroupLimit (per-partition
+    top-k heaps below the shuffle), not a full per-group sort."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q.all_queries()["stratified_sample_per_lang"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q19_disjunction_pushes_per_table_conjuncts(spark):
+    """Catalyst must extract each side's OR-of-ANDs projection and push
+    it into the respective scan: the quantity disjunction reaches the
+    lineitem reader, the brand/size disjunction reaches part."""
+    df = q.all_queries()["tpch_q19_disjunctive_revenue"](spark, SF)
+    assert_pushed_filters(df, "l_quantity", "p_brand", "p_size")
+    assert_broadcast_join(df, expected=1)
+
+
 def test_catalog_rejects_unknown_table(spark):
     import pytest
 
