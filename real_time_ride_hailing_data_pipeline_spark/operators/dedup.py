@@ -310,8 +310,13 @@ def connected_components(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym.cache()
+    # fused round 0: comp = min(node, direct neighbors) needs only a
+    # groupBy (labels are still identity — the first join round of the
+    # generic loop would compute exactly this, one shuffle cheaper here)
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("comp"))
+        .withColumnRenamed("a", "node")
     )
     labels.cache()
     for _ in range(max_iter):
