@@ -68,3 +68,27 @@ def test_full_pipeline_batch_on_generator(spark):
     assert set(out.columns) == {
         "city", "window_start", "last_updated", "total_trips", "average_fare",
     }
+
+
+def test_observe_parse_health_single_pass_metrics(spark):
+    """observability.observe_parse_health: row/corrupt counters ride
+    along the normal action (no extra scan). 500 clean + 3 malformed
+    wire records -> n_rows=503, n_corrupt=3 from the SAME job that
+    computed the aggregate."""
+    from real_time_ride_hailing_data_pipeline_spark.observability import (
+        observe_parse_health,
+    )
+
+    wire = gen.ride_events_as_json(gen.ride_events_batch(spark, n=500)).select("value")
+    # note: an EMPTY string is parsed to a null row, not a corrupt
+    # record (from_json PERMISSIVE semantics) — use malformed payloads
+    broken = spark.createDataFrame(
+        [("{not json",), ('{"trip_id": 1,',), ("[1,2,3]",)], "value string"
+    )
+    parsed = rp.parse_ride_events(wire.unionByName(broken), keep_corrupt=True)
+    observed, obs = observe_parse_health(parsed)
+    n_ok = observed.filter(F.col("trip_id").isNotNull()).count()  # the real action
+    assert n_ok == 500
+    metrics = obs.get
+    assert metrics["n_rows"] == 503
+    assert metrics["n_corrupt"] == 3
