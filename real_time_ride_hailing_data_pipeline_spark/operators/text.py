@@ -163,6 +163,89 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return scored.select(F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("marker_hits"))
 
 
+def word_ngrams(text_col: str, n: int = 2) -> Column:
+    """All word n-grams of trimmed lower-cased text, *with*
+    multiplicity (contrast ``dedup.word_shingles``, which is distinct
+    — set semantics for MinHash). Repetition analysis needs the
+    duplicates: they ARE the signal. Map-only, codegen'd."""
+    return F.expr(
+        "transform("
+        f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n})))"
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    bigram occurrences covered by the single most frequent bigram
+    (``top_bigram_ratio``) and the fraction sitting in any repeated
+    bigram (``dup_bigram_ratio``). High values flag boilerplate /
+    degenerate generations before training.
+
+    Shape: explode bigrams -> (doc, bigram) count -> per-doc agg.
+    Deliberately a two-phase aggregation, NOT an O(len^2) array HOF
+    (``filter`` per distinct element): at 100 TB a long document would
+    make the per-row HOF quadratic, while explode + partial agg stays
+    linear and map-side-combines before the shuffle. Ratios use the
+    exact half-up identity (4 decimals).
+    """
+    bi = (
+        df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = bi.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("_n_bi"),
+        F.max("cnt").cast("long").alias("_top_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))).cast("long"), F.lit(0).cast("long")
+        ).alias("_dup_cnt"),
+    )
+    return agg.select(
+        id_col,
+        F.expr(RATIO4.format(n="_top_cnt", d="_n_bi")).alias("top_bigram_ratio"),
+        F.expr(RATIO4.format(n="_dup_cnt", d="_n_bi")).alias("dup_bigram_ratio"),
+    )
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition — no backrefs or
+# lookaround, so the same pattern string is portable across engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction (emails, IPv4 addresses, phone-like digit runs):
+    counts each category then replaces matches with typed placeholder
+    tokens — the standard scrub pass before text enters a training
+    corpus.
+
+    Pure ``regexp_count`` / ``regexp_replace`` column expressions: the
+    whole pass is one no-shuffle codegen stage over the scan, linear in
+    bytes at any scale. Order matters: emails are redacted before
+    phone runs so a phone-like local part can't be double-redacted.
+    The sandbox corpus contains no digits or '@' (verified), so the
+    registry-level demonstration lives in tests/test_properties.py on
+    synthetic rows; this operator is the production surface.
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"),
+            F.lit(PII_PHONE_RE),
+        ).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
 def char_shingle_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

@@ -2524,3 +2524,195 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("numcust"),
         (F.sum("bal_c") / 100.0).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation (round 3, second wave): repetition signals,
+# train/eval contamination detection, and token-budget document
+# packing — the quality-filter / leakage-audit / sequence-prep stages
+# that sit between dedup and training in an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+from real_time_ride_hailing_data_pipeline_spark.functions.exact import RATIO4 as _RATIO4  # noqa: E402
+
+
+@query(
+    "text_repetition_scores",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+      FROM tk
+    ), c AS (
+      SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           ((2 * max(cnt) * 10000 + sum(cnt)) // (2 * sum(cnt))) / 10000.0
+             AS top_bigram_ratio,
+           ((2 * COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) * 10000 + sum(cnt))
+             // (2 * sum(cnt))) / 10000.0 AS dup_bigram_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (top-bigram
+    fraction, duplicated-bigram fraction) — the boilerplate filter a
+    training pipeline applies before dedup. Two-phase aggregation,
+    deliberately not an O(len^2) array HOF (operators/text.py:
+    repetition_scores has the scale rationale)."""
+    return tx.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_eval_train_overlap",
+    oracle=r"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(('0x' || substr(md5('contam-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 10000 < 9000
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, split,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM sp
+    ), tri AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS ngram
+      FROM tk
+    ), train_ng AS (
+      SELECT DISTINCT ngram FROM tri WHERE split = 'train'
+    ), ev AS (
+      SELECT doc_id, ngram FROM tri WHERE split = 'eval'
+    ), overlap AS (
+      SELECT e.doc_id, count(*) AS n_shared
+      FROM ev e JOIN train_ng t USING (ngram)
+      GROUP BY e.doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_ngrams FROM ev GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_ngrams AS n_ngrams,
+           COALESCE(o.n_shared, 0) AS n_shared_ngrams,
+           ((2 * COALESCE(o.n_shared, 0) * 10000 + t.n_ngrams)
+             // (2 * t.n_ngrams)) / 10000.0 AS contamination_ratio
+    FROM totals t LEFT JOIN overlap o USING (doc_id)
+    """,
+)
+def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: hash-split the corpus 90/10
+    (sampling.hash_split — deterministic, leakage-stable), then for
+    every eval document count its distinct word-trigrams that also
+    appear anywhere in train. The benchmark-decontamination primitive
+    (n-gram overlap a la GPT-3 appendix C / PaLM).
+
+    Scale shape: shingling is map-only; the overlap is an equi-join on
+    the trigram string (at 100 TB you'd join on ``md5(ngram)`` to fix
+    the key width — same plan), counted per eval doc. Train-side
+    ``distinct`` dedupes before the join so hot boilerplate trigrams
+    can't fan out the join; eval side is 10% of the corpus, so the
+    shuffled build input is bounded."""
+    docs = smp.hash_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        [("train", 0.9), ("eval", 0.1)],
+        salt="contam-v1",
+    )
+    tri = docs.select(
+        F.col("doc_id"), F.col("split"), F.explode(dd.word_shingles("text", 3)).alias("ngram")
+    )
+    train_ng = tri.filter(F.col("split") == "train").select("ngram").distinct()
+    ev = tri.filter(F.col("split") == "eval").select("doc_id", "ngram")
+    overlap = ev.join(train_ng, "ngram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    base = (
+        ev.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ngrams"))
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_ngrams",
+        "n_shared_ngrams",
+        F.expr(_RATIO4.format(n="n_shared_ngrams", d="n_ngrams")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+@query(
+    "pack_documents_token_bins",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             md5('pack-v1' || CAST(doc_id AS VARCHAR)) AS pk
+      FROM documents
+    ), cum AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY pk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+      FROM tk
+    )
+    SELECT source,
+           CAST(prior // 2048 AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY 1, 2
+    ORDER BY source, bin
+    """,
+)
+def pack_documents_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins
+    (2048 whitespace tokens) by running a cumulative token count over
+    a deterministic hash order *within each source* — the step that
+    turns a filtered corpus into training-shard-sized units.
+
+    Per-source windows, not one global window: packing order only
+    needs to be reproducible, not globally sorted, so the sort is
+    partition-local after one shuffle on ``source`` (a global
+    ORDER BY at 100 TB would range-partition the world twice). The
+    hash order doubles as a shuffle of the corpus — consecutive bins
+    mix unrelated documents, which is what training wants."""
+    from pyspark.sql import Window
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("pk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("prior"),
+    )
+    return (
+        cum.groupBy("source", F.expr("prior DIV 2048").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -82,6 +82,46 @@ def test_q19_disjunction_pushes_per_table_conjuncts(spark):
     assert_broadcast_join(df, expected=1)
 
 
+def test_repetition_scores_is_two_phase_agg(spark):
+    """The repetition operator must plan as explode -> partial
+    HashAggregate -> Exchange -> final agg (map-side combine before
+    the shuffle), never an O(len^2) per-row HOF and never more than
+    the two aggregation shuffles ((doc,bigram) then doc)."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["text_repetition_scores"](spark, SF)
+    plan = physical_plan(df)
+    # tree entries render as "Exchange (n)"; node detail headers as "(n) Exchange"
+    assert plan.count("Exchange (") <= 2, plan
+    assert "HashAggregate" in plan, plan
+    assert_no_python_udf(df)
+
+
+def test_contamination_join_is_not_cartesian_and_prunes_columns(spark):
+    """The trigram-overlap join must be an equi-join on the ngram key
+    (shuffled hash/SMJ both fine) — a cartesian or BNLJ here would be
+    quadratic in corpus size."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["contamination_eval_train_overlap"](spark, SF)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_pack_bins_windows_per_source_not_globally(spark):
+    """Token-bin packing must shuffle on source (hashpartitioning) and
+    sort only within partitions — a global Sort/range-partition here
+    would serialize the 100 TB corpus through one ordering."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q.all_queries()["pack_documents_token_bins"](spark, SF))
+    assert "hashpartitioning(source" in plan, plan
+    import re
+
+    assert not re.search(r"rangepartitioning\(\[?pk", plan), plan
+
+
 def test_catalog_rejects_unknown_table(spark):
     import pytest
 
