@@ -287,3 +287,86 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
     plan = physical_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering: a selective dim predicate must inject a bloom
+    filter into the fact side of a non-broadcast join
+    (``might_contain(...)`` in the fact scan's filter condition), so at
+    100 TB the shuffle only carries fact rows that can possibly match.
+
+    The application-side size threshold defaults to 10GB — exactly
+    right in production, never met at toy scale — so the test lowers it
+    to 0; creation-side conditions (selective filter, small build) are
+    the real ones. Results must equal the bloom-less plan (a bloom
+    filter may only skip rows that cannot match)."""
+    li = catalog.load_table(spark, SF, "lineitem")
+    urgent = catalog.load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    def run():
+        return (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        with_bloom = run()
+        plan = physical_plan(with_bloom)
+        assert "might_contain" in plan, f"no runtime bloom filter injected:\n{plan}"
+        bloom_rows = {tuple(r) for r in with_bloom.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain_rows = {tuple(r) for r in run().collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+    assert bloom_rows == plain_rows and len(bloom_rows) > 0
+
+
+def test_sql_text_tpch_q1_equals_dataframe_plan(spark):
+    """SQL-text parity: the same TPC-H Q1 written as a spark.sql string
+    over registered views returns exactly the DataFrame API's rows —
+    users of the engine can drop to SQL anywhere and get the same
+    Catalyst plan surface."""
+    catalog.register_views(spark, SF)
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+
+    sql_rows = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """
+        ).collect()
+    }
+    df_rows = {
+        tuple(r)
+        for r in catalog.load_table(spark, SF, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) > 0
