@@ -141,6 +141,24 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen
     registry[names[0]](spark, sf_dir).limit(1).collect()
 
+    # warm-up: the Python/Arrow worker pool. The first pandas_udf in
+    # the session pays daemon + worker process spawn (~4-6 s across 32
+    # cores, measured in r3) inside whichever query happens to hit it
+    # first — process startup, not engine throughput, and it amortizes
+    # to nothing on a long-lived cluster. One trivial scalar pandas_udf
+    # over `cpus` partitions brings the pool up before any timer starts.
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(cpus * 4, numPartitions=cpus).select(
+        _warm(_F.col("id").cast("double"))
+    ).collect()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

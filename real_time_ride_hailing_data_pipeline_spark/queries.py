@@ -2716,3 +2716,583 @@ def pack_documents_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block: q6/q7/q8/q9/q12/q13/q15/q16/q21 shapes.
+#
+# The synthetic schema (TESTDATA.md) carries no partsupp table and no
+# l_commitdate / l_receiptdate / l_shipmode / comment columns, so the
+# queries that depend on them are adapted the same way q4/q22 were in
+# round 2: the PLAN SHAPE is preserved (the joins, the subquery
+# structure, the aggregation pattern — what Catalyst has to get right)
+# while the missing column is substituted with a documented stand-in.
+# q2/q11/q20 are pure-partsupp queries with no faithful substitute and
+# are intentionally absent (COVERAGE.md records this).
+#
+# All revenue math follows the repo-wide exact-cents convention: u4
+# units = cents * discount-points (integers), summed as longs, and
+# half-up rounded to dollars only at the output edge via
+# (2*s + 100) DIV 200 — bit-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) + 100)
+            // 200) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — the canonical pure
+    scan-filter-aggregate. All three predicates (ship year, discount
+    band, quantity cap) push to the parquet scan; the whole query is
+    one map-side partial sum + a single-row reduce, zero wide shuffle.
+    The discount band compares integer points (round(d*100) IN 5..7),
+    not raw doubles, so both engines select identical rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pts = F.round(F.col("l_discount") * 100).cast("long")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & disc_pts.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        (F.round(F.col("l_extendedprice") * 100).cast("long") * disc_pts).alias("d4")
+    )
+    return filtered.agg(F.sum("d4").alias("s4")).select(
+        (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+            // 200) / 100.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by year.
+    Plan: the one big⋈big join (lineitem⋈orders on orderkey) runs
+    sort-merge; supplier, customer and both nation aliases broadcast
+    (all dims). The nation-pair disjunction is applied after the
+    broadcasts — on 100 TB the orderkey shuffle is the only wide edge,
+    exactly as the spec's plan intends."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_10")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_10")
+                & (F.col("cust_nation") == "NATION_12")
+            )
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_u4").alias("s4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u4,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           ((2 * sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_u4 ELSE 0 END)
+               * 10000 + sum(rev_u4)) // (2 * sum(rev_u4))) / 100.0 AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of ECONOMY-part revenue
+    inside ASIA, by order year. The deepest join tree in the suite
+    (8 relations): part filters first and broadcasts into lineitem —
+    Catalyst prunes the fact scan to matching partkeys before the
+    orderkey shuffle — then supplier/customer/nation×2/region all
+    broadcast. Share is computed in integer basis points (the q14
+    half-up pattern), so no float-division drift."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", F.col("rev_u4")).otherwise(0)
+        ).alias("nat4"),
+        F.sum("rev_u4").alias("tot4"),
+    )
+    return agg.select(
+        "o_year",
+        (F.expr("(2 * nat4 * 10000 + tot4) DIV (2 * tot4)") / 100.0).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT) * 100) AS DOUBLE)
+             / 10000.0 AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by supplier nation and
+    year. The schema has no partsupp.ps_supplycost, so cost is adapted
+    to p_retailprice * quantity (same plan: a per-line profit
+    expression mixing lineitem and part columns, which forces the part
+    join BEFORE the aggregate). part's LIKE filter broadcasts into the
+    fact scan; orders joins on the one wide shuffle. Profit can be
+    negative, so the output skips the half-up DIV (floor vs truncate
+    diverge below zero) and exposes the exact integer u4 sum as
+    sum/10000.0 — the same IEEE double in both engines."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_c")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.col("rev_u4") - F.col("retail_c") * F.col("qty") * 100
+            ).alias("amount_u4"),
+        )
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.sum("amount_u4").alias("s4"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("s4").cast("double") / 10000.0).alias("profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q12_late_lines",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+      AND year(l_shipdate) = 1996
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class line counts for late shipments,
+    grouped by a lineitem attribute. The schema has no l_shipmode /
+    l_commitdate / l_receiptdate, so the group key is l_returnflag and
+    'late' is shipdate 30-90 days after the order date (the q4
+    adaptation) — preserving q12's plan: one orderkey join with a
+    non-equi date residual, conditional two-way counts, tiny output.
+    The year filter pushes to the lineitem scan; the residual runs in
+    the join."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    joined = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (how many
+    customers placed N qualifying orders — including N=0, which is why
+    the join MUST be left-outer with the priority predicate inside the
+    join condition, not a post-filter). The comment-pattern exclusion
+    is adapted to o_orderpriority <> '4-NOT SPECIFIED' (no comment
+    column). Two aggregations: custkey (wide, but combines map-side)
+    then the tiny histogram."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ((2 * s4 + 100) // 200) / 100.0 AS total_revenue
+    FROM supplier
+    JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE s4 = (SELECT max(s4) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
+    view + correlated-max pattern. Plan: one suppkey aggregation over
+    the date-pruned lineitem scan, then the single-row global max
+    BROADCASTS back onto the same aggregate (no second scan of
+    lineitem, no global sort — the max is a 1-row build side), and
+    supplier (dim) broadcasts in for the name. Ties on the max all
+    surface, exactly like the spec's HAVING = (SELECT max(...))."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u4"),
+    )
+    # The spec's CREATE VIEW revenue0 is referenced twice (the rows and
+    # their global max). Uncached, Spark recomputes the whole subtree —
+    # TWO lineitem scans. Caching the post-aggregation relation (one
+    # small row per supplier, ~1e4 rows even at 100 TB) makes the
+    # second reference an InMemoryTableScan: the fact table is read
+    # exactly once.
+    revenue0 = li.groupBy("l_suppkey").agg(F.sum("rev_u4").alias("s4")).cache()
+    mx = revenue0.agg(F.max("s4").alias("m4"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue0.join(F.broadcast(mx), F.col("s4") == F.col("m4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.expr("(2 * s4 + 100) DIV 200") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    qualifying (brand, type, size) bucket. No partsupp table, so the
+    part-supplier relation is derived from lineitem (who actually
+    shipped the part) — same plan skeleton: NOT IN anti-join against a
+    filtered supplier list (complaint suppliers adapted to negative
+    account balance), dim-filtered part broadcast, then a
+    count-distinct aggregate (two-phase under the hood). The anti
+    side is a broadcast (100 rows) — no extra shuffle."""
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH li_o AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), late AS (
+      SELECT * FROM li_o WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_19'
+      AND EXISTS (
+        SELECT 1 FROM li_o l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    shipper on a finished multi-supplier order. 'Late' is adapted to
+    shipdate > orderdate + 30 days (no commit/receipt dates). The plan
+    preserves q21's signature structure — a fact relation correlated
+    against itself twice: LEFT SEMI on (same order, other supplier
+    shipped anything) then LEFT ANTI on (same order, other supplier
+    also late). Both self-joins key on orderkey, so with the fact
+    pre-shuffled once all three legs co-locate; supplier and nation
+    broadcast; top-20 via TakeOrderedAndProject."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li_o = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = li_o.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    l2 = li_o.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    supp_n = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        late.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -148,3 +148,59 @@ def test_spark_sql_surface_over_registered_views(spark):
         .collect()
     }
     assert sql_rows == df_rows and len(sql_rows) > 0
+
+
+def test_tpch_q6_is_pure_scan_aggregate(spark):
+    """Q6 is the canonical scan-filter-agg: date + quantity predicates
+    pushed to the parquet reader, no join, and the only Exchange is the
+    single-row final-agg gather."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["tpch_q6_forecast_revenue"](spark, SF)
+    assert_pushed_filters(df, "l_shipdate", "l_quantity")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg gather only
+
+
+def test_tpch_q8_broadcasts_every_dimension(spark):
+    """Q8's 8-relation tree must broadcast all six hinted dims (part,
+    customer, supplier, nation x2, region). The un-hinted
+    lineitem⋈orders edge is left to the optimizer: at sf0.001 the
+    date-pruned orders side fits the broadcast threshold (a 7th
+    BroadcastHashJoin — fine), at 100 TB it exceeds it and plans
+    sort-merge on the one wide shuffle. Assert the dims and that no
+    join degenerates to a cartesian."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["tpch_q8_market_share"](spark, SF)
+    assert_broadcast_join(df, expected=6)
+    assert "Cartesian" not in physical_plan(df)
+    assert_pushed_filters(df, "p_type", "o_orderdate", "r_name")
+
+
+def test_tpch_q21_self_joins_are_semi_and_anti(spark):
+    """Q21's signature: the late-lines relation correlates against the
+    fact twice — LEFT SEMI (another supplier shipped) and LEFT ANTI
+    (no other supplier late). Both must appear, and never as a
+    cartesian."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["tpch_q21_waiting_suppliers"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan
+
+
+def test_tpch_q15_max_revenue_is_single_row_broadcast(spark):
+    """Q15's HAVING = (SELECT max(...)) must plan as a 1-row broadcast
+    back onto the supplier-revenue aggregate — not a global sort and
+    not a second lineitem scan (exactly one lineitem relation in the
+    plan)."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["tpch_q15_top_supplier"](spark, SF)
+    plan = physical_plan(df)
+    assert_broadcast_join(df, expected=2)  # the max row + the supplier dim
+    assert plan.count("lineitem.parquet") == 1
