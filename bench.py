@@ -147,14 +147,12 @@ def main() -> None:
     # first — process startup, not engine throughput, and it amortizes
     # to nothing on a long-lived cluster. One trivial scalar pandas_udf
     # over `cpus` partitions brings the pool up before any timer starts.
-    import pandas as _pd
     from pyspark.sql import functions as _F
     from pyspark.sql.functions import pandas_udf as _pudf
 
-    @_pudf("double")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        return s
-
+    # lambda form: hint-style resolution can't see function-local
+    # imports under `from __future__ import annotations`
+    _warm = _pudf(lambda s: s, "double")
     spark.range(cpus * 4, numPartitions=cpus).select(
         _warm(_F.col("id").cast("double"))
     ).collect()

@@ -3026,7 +3026,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
       AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
-      AND year(l_shipdate) = 1996
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -3043,8 +3044,11 @@ def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    # range form, not year() == 1996: a function-wrapped predicate
+    # cannot reach PushedFilters — the open interval does
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == 1996
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     ).select("l_orderkey", "l_shipdate", "l_returnflag")
     joined = orders.join(
         li,
