@@ -138,8 +138,17 @@ def main() -> None:
     # operators are benchmarked by default
     names += [n for n in sorted(registry) if n not in names]
 
-    # warm-up: JVM, parquet footer reads, codegen
-    registry[names[0]](spark, sf_dir).limit(1).collect()
+    # warm-up: JVM + codegen via a NEUTRAL job (not a registry query —
+    # in r3 a broken flagship crashed the warm-up and zeroed the whole
+    # artifact), then parquet footer reads via a cheap scan per table.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from real_time_ride_hailing_data_pipeline_spark import catalog as _cat
+
+    for _t in _cat.TABLES:
+        try:
+            _cat.load_table(spark, sf_dir, _t).limit(1).collect()
+        except Exception:
+            pass  # a broken table shows up as per-query errs below
 
     # warm-up: the Python/Arrow worker pool. The first pandas_udf in
     # the session pays daemon + worker process spawn (~4-6 s across 32
@@ -157,12 +166,18 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).collect()
 
+    # Failure isolation: one broken query records an error entry and the
+    # rest still get timed — both JSON lines are ALWAYS emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        rows = registry[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = len(rows)
+        try:
+            rows = registry[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            _ = len(rows)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -172,6 +187,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
     # The driver captures only the TAIL of stdout, and the full per-query
@@ -189,14 +206,20 @@ def main() -> None:
         "agg_distinct_users_per_type",
     ]
     frozen_t = {n: timings[n] for n in frozen if n in timings}
+    try:
+        skew = skew_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — never lose the headline line
+        skew = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     headline = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(frozen_t.values()), 4),
         "unit": "sec",
         "queries": frozen_t,
         "sf": sf,
-        "skew": skew_bench(spark, sf_dir),
+        "skew": skew,
     }
+    if errors:
+        headline["bench_errors"] = len(errors)
     print(json.dumps(headline))
     spark.stop()
 

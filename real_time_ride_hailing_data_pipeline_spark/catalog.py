@@ -41,21 +41,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP (LTZ),
+    whatever parquet physical encoding the fixture was written with.
+
+    The driver has regenerated ``events.parquet`` across rounds with
+    different encodings, so this is schema-driven, not assumed:
+
+    - ``bigint``        — parquet TIMESTAMP(NANOS) read as long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; rebuild with exact
+      integer arithmetic (nanos DIV 1000 == DuckDB's nanos->micros
+      truncation).
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` without a zone
+      (Spark 4 reads it as TIMESTAMP_NTZ). Under the UTC session the
+      plain cast is value-identical to the DuckDB oracle's naive-UTC
+      reading, and yields the LTZ type that ``withWatermark`` requires
+      (NTZ is not a legal event-time type).
+    - ``timestamp``     — already LTZ; pass through.
+
+    This is the ONLY place in the engine that touches event-time dtype
+    logic; batch (``load_table``), streaming (``streaming/job.py``) and
+    generator paths all route here.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Applied for every table (not just events) so results never depend
     # on table-load order; idempotent, works under the driver's session.
     configure_runtime(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. With nanosAsLong set (configure_runtime) the
-        # column reads as long; rebuild the timestamp with exact integer
-        # arithmetic — nanos DIV 1000 matches DuckDB's nanos->micros
-        # truncation.
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_event_time(df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

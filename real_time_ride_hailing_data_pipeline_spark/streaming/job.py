@@ -36,6 +36,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_ride_hailing_data_pipeline_spark import catalog
 from real_time_ride_hailing_data_pipeline_spark.operators import ride_pipeline as rp
 from real_time_ride_hailing_data_pipeline_spark.session import configure_runtime
 from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import ParquetUpsertSink
@@ -82,10 +83,9 @@ def events_parquet_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long: rebuild (same as catalog.load_table)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    # Normalize BEFORE any withWatermark downstream: NTZ is not a legal
+    # event-time type in Spark 4 (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    return catalog.normalize_event_time(df)
 
 
 def city_metrics_update_stream(
