@@ -234,15 +234,32 @@ class ParquetUpsertSink:
 
 class JdbcUpsertSink:
     """JDBC variant of the keyed upsert (S4+S5): staging table write +
-    connector-executed MERGE, keyed ``(city, window_start)`` with
-    overwrite-per-key semantics — the corrected form of the
-    reference's ``write_to_postgres`` (streaming_job.py:8-61, additive
-    ON CONFLICT on city only).
+    MERGE executed over a JDBC connection, keyed
+    ``(city, window_start)`` with overwrite-per-key semantics — the
+    corrected form of the reference's ``write_to_postgres``
+    (streaming_job.py:8-61, additive ON CONFLICT on city only).
+    Cite: staging write streaming_job.py:26-34, merge statement :37-44.
 
-    No database is reachable in this environment, so ``write_batch``
-    is construct-and-raise beyond the staging write; ``merge_sql()``
-    is pure and unit-tested. Cite: staging write streaming_job.py:26-34,
-    merge statement :37-44.
+    Two dialects:
+
+    - ``"postgres"`` — the reference's target; emits
+      ``INSERT .. ON CONFLICT DO UPDATE`` (``merge_sql()``). No
+      Postgres is reachable in this sandbox, so that path is
+      SQL-generation + unit tests only.
+    - ``"ansi"`` — standard ``MERGE INTO`` (``merge_sql_ansi()``),
+      executed END-TO-END in-process against embedded Apache Derby
+      (``derby*.jar`` ships inside pyspark's own classpath and
+      supports ANSI MERGE since 10.11). ``write_batch`` stages the
+      micro-batch with ``DataFrameWriter.jdbc`` and runs the MERGE
+      through ``java.sql.DriverManager`` on the driver JVM — the same
+      two-step transaction a production Postgres deployment runs,
+      minus nothing. tests/test_streaming.py drives it through a real
+      ``foreachBatch`` replay.
+
+    The MERGE statement is driver-side control flow over
+    already-aggregated micro-batch output (a few rows per key per
+    trigger), so at 100 TB the JDBC sink cost is O(batch), not
+    O(table) — identical scaling posture to the parquet sink.
     """
 
     def __init__(
@@ -254,15 +271,39 @@ class JdbcUpsertSink:
         user: str = "postgres",
         password: str = "postgres",
         driver: str = "org.postgresql.Driver",
+        dialect: str = "postgres",
     ) -> None:
+        if dialect not in ("postgres", "ansi"):
+            raise ValueError(f"unknown dialect {dialect!r}")
         self.url = url
         self.table = table
         self.staging_table = staging_table
         self.key_cols = list(key_cols)
         self.properties = {"user": user, "password": password, "driver": driver}
+        self.dialect = dialect
+
+    @classmethod
+    def embedded_derby(
+        cls,
+        db_dir: str,
+        table: str = "city_metrics",
+        key_cols: tuple[str, ...] = ("city", "window_start"),
+    ) -> "JdbcUpsertSink":
+        """Sink against an embedded Derby database at ``db_dir`` —
+        fully executable with nothing but pyspark's bundled jars."""
+        return cls(
+            url=f"jdbc:derby:{db_dir};create=true",
+            table=table,
+            staging_table=f"{table}_staging",
+            key_cols=key_cols,
+            user="",
+            password="",
+            driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+            dialect="ansi",
+        )
 
     def merge_sql(self, value_cols: tuple[str, ...] = ("total_trips", "average_fare", "last_updated")) -> str:
-        """Idempotent MERGE: conflict on the full (key, window) primary
+        """Postgres form: conflict on the full (key, window) primary
         key, every value column overwritten (no addition)."""
         cols = self.key_cols + list(value_cols)
         updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in value_cols)
@@ -272,13 +313,98 @@ class JdbcUpsertSink:
             f"ON CONFLICT ({', '.join(self.key_cols)}) DO UPDATE SET {updates}"
         )
 
+    def merge_sql_ansi(self, value_cols: tuple[str, ...]) -> str:
+        """ANSI/Derby form of the same overwrite-per-key MERGE.
+
+        Two dialect constraints, both verified against embedded Derby:
+        SET targets are unqualified (the target table is implied by
+        MERGE INTO; Derby rejects a ``t.`` prefix there), and column
+        identifiers are double-quoted — Spark's JDBC writer creates
+        the staging columns quoted (case-sensitive lower-case), so an
+        unquoted reference would fold to upper-case and miss."""
+        q = '"{}"'.format
+        cols = self.key_cols + list(value_cols)
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in self.key_cols)
+        updates = ", ".join(f"{q(c)} = s.{q(c)}" for c in value_cols)
+        inserts = ", ".join(f"s.{q(c)}" for c in cols)
+        return (
+            f"MERGE INTO {self.table} t\n"
+            f"USING {self.staging_table} s\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED THEN UPDATE SET {updates}\n"
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
+            f"VALUES ({inserts})"
+        )
+
+    # -- JVM-side statement execution ------------------------------------
+    def _execute(self, spark: SparkSession, *statements: str) -> None:
+        jvm = spark._jvm  # noqa: SLF001 — py4j gateway to the driver JVM
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                for sql in statements:
+                    stmt.execute(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def _ensure_target(self, spark: SparkSession) -> None:
+        """CREATE TABLE .. AS staging WITH NO DATA, first batch only."""
+        jvm = spark._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            rs = conn.getMetaData().getTables(
+                None, None, self.table.upper(), None
+            )
+            exists = rs.next()
+            rs.close()
+        finally:
+            conn.close()
+        if not exists:
+            self._execute(
+                spark,
+                f"CREATE TABLE {self.table} AS "
+                f"SELECT * FROM {self.staging_table} WITH NO DATA",
+            )
+
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """Stage via DataFrameWriter.jdbc then MERGE. Requires a live
-        database + JDBC driver jar; neither exists here."""
-        batch_df.write.jdbc(
+        """Stage via DataFrameWriter.jdbc, then MERGE.
+
+        Executes fully for ``dialect="ansi"`` (embedded Derby or any
+        MERGE-capable database on the classpath). For
+        ``dialect="postgres"`` no database is reachable in this
+        sandbox, so after staging it raises with the exact statement a
+        connector should run.
+        """
+        writer = batch_df.write
+        # Spark's DerbyDialect maps StringType to CLOB, which Derby
+        # cannot compare with `=` — pin strings to VARCHAR so they can
+        # serve as MERGE keys.
+        str_cols = [f.name for f in batch_df.schema.fields if f.dataType.typeName() == "string"]
+        if str_cols and self.dialect == "ansi":
+            writer = writer.option(
+                "createTableColumnTypes",
+                ", ".join(f"{c} VARCHAR(1024)" for c in str_cols),
+            )
+        writer.jdbc(
             self.url, self.staging_table, mode="overwrite", properties=self.properties
         )
-        raise NotImplementedError(
-            "JDBC merge execution needs a reachable database; run "
-            f"merge_sql() through your connector: \n{self.merge_sql()}"
+        if self.dialect != "ansi":
+            raise NotImplementedError(
+                "JDBC merge execution needs a reachable database; run "
+                f"merge_sql() through your connector: \n{self.merge_sql()}"
+            )
+        spark = batch_df.sparkSession
+        value_cols = tuple(c for c in batch_df.columns if c not in self.key_cols)
+        self._ensure_target(spark)
+        with_retries(
+            lambda: self._execute(spark, self.merge_sql_ansi(value_cols)),
+            retries=2,
+            delay_s=0.1,
         )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The merged target table, via the same JDBC surface."""
+        return spark.read.jdbc(self.url, self.table, properties=self.properties)
