@@ -203,6 +203,71 @@ def minhash_lsh_candidates(
     )
 
 
+def prefix_filter_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard candidate pairs via prefix filtering
+    (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",
+    WWW'07; Chaudhuri et al. SSJoin): unlike MinHash-LSH this loses no
+    true pair, so the downstream verify reproduces the all-pairs
+    ground truth exactly.
+
+    Theory: for Jaccard >= t, overlap i >= t/(1+t) * (|A|+|B|) >=
+    m(A) := ceil(t/(1+t) * |A|). Order every document's shingles by a
+    GLOBAL total order (ascending document frequency, rarest first —
+    ties broken by the shingle string); if a pair's overlap is >= m(A),
+    its shared shingles cannot all sit in A's last m(A)-1 positions, so
+    the pair must share an element inside each side's first
+    |s| - m(s) + 1 shingles (the "prefix"). Joining prefixes only is
+    therefore lossless while skipping the flood of pairs that share
+    nothing but ultra-common shingles.
+
+    Scale shape: one explode (shingle, id) shuffle ~50 B/row, one
+    groupBy for document frequencies, a per-document window sort
+    (partitioned by doc — bounded group size), then a self-join on
+    rare-leaning prefix shingles. No all-pairs stage anywhere; the
+    frequency-ascending order makes hot buckets structurally rare
+    (common shingles land in suffixes and never join).
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    wcnt = Window.partitionBy(id_col)
+    # m = ceil(t/(1+t) * tot) via exact integer arithmetic; prefix
+    # length p = tot - m + 1. threshold is a ratio p/q in lowest terms.
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    tn, td = frac.numerator, frac.denominator  # t = tn/td
+    # ceil(tn*tot / (tn+td)) = (tn*tot + tn+td - 1) div (tn+td)
+    prefix = (
+        ex.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("tot", F.count(F.lit(1)).over(wcnt))
+        .withColumn(
+            "m",
+            F.expr(f"cast(({tn} * tot + {tn + td} - 1) div ({tn + td}) as int)"),
+        )
+        .filter(F.col("rn") <= F.col("tot") - F.col("m") + 1)
+        .select(F.col(id_col), "shingle")
+    )
+    left = prefix.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    right = prefix.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    return (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     df: DataFrame,

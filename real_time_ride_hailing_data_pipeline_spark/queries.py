@@ -1971,6 +1971,30 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_NEAR_DUP_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup join via prefix filtering
+    (operators/dedup.py:prefix_filter_candidates — Bayardo et al.
+    WWW'07): shingles ordered globally by ascending document
+    frequency, each doc contributes only its |s| - ceil(t/(1+t)*|s|)
+    + 1 rarest shingles to the candidate join, which provably loses
+    no pair at Jaccard >= t. Exact Jaccard verify runs on candidates
+    only. Same ground-truth oracle as the MinHash-LSH variant — this
+    one matches it by THEOREM, not by hash-family recall. The
+    complementary scale path to LSH: deterministic, exact, and
+    shuffle volume is (shingle, id) pairs with common shingles
+    structurally excluded from the join."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dd.prefix_filter_candidates(docs, shingle_n=3, threshold=0.5)
+    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+
+
+@query(
     "simhash_documents",
     oracle=r"""
     WITH t AS (
