@@ -60,14 +60,22 @@ def exact_dedup(
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of trimmed lower-cased text.
 
-    ``transform(sequence(...), i -> concat_ws(' ', slice(tokens, i,
-    n)))`` — pure SQL, map-only. Documents shorter than n words yield
-    their full token string as the single shingle.
+    Pure SQL, map-only. Documents shorter than n words yield their
+    full token string as the single shingle.
+
+    Shaped so the regex tokenization runs ONCE per row: the token
+    array is the *input* of a single-element ``aggregate`` fold and
+    both references inside the lambda bind to the lambda variable.
+    Writing ``slice(split(...), i, n)`` directly would re-evaluate the
+    split for EVERY index i (HOF lambda bodies are interpreted, and
+    CollapseProject inlines a separate token column right back in) —
+    measured 2.5 s -> 0.4 s at bench scale for the shingle pipeline.
     """
     return F.expr(
-        "array_distinct(transform("
-        f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}))))"
+        f"array_distinct(aggregate(array(split(trim(lower({text_col})), '\\\\s+')), "
+        "  cast(array() as array<string>), "
+        f" (acc, toks) -> transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+        f"   i -> concat_ws(' ', slice(toks, i, {n})))))"
     )
 
 
@@ -256,13 +264,48 @@ def prefix_filter_candidates(
             F.expr(f"cast(({tn} * tot + {tn + td} - 1) div ({tn + td}) as int)"),
         )
         .filter(F.col("rn") <= F.col("tot") - F.col("m") + 1)
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "rn", "tot")
     )
-    left = prefix.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
-    right = prefix.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    # the prefix (the shingle inverted index) feeds both self-join
+    # sides; cache it so the explode + document-frequency join + window
+    # pipeline runs once, not twice. At 100 TB this materialized index
+    # is (shingle, id, pos) rows — ~50 B/row, small next to the corpus,
+    # and exactly what a production similarity-join materializes anyway.
+    prefix = prefix.cache()
+    left = prefix.select(
+        "shingle",
+        F.col(id_col).alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("tot").alias("tot_a"),
+    )
+    right = prefix.select(
+        "shingle",
+        F.col(id_col).alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("tot").alias("tot_b"),
+    )
+    # PPJoin positional filter (Xiao, Wang, Lin, Yu — "Efficient
+    # Similarity Joins for Near Duplicate Detection", WWW'08), still
+    # exact: a shared prefix token at positions (rn_a, rn_b) can
+    # witness an overlap of at most 1 + min(tot_a - rn_a,
+    # tot_b - rn_b), which must reach the pair's required overlap
+    # alpha = ceil(t/(1+t) * (tot_a + tot_b)). For a true pair the
+    # FIRST shared token (minimal positions both sides) satisfies the
+    # bound, so keeping pairs where ANY matched row passes loses
+    # nothing — while pruning the flood of pairs that share only
+    # deep-prefix tokens (prefix filtering alone is weak at moderate
+    # thresholds like 0.5: measured 607k -> 125k candidates on the
+    # 5k-doc bench corpus).
+    alpha = F.expr(
+        f"cast(({tn} * (tot_a + tot_b) + {tn + td} - 1) div ({tn + td}) as int)"
+    )
     return (
         left.join(right, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            1 + F.least(F.col("tot_a") - F.col("rn_a"), F.col("tot_b") - F.col("rn_b"))
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -286,6 +329,9 @@ def jaccard_verify(
     sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
     )
+    # feeds both pair sides (and is plan-identical across the LSH,
+    # prefix-filter and cluster queries): cache so shingling runs once
+    sh = sh.cache()
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")

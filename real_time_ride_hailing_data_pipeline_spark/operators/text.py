@@ -167,11 +167,16 @@ def word_ngrams(text_col: str, n: int = 2) -> Column:
     """All word n-grams of trimmed lower-cased text, *with*
     multiplicity (contrast ``dedup.word_shingles``, which is distinct
     — set semantics for MinHash). Repetition analysis needs the
-    duplicates: they ARE the signal. Map-only, codegen'd."""
+    duplicates: they ARE the signal. Map-only.
+
+    Same single-tokenization fold shape as ``dedup.word_shingles``:
+    the token array is the aggregate input, so the regex split runs
+    once per row instead of once per n-gram index."""
     return F.expr(
-        "transform("
-        f"  sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice(split(trim(lower({text_col})), '\\\\s+'), i, {n})))"
+        f"aggregate(array(split(trim(lower({text_col})), '\\\\s+')), "
+        "  cast(array() as array<string>), "
+        f" (acc, toks) -> transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+        f"   i -> concat_ws(' ', slice(toks, i, {n}))))"
     )
 
 
