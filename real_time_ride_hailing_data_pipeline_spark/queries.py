@@ -1599,6 +1599,55 @@ def python_datasource_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_sentence_stats",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, unnest(str_split(text, '. ')) AS sentence
+      FROM documents
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_sentences,
+           CAST(((2 * sum(length(sentence)) * 10000 + count(*))
+                 // (2 * count(*))) / 10000.0 AS DOUBLE) AS avg_sentence_chars
+    FROM s GROUP BY doc_id
+    """,
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface (SURVEY §2.10 — completes the
+    UDF/UDAF/UDTF triple next to pandas_udf scalar/grouped-agg,
+    applyInPandas, mapInPandas and applyInPandasWithState): an
+    Arrow-optimized table function LATERAL-joined per document, split
+    into sentences, then re-aggregated JVM-side with exact-integer
+    average arithmetic. ``useArrow=True`` plans ArrowEvalPythonUDTF —
+    the sanctioned Arrow boundary, not row-wise BatchEvalPython (the
+    plan audit enforces this for every registry query). The literal
+    '. ' split matches DuckDB's str_split bit-for-bit, giving a custom
+    table function a full value-hash oracle."""
+    from pyspark.sql.functions import udtf
+
+    from real_time_ride_hailing_data_pipeline_spark.functions.exact import RATIO4
+
+    @udtf(returnType="pos int, sentence string", useArrow=True)
+    class _SentenceSplit:
+        def eval(self, text):  # noqa: ANN001 — UDTF eval signature
+            for i, p in enumerate((text or "").split(". ")):
+                yield i, p
+
+    spark.udtf.register("sentence_split_udtf", _SentenceSplit)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    sents = spark.sql(
+        "SELECT d.doc_id, length(s.sentence) AS slen "
+        "FROM _udtf_docs d, LATERAL sentence_split_udtf(d.text) s"
+    )
+    return sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.expr(
+            RATIO4.format(n="sum(slen)", d="count(1)")
+        ).alias("avg_sentence_chars"),
+    )
+
+
 @query("agg_approx_distinct_users")
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct / HyperLogLog++ (§2.4 extension): the
