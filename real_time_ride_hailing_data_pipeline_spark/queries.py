@@ -1303,6 +1303,72 @@ def json_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_metrics",
+    oracle="""
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT)    AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface (the open-format semi-structured type,
+    successor to schema-declared from_json for schemaless JSON):
+    ``parse_json`` ingests props as VARIANT once, ``variant_get``
+    extracts typed paths at query time — the shred-on-read pattern a
+    100 TB semi-structured lake uses so ingestion never needs a
+    declared schema. Extraction is codegen'd inside the scan stage;
+    the only shuffle is the 5-group agg. Oracle: DuckDB JSON path
+    extraction over the same strings."""
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+@query(
+    "pandas_grouped_agg_fare_cents",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def pandas_grouped_agg_fare_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf surface — the UDAF form invoked inside
+    ``.agg()`` (distinct from applyInPandas, which replaces the whole
+    group: grouped_median_value covers that; Spark forbids mixing a
+    grouped-agg pandas UDF with non-pandas aggregates in one agg, so
+    the UDAF is the sole aggregate here). The UDF sums exact integer cents with numpy,
+    half-up via floor(v*100 + 0.5) to match Spark/DuckDB round()
+    exactly, so a custom Arrow-batched aggregate gets a full
+    value-hash oracle. Plans as a (sanctioned) Arrow aggregate — no
+    row-wise Python; one shuffle on the group key."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: hint-style resolution can't see
+    # function-local imports under `from __future__ import annotations`
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cents_sum(v):
+        return int(np.floor(v.to_numpy() * 100 + 0.5).astype(np.int64).sum())
+
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        cents_sum(F.col("value")).alias("total_cents"),
+    )
+
+
+@query(
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
