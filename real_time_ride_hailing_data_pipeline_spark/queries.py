@@ -1303,6 +1303,34 @@ def json_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_per_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (Spark's ``percentile``, the
+    sort-based aggregate, vs the sketch-based ``percentile_approx``
+    the approx query family covers): order statistics with linear
+    interpolation — the same pos = p*(n-1) definition DuckDB's
+    ``quantile_cont`` uses, so the values hash-match after 4-decimal
+    rounding. Scale note: exact percentile holds each group's values;
+    it is the right tool for bounded-cardinality groups (5 event
+    types here), while unbounded groups should use percentile_approx
+    (mergeable sketch, fixed memory)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+    )
+
+
+@query(
     "variant_props_metrics",
     oracle="""
     SELECT event_type,
