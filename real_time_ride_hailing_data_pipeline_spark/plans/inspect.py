@@ -64,6 +64,7 @@ _STREAMING_QUERIES = {
     "stream_stream_join_purchase_attribution",
     "streaming_city_metrics_replay",
     "streaming_dedup_replay",
+    "streaming_jdbc_replay",
     "transform_with_state_running_totals",
 }
 

@@ -1895,6 +1895,34 @@ def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return sj.streaming_city_metrics_replay(spark, sf_dir)
 
 
+@query(
+    "streaming_jdbc_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JDBC staging-write + MERGE sink EXECUTED
+    (S4+S5, streaming_job.py:26-53): same availableNow streaming
+    replay as streaming_city_metrics_replay, but each micro-batch is
+    staged into an embedded Derby database via DataFrameWriter.jdbc
+    and merged with an ANSI MERGE INTO (overwrite-per-key — the
+    corrected, idempotent form of the reference's additive ON
+    CONFLICT). Result read back through spark.read.jdbc; the oracle
+    is the batch aggregation — batch/streaming parity through a real
+    database transaction."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_jdbc_replay(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data operators (SURVEY §7 Stage 3): dedup, text
 # analysis, similarity search, multimodal — over documents/embeddings.

@@ -406,3 +406,42 @@ def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         checkpoint_dir=os.path.join(workdir, "checkpoint"),
     )
     return sink.read(spark)
+
+
+def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry point for the JDBC MERGE sink family (S4+S5
+    executed — reference streaming_job.py:26-53): the same availableNow
+    replay, but foreachBatch stages each micro-batch into an embedded
+    Derby database and runs the ANSI MERGE INTO over
+    java.sql.DriverManager (sinks.JdbcUpsertSink, dialect='ansi').
+    Returns the merged table read back through spark.read.jdbc; equal
+    to the batch aggregation — the same batch/streaming parity oracle
+    as the parquet sink, now through a real database transaction."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        JdbcUpsertSink,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_jdbc_")
+    sink = JdbcUpsertSink.embedded_derby(
+        os.path.join(workdir, "derby_db"), key_cols=("event_type", "window_start")
+    )
+    events = events_parquet_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        wrapper_dir=os.path.join(workdir, "srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(sink.write_batch)
+            .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read(spark)
