@@ -229,3 +229,57 @@ def test_pii_scrub_counts_and_redacts(spark):
             [text, tx.PII_EMAIL_RE, tx.PII_IPV4_RE, tx.PII_PHONE_RE],
         ).fetchone()[0]
         assert got[doc_id]["scrubbed_text"] == duck, (doc_id, got[doc_id]["scrubbed_text"], duck)
+
+
+@SLOW
+@given(data=st.data())
+def test_prefix_filter_jaccard_is_exact_on_any_corpus(spark, data):
+    """prefix_filter_candidates + jaccard_verify == brute-force
+    trigram Jaccard >= 0.5 on ARBITRARY corpora — including the
+    adversarial shapes LSH has gray zones for: exact duplicate groups
+    (every shingle hot) and boilerplate-prefix families (many docs
+    share a hot prefix). Prefix filtering is exact by theorem
+    (Bayardo WWW'07 + PPJoin positional filter), so unlike the LSH
+    property test no probabilistic corpus is discarded."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+
+    docs: list[tuple[int, str]] = []
+    boiler = " ".join(data.draw(st.lists(st.sampled_from(VOCAB), min_size=12, max_size=12)))
+    for _ in range(data.draw(st.integers(min_value=2, max_value=4))):
+        docs.append((len(docs), boiler))  # exact copies: every shingle hot
+    for _ in range(data.draw(st.integers(min_value=2, max_value=4))):
+        tail = " ".join(
+            data.draw(st.lists(st.sampled_from(VOCAB), min_size=10, max_size=14))
+        )
+        docs.append((len(docs), boiler + " " + tail))  # shared hot prefix
+    for _ in range(data.draw(st.integers(min_value=2, max_value=5))):
+        docs.append(
+            (
+                len(docs),
+                " ".join(
+                    data.draw(st.lists(st.sampled_from(VOCAB), min_size=20, max_size=30))
+                ),
+            )
+        )
+
+    def shingles(text: str) -> set[str]:
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    expected = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a][1]), shingles(docs[b][1])
+            i, u = len(sa & sb), len(sa | sb)
+            # the operator's exact half-up 4-decimal jaccard, in ints
+            if (2 * i * 10000 + u) // (2 * u) >= 5000:
+                expected.add((docs[a][0], docs[b][0]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_verify(
+            dd.prefix_filter_candidates(df), df, shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == expected
