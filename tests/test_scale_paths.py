@@ -370,3 +370,66 @@ def test_sql_text_tpch_q1_equals_dataframe_plan(spark):
         .collect()
     }
     assert sql_rows == df_rows and len(sql_rows) > 0
+
+
+def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, tmp_path):
+    """The IVF scale story end-to-end: materialize assign_cells
+    partitioned BY CELL (what a production vector index writes), then
+    run the nprobe probe as a partition filter — the scan must prune
+    to the probed cells (PartitionFilters on `cell`), and the pruned
+    top-k must equal ivf_topk's answer on the unpartitioned table.
+    At 100 TB this turns ANN search cost from O(corpus) into
+    O(nprobe/k * corpus) I/O, not just compute."""
+    from pyspark.sql import functions as F2
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+    from real_time_ride_hailing_data_pipeline_spark.operators.similarity import (
+        cosine_similarity_expr,
+    )
+
+    emb = catalog.load_table(spark, SF, "embeddings")
+    cents = ivf.train_coarse_quantizer(emb, k=8, iters=2)
+    layout = str(tmp_path / "emb_by_cell")
+    ivf.assign_cells(emb, cents).write.partitionBy("cell").mode("overwrite").parquet(
+        layout
+    )
+
+    query = emb.orderBy("vec_id").limit(1)
+    expected = {
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf.ivf_topk(emb, query, cents, k=5, nprobe=2).collect()
+    }
+
+    qrow = query.select(F2.col("embedding").alias("_qvec")).collect()[0]
+    from real_time_ride_hailing_data_pipeline_spark.operators.ivf import (
+        nearest_cells_expr,
+    )
+
+    # nprobe=2: the query's own cell + the next nearest
+    probe_cells = (
+        spark.createDataFrame([qrow], query.select("embedding").schema)
+        .withColumnRenamed("embedding", "_qvec")
+        .select(nearest_cells_expr("_qvec", cents, 2).alias("p"))
+        .collect()[0]["p"]
+    )
+
+    pruned = spark.read.parquet(layout).filter(F2.col("cell").isin(*probe_cells))
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    q_b = F2.broadcast(
+        spark.createDataFrame([qrow], query.select("embedding").schema)
+        .withColumnRenamed("embedding", "_qvec")
+    )
+    got = {
+        (r["vec_id"], round(r["sim"], 9))
+        for r in pruned.crossJoin(q_b)
+        .select(
+            F2.col("vec_id"),
+            cosine_similarity_expr("embedding", "_qvec").alias("sim"),
+        )
+        .orderBy(F2.desc("sim"), F2.asc("vec_id"))
+        .limit(5)
+        .collect()
+    }
+    assert got == expected
