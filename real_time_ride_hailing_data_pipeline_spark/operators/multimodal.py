@@ -119,6 +119,75 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("byte_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, decode: bool = False
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage — the
+    batch shape, output schema (binary payload out, typed dims), and
+    partition behavior of a real thumbnailing pass.
+
+    ``decode=False`` (default) runs the deterministic stand-in: the
+    payload is nearest-neighbor "resampled" at the byte level to
+    exactly ``out_w*out_h`` bytes (stride sampling — the same
+    index-arithmetic a pixel resize does, applied to the opaque
+    bytes), so output size, determinism, and the binary-out column
+    are all real and testable. ``decode=True`` is the real
+    PIL/libvips path and raises ``NotImplementedError`` in this
+    container; a deployment replaces only the inner function.
+
+    Scale: resize output is a new binary column sized out_w*out_h —
+    the write amplification is declared up front, and the stage is
+    map-only (no shuffle), so it pipelines with the scan.
+    """
+
+    def do_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # local import: runs on executors
+
+        n_out = out_w * out_h
+
+        def stride_sample(b: bytes) -> bytes:
+            b = bytes(b)
+            if not b:
+                return bytes(n_out)
+            # nearest-neighbor index arithmetic over the byte "pixels"
+            return bytes(b[(i * len(b)) // n_out] for i in range(n_out))
+
+        for pdf in batches:
+            if decode:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips, not present in "
+                    "this container; install and replace this branch"
+                )
+            payloads = pdf["payload"]
+            out = payloads.map(stride_sample)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": out.map(len).astype("int64"),
+                    # deterministic content witness: the value-hash
+                    # oracle can recompute it from the source bytes
+                    "byte_checksum": out.map(lambda b: sum(b)).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
 def extract_features(
     df: DataFrame, decode: bool = False, head_n: int = 8
 ) -> DataFrame:

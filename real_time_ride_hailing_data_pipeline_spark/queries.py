@@ -2371,6 +2371,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(payload, frame_bytes=256, every_n=2)
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(32 AS BIGINT)   AS out_w,
+           CAST(32 AS BIGINT)   AS out_h,
+           CAST(1024 AS BIGINT) AS out_bytes,
+           CAST(list_sum(list_transform(range(0, 1024),
+                 i -> ascii(substr(text,
+                        CAST((i * length(text)) // 1024 AS INT) + 1, 1))))
+             AS BIGINT) AS byte_checksum
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage
+    (mm.resize_images): nearest-neighbor stride resampling of the
+    opaque payload to a fixed 32x32-byte thumbnail — the real
+    PIL/libvips decode is the gated branch, but the batch shape,
+    binary-out schema, and index arithmetic are the real thing. The
+    oracle recomputes the strided byte checksum from the source text
+    (valid because the corpus is pure ASCII: char codes == utf-8
+    bytes). Map-only; write amplification (out_w*out_h per row) is
+    declared up front."""
+    payload = mm.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return mm.resize_images(payload, out_w=32, out_h=32).drop("payload")
+
+
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched featurizer over binary payloads via mapInPandas
