@@ -450,3 +450,93 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def positional_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, pos, shingle-md5) for every position-anchored n-token
+    shingle — the input relation of exact substring-duplication
+    analysis. ``pos`` is the 1-based token index of the shingle start.
+
+    Same single-tokenization fold as ``word_shingles`` (the token
+    array binds to the lambda variable so the regex split runs once
+    per row); shingles are shipped as md5 digests, not token strings,
+    so downstream shuffles carry ~45 B/row regardless of n. Documents
+    shorter than n tokens contribute no rows (guarded CASE — Spark's
+    ``sequence(1, 0)`` would count *down*, not produce empty)."""
+    shingled = F.expr(
+        f"aggregate(array(split(trim(lower({text_col})), '\\\\s+')), "
+        "  cast(array() as array<string>), "
+        "  (acc, toks) -> case "
+        f"    when size(toks) >= {n} then transform(sequence(1, size(toks) - {n - 1}), "
+        f"      i -> md5(concat_ws(' ', slice(toks, i, {n})))) "
+        "    else cast(array() as array<string>) end)"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(shingled).alias("pos0", "sh")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "sh")
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_span: int = 16,
+    max_freq: int = 20,
+) -> DataFrame:
+    """Maximal cross-document duplicated substrings of >= ``min_span``
+    tokens — the exact-substring view of training-data duplication
+    (the suffix-array method of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", re-expressed relationally).
+
+    Position-anchored n-token shingles match across documents; runs of
+    consecutive matches on the same alignment diagonal (pa - pb
+    constant) consolidate into one span via gaps-and-islands. A span
+    of L >= n duplicated tokens appears as L - n + 1 consecutive
+    shingle matches, so the reported span length is exact, not an
+    n-gram approximation.
+
+    Scale path (100 TB): positions with corpus frequency outside
+    [2, max_freq] are dropped *before* the self-join — singletons
+    can't form pairs (at real-corpus duplication rates this kills
+    ~95% of rows), and boilerplate shingles above max_freq would
+    square the join fan-out (documented approximation, mirrored in
+    the oracle). The join shuffles (md5, id, pos) rows only; island
+    windows partition by (doc pair, diagonal) — bounded by the
+    shorter document, never corpus-sized.
+    """
+    sh = positional_shingles(df, text_col, id_col, n)
+    eligible = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= max_freq))
+        .select("sh")
+    )
+    el = sh.join(eligible, "sh")
+    left = el.select(
+        F.col("sh"), F.col(id_col).alias("doc_a"), F.col("pos").alias("pa")
+    )
+    right = el.select(
+        F.col("sh"), F.col(id_col).alias("doc_b"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        left.join(right, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    islands = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_a", "doc_b", F.col("pa") - F.col("pb"), "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + n).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

@@ -120,13 +120,18 @@ _VERIFY_FIRST: list[str] = [
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
-    "doc_fingerprint",
+    # r5 rotation: the two new operators take the slots of
+    # doc_fingerprint (fingerprint family stays in-window via
+    # simhash_documents) and embedding_norm_stats (embedding-profile
+    # family stays via embedding_quantize_int8); both rotated-out
+    # names keep full sf0.001 oracles in tests/test_queries_oracle.py.
+    "search_bm25_topk",
+    "dedup_substring_spans",
     "dedup_near_duplicates",
     "simhash_documents",
     "ann_cosine_topk",
     "dedup_embedding_pairs",
     "embedding_quantize_int8",
-    "embedding_norm_stats",
     "multimodal_binary_stats",
     "multimodal_frame_sample",
     "agg_distinct_users_per_type",
@@ -3605,3 +3610,98 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk(emb, query_vec, _ivf_centroids(spark, sf_dir), k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: lexical retrieval + exact substring duplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "search_bm25_topk",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), st AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_docs,
+             CAST(sum(len(toks)) AS HUGEINT) AS t_tok FROM tk
+    ), post AS (
+      SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl, tok
+      FROM tk, unnest(toks) AS u(tok)
+      WHERE tok IN ('vector', 'merge', 'spark', 'window')
+    ), tf AS (
+      SELECT doc_id, dl, tok, CAST(count(*) AS HUGEINT) AS tf
+      FROM post GROUP BY 1, 2, 3
+    ), dfr AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS HUGEINT) AS df
+      FROM post GROUP BY tok
+    ), sc AS (
+      SELECT doc_id,
+        (2 * (1000000 * (2*n_docs - 2*df + 1) * 44 * t_tok * tf)
+          + ((2*df + 1) * (20*t_tok*tf + 6*t_tok + 18*dl*n_docs)))
+        // (2 * ((2*df + 1) * (20*t_tok*tf + 6*t_tok + 18*dl*n_docs))) AS s
+      FROM tf JOIN dfr USING (tok) CROSS JOIN st
+    )
+    SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro,
+           CAST(count(*) AS BIGINT) AS terms_matched
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 10
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: top-10 documents for a 4-term keyword query
+    under exact-integer rational BM25 (k1=6/5, b=3/4, monotone
+    log-free idf — see operators/search.py for the scale design: the
+    token filter runs inside the scan stage, so shuffles carry only
+    matching postings; corpus stats and per-term df join back as
+    broadcasts)."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import search as srch
+
+    docs = _t(spark, sf_dir, "documents")
+    return srch.bm25_topk(docs, ["vector", "merge", "spark", "window"], k=10)
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                                toks[i+4], toks[i+5], toks[i+6], toks[i+7])) AS sh
+      FROM tk, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS u(i)
+    ), freq AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20
+    ), el AS (
+      SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN freq USING (sh)
+    ), pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM el a JOIN el b USING (sh) WHERE a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp
+      FROM pr
+    ), sp AS (
+      SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+             max(pa) - min(pa) + 8 AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, start_a, start_b, span_tokens
+    FROM sp WHERE span_tokens >= 16
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication: every maximal cross-document
+    duplicated run of >= 16 tokens, located by (doc pair, start
+    positions). Position-anchored 8-token md5 shingles + frequency
+    band [2, 20] before the self-join + gaps-and-islands on the
+    alignment diagonal (operators/dedup.py:substring_duplicate_spans).
+    The relational re-expression of Lee et al.'s suffix-array dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.substring_duplicate_spans(
+        docs, n=8, min_span=16, max_freq=20
+    )

@@ -283,3 +283,88 @@ def test_prefix_filter_jaccard_is_exact_on_any_corpus(spark, data):
         ).collect()
     }
     assert got == expected
+
+
+def _bm25_python(docs: dict[int, str], terms: list[str], k: int = 10):
+    """Pure-Python rational BM25 (k1=6/5, b=3/4, log-free idf) in exact
+    integer micro-units — independent re-derivation of the formula in
+    operators/search.py, no shared code path."""
+    from fractions import Fraction
+
+    toks = {d: t.strip().lower().split() for d, t in docs.items()}
+    n_docs = len(toks)
+    t_tok = sum(len(v) for v in toks.values())
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = []
+    for d, v in toks.items():
+        dl = len(v)
+        s, matched = 0, 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            matched += 1
+            idf = Fraction(2 * n_docs - 2 * dfreq[t] + 1, 2 * dfreq[t] + 1)
+            tfc = Fraction(
+                44 * t_tok * tf, 20 * t_tok * tf + 6 * t_tok + 18 * dl * n_docs
+            )
+            exactv = 1_000_000 * idf * tfc
+            # half-up round of a positive fraction
+            s += (2 * exactv.numerator + exactv.denominator) // (
+                2 * exactv.denominator
+            )
+        if matched:
+            out.append((d, s, matched))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(["join", "scan", "merge", "vector", "row", "batch"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_bm25_matches_exact_python(spark, data):
+    from real_time_ride_hailing_data_pipeline_spark.operators import search as srch
+
+    docs = {i: " ".join(words) for i, words in enumerate(data)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = [
+        (r.doc_id, r.bm25_micro, r.terms_matched)
+        for r in srch.bm25_topk(df, ["vector", "merge"], k=5).collect()
+    ]
+    assert got == _bm25_python(docs, ["vector", "merge"], k=5)
+
+
+def test_substring_spans_consolidate_and_guard_short_docs(spark):
+    """A planted 20-token shared run must surface as ONE maximal span
+    with exact start positions; docs shorter than the shingle width
+    must not crash (Spark's sequence(1,0) counts down) or emit rows;
+    a sub-threshold 9-token overlap must be filtered by min_span."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+
+    run = " ".join(f"w{i}" for i in range(20))          # the duplicated block
+    short_overlap = " ".join(f"s{i}" for i in range(9))  # below min_span=16
+    rows = [
+        (1, f"alpha beta {run} gamma"),
+        (2, f"{run} delta epsilon zeta"),
+        (3, "tiny doc"),                                  # < n tokens
+        (4, f"prefix {short_overlap} pad1 pad2 pad3 pad4 pad5 pad6 pad7"),
+        (5, f"{short_overlap} qad1 qad2 qad3 qad4 qad5 qad6 qad7 qad8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dd.substring_duplicate_spans(df, n=8, min_span=16, max_freq=20).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in got] == [
+        (1, 2, 3, 1, 20)
+    ]
+    # the 9-token overlap still consolidates when min_span allows it
+    low = dd.substring_duplicate_spans(df, n=8, min_span=8, max_freq=20).collect()
+    pairs = {(r.doc_a, r.doc_b): r.span_tokens for r in low}
+    assert pairs[(4, 5)] == 9 and pairs[(1, 2)] == 20
