@@ -3705,3 +3705,39 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_duplicate_spans(
         docs, n=8, min_span=16, max_freq=20
     )
+
+
+@query(
+    "orc_source_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink surface (S-extension): events round-tripped
+    through Spark's bundled columnar ORC reader/writer (timestamps as
+    epoch micros, money as cents, exactly like csv/json_source_agg)
+    and aggregated against the parquet truth. ORC scans share the
+    vectorized columnar read path and predicate pushdown machinery
+    parquet uses, so this is the format-coverage twin of those two
+    queries on the second mainstream warehouse format."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    orc_dir = tempfile.mkdtemp(prefix="rtrh_orc_") + "/events"
+    events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).write.mode("overwrite").orc(orc_dir)
+    back = spark.read.schema(
+        "event_id long, ts_us long, event_type string, value_c long"
+    ).orc(orc_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("sum_value_c"),
+    )

@@ -204,3 +204,32 @@ def test_tpch_q15_max_revenue_is_single_row_broadcast(spark):
     plan = physical_plan(df)
     assert_broadcast_join(df, expected=2)  # the max row + the supplier dim
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_bm25_broadcasts_stats_and_filters_tokens_in_scan(spark):
+    """BM25's corpus-stats (1 row) and df (|query| rows) relations must
+    come back as broadcasts — a shuffle join against either would add
+    two pointless full exchanges — and the postings explode must run
+    over the pre-filtered hits array (scan-stage term filter), never
+    the full token array."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["search_bm25_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "Cartesian" not in plan, plan
+    # the final top-k is a bounded sort, not a global one
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_substring_spans_band_filter_precedes_self_join(spark):
+    """The [2, max_freq] corpus-frequency band must apply BEFORE the
+    positional self-join (it is the quadratic-blowup guard), and the
+    join itself must be an equi-join on the shingle digest."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["dedup_substring_spans"](spark, SF)
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # island consolidation partitions by (pair, diagonal), never globally
+    assert "hashpartitioning(doc_a" in plan, plan
