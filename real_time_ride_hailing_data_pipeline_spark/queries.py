@@ -81,7 +81,6 @@ _VERIFY_FIRST: list[str] = [
     # keep their sf0.001 oracles in tests/test_queries_oracle.py.
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
-    "tpch_q18_large_volume_orders",
     "tpch_q21_waiting_suppliers",
     "window_rank_top_events_per_type",
     "set_union_engaged_users",
@@ -117,7 +116,6 @@ _VERIFY_FIRST: list[str] = [
     # LLM-data-pipeline extension set (round-2 tail, now in-window)
     "dedup_exact_documents",
     "text_ngram_doc_frequency",
-    "text_token_stats",
     "text_quality_scores",
     "text_language_id",
     # r5 rotation: the two new operators take the slots of
@@ -144,6 +142,14 @@ _VERIFY_FIRST: list[str] = [
     "text_repetition_scores",
     "contamination_eval_train_overlap",
     "pack_documents_token_bins",
+    # r5 additions: the SemDeDup keep-list and the end-to-end
+    # training-prep composition take the slots of text_token_stats
+    # (its outputs are a subset of text_quality_scores') and
+    # tpch_q18_large_volume_orders (the deep-TPC-H family keeps
+    # q3/q9/q21 in-window); both rotated-out names keep full local
+    # oracles in tests/test_queries_oracle.py.
+    "dedup_semantic_keep_list",
+    "pipeline_training_prep",
 ]
 
 
@@ -3740,4 +3746,156 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value_c").alias("sum_value_c"),
+    )
+
+
+@query(
+    "dedup_semantic_keep_list",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+      SELECT label, vec_id, embedding,
+             sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="embedding", b="embedding")} AS DOUBLE)) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(CAST({_DOT_DECIMAL_DUCK.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+                  / (a.nrm * b.nrm), 6) >= 0.4
+    ), e AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ), r(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+    ), rep AS (SELECT a AS vec_id, least(a, min(b)) AS rep_id FROM r GROUP BY a)
+    SELECT v.vec_id, v.label,
+           coalesce(rep.rep_id, v.vec_id) AS rep_id,
+           coalesce(rep.rep_id, v.vec_id) = v.vec_id AS keep
+    FROM embeddings v LEFT JOIN rep ON v.vec_id = rep.vec_id
+    """,
+)
+def dedup_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe of Abbas et al. 2023,
+    arXiv:2303.09540): embeddings only meet inside their coarse
+    cluster (label — in production the trained IVF cell), in-cell
+    cosine pairs above threshold chain into components
+    (dd.connected_components), and each component keeps exactly one
+    canonical representative (min vec_id) — the keep/drop decision a
+    training pipeline consumes, emitted for EVERY vector. The sixth
+    dedup modality (exact / MinHash / SimHash / n-gram Jaccard /
+    substring spans / embedding-semantic). Scale: pair space is
+    sum(|cell|^2) never n^2; component rounds = cluster diameter
+    (near-dup clusters are near-cliques, 2-3 rounds)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.bucketed_cosine_pairs(emb, threshold=0.4)
+    comp = dd.connected_components(pairs, "vec_a", "vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("comp", F.col("vec_id")).alias("rep_id"),
+        )
+        .withColumn("keep", F.col("rep_id") == F.col("vec_id"))
+    )
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+      FROM documents
+    ), q AS (
+      SELECT * FROM tk WHERE n_tokens >= 30
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM q
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+    ), tr AS (
+      SELECT q.doc_id, q.source, q.n_tokens
+      FROM q JOIN keep USING (doc_id)
+      WHERE CAST(('0x' || substr(md5('split-v1' || CAST(q.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 9000
+    ), cum AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5('pack-v1' || CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS prior
+      FROM tr
+    )
+    SELECT source,
+           CAST(prior // 2048 AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum GROUP BY 1, 2
+    ORDER BY source, bin
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation — the composition the
+    individual operators exist for, as ONE declarative plan Catalyst
+    optimizes jointly: quality gate (>= 30 tokens) -> exact dedup
+    (min doc_id per normalized-content md5, dd.exact_dedup) -> 90%
+    deterministic train split (smp.hash_split) -> per-source
+    2048-token sequence packing. Output is the packed-bin manifest a
+    shard writer consumes.
+
+    Each stage is the 100 TB shape established by its standalone
+    query: the gate is a map-only filter fused into the scan, dedup
+    shuffles ~50 B/row, the split adds no shuffle at all, and packing
+    sorts per source partition, never globally. Composing them in one
+    plan (rather than 4 materialized passes) lets the dedup shuffle
+    be the only corpus-wide data movement before packing."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(tx.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    q_pass = docs.filter(F.col("n_tokens") >= 30)
+    kept = dd.exact_dedup(q_pass).select("doc_id")
+    train = (
+        q_pass.join(kept, "doc_id")
+        .transform(
+            lambda d: smp.hash_split(
+                d, "doc_id", [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+            )
+        )
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.md5(
+                F.concat(F.lit("pack-v1"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ).alias("pk"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = train.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("prior"),
+    )
+    return (
+        cum.groupBy("source", F.expr("prior DIV 2048").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
     )
