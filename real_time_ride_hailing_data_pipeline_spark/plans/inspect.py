@@ -62,6 +62,7 @@ _STREAMING_QUERIES = {
     "stateful_sessionizer_closed_sessions",
     "stream_static_enrichment",
     "stream_stream_join_purchase_attribution",
+    "stream_stream_left_outer_attribution",
     "streaming_city_metrics_replay",
     "streaming_dedup_replay",
     "streaming_jdbc_replay",
@@ -80,12 +81,13 @@ row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
 filters on the selective scans, BroadcastHashJoin on dim joins,
 SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
 below are *intended* 1-row broadcasts (the query vector in
-ann_cosine_topk; the scalar threshold in tpch_q22);
+ann_cosine_topk; the scalar threshold in tpch_q22; the corpus-stats
+row in search_bm25_topk);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
 queries. Queries that execute a StreamingQuery (or an iterative
-fixpoint: dedup_cluster_assignment) are audited by their component
-batch plans and marked below.
+fixpoint: dedup_cluster_assignment, dedup_semantic_keep_list) are
+audited by their component batch plans and marked below.
 
 | query | Exchange nodes (incl. broadcast) | BNLJ | flags |
 |---|---|---|---|
@@ -99,7 +101,7 @@ def generate_plans_md(sf_dir: str = "/root/testdata/sf0.001") -> str:
 
     spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=8)
     rows = []
-    iterative = {"dedup_cluster_assignment"}
+    iterative = {"dedup_cluster_assignment", "dedup_semantic_keep_list"}
     for name, fn in sorted(q.all_queries().items()):
         if name in _STREAMING_QUERIES:
             rows.append(f"| {name} | (streaming — executed, not statically planned) | — | |")

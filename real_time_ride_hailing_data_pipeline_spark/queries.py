@@ -3899,3 +3899,84 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+@query(
+    "resample_ohlc_bars",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, time_bucket(INTERVAL 5 MINUTE, ts) AS bar_start, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           arg_min(value, ord) AS open,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, ord) AS close,
+           count(*) AS n_events
+    FROM k GROUP BY 1, 2
+    """,
+)
+def resample_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling: 5-minute open/high/low/close bars per
+    event_type — the resample shape every monitoring/market pipeline
+    runs. One grouped aggregation (partial min_by/max_by merge
+    map-side, shuffle carries one partial row per (type, bar)); no
+    window functions, no second pass. Open/close pick raw stored
+    doubles via a total order (epoch-micros + event_id, zero-padded so
+    string order == numeric order — min_by needs one orderable key and
+    this is the engine-portable composite), so every output value is
+    selected, never arithmetically derived: bit-exact across engines.
+    Extends O1/A-family coverage with the first/last-in-window access
+    pattern (argmax_event_per_type is its per-group-global cousin)."""
+    events = _t(spark, sf_dir, "events")
+    ordk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.select(
+            "event_type",
+            F.window("ts", "5 minutes").start.alias("bar_start"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("event_type", "bar_start")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "stream_stream_left_outer_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           s.event_id  AS signup_id,
+           s.ts        AS signup_ts,
+           p.ts        AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+)
+def stream_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join, executed as a real
+    StreamingQuery (streaming/job.py:run_stream_stream_left_outer_join):
+    purchases null-extend when no same-user signup exists in the
+    preceding 7 days — emission gated on the signup watermark proving
+    no match can still arrive. Replay determinism comes from a
+    watermark-flush sentinel on the right stream (the never-matching
+    user -1, 30 days past max event time) that closes all left state
+    before the replay ends; the oracle is the plain batch LEFT JOIN."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_stream_stream_left_outer_join(spark, sf_dir)

@@ -445,3 +445,107 @@ def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read(spark)
+
+
+def _write_watermark_flush_row(source_parquet: str, staged_dir: str) -> None:
+    """Append a one-row parquet file (schema-identical to the source)
+    to a staged stream directory: a 'signup' 30 days past the source's
+    max event time, under the never-matching user_id -1.
+
+    Outer stream-stream joins only null-extend a row once the OTHER
+    side's watermark passes its join bound — rows inside the final
+    watermark-delay window when input ends would otherwise stay in
+    state forever and never emit, so a bounded replay of an outer join
+    is not deterministic without a state-closing event. The flush row
+    advances the right-side watermark past every left row's bound; it
+    can't join (no user -1) and right rows never emit alone in a
+    left-outer join, so it is invisible in the output. (Kafka
+    deployments do the same with heartbeat/sentinel messages.)"""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(source_parquet)
+    max_ts = max(t.column("ts").to_pylist())
+    flush = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([max_ts + dt.timedelta(days=30)], t.schema.field("ts").type),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["signup"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    ).select([f.name for f in t.schema]).cast(t.schema)
+    pq.write_table(flush, os.path.join(staged_dir, "zz_watermark_flush.parquet"))
+
+
+def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with watermarks + event-time
+    bounds: every purchase, attributed to same-user signups of the
+    preceding 7 days, null-extended when none exist — the outer-join
+    semantics the inner variant (run_stream_stream_join) can't show:
+    emission of the null-extended row happens only when the signup
+    watermark proves no match can still arrive.
+
+    Replay determinism needs the watermark-flush sentinel (see
+    _write_watermark_flush_row): without it, unmatched purchases
+    inside the final watermark-delay window never close. With it, the
+    availableNow replay equals the batch LEFT JOIN bit-for-bit.
+    State stays bounded exactly as in the inner join: each side
+    evicts once the other side's watermark passes the time bound."""
+    workdir = tempfile.mkdtemp(prefix="rtrh_ssloj_")
+    src = os.path.join(sf_dir, "events.parquet")
+    w2 = os.path.join(workdir, "w2")
+    os.makedirs(w2, exist_ok=True)
+    os.symlink(src, os.path.join(w2, "events.parquet"))
+    _write_watermark_flush_row(src, w2)
+    purchases = (
+        events_parquet_stream(spark, src, wrapper_dir=os.path.join(workdir, "w1"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    signups = (
+        events_parquet_stream(spark, w2)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 minute")
+        .filter(F.col("s_user_id") >= 0)
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "signup_id", "signup_ts", "purchase_ts")
+
+    out_path = os.path.join(workdir, "out")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_path)
