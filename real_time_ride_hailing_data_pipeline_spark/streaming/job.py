@@ -447,20 +447,26 @@ def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read(spark)
 
 
-def _write_watermark_flush_row(source_parquet: str, staged_dir: str) -> None:
+def _write_watermark_flush_row(
+    source_parquet: str, staged_dir: str, event_type: str
+) -> None:
     """Append a one-row parquet file (schema-identical to the source)
-    to a staged stream directory: a 'signup' 30 days past the source's
-    max event time, under the never-matching user_id -1.
+    to a staged stream directory: an ``event_type`` sentinel 30 days
+    past the source's max event time, under the reserved user_id -1.
 
-    Outer stream-stream joins only null-extend a row once the OTHER
-    side's watermark passes its join bound — rows inside the final
-    watermark-delay window when input ends would otherwise stay in
-    state forever and never emit, so a bounded replay of an outer join
-    is not deterministic without a state-closing event. The flush row
-    advances the right-side watermark past every left row's bound; it
-    can't join (no user -1) and right rows never emit alone in a
-    left-outer join, so it is invisible in the output. (Kafka
-    deployments do the same with heartbeat/sentinel messages.)"""
+    Outer stream-stream joins only null-extend a row once the GLOBAL
+    watermark (the min across both sides) passes its join bound — rows
+    inside the final watermark-delay window when input ends would
+    otherwise stay in state forever and never emit, so a bounded
+    replay of an outer join is not deterministic without a
+    state-closing event on EVERY input. (One-sided flushing is not
+    enough: the global watermark is the minimum, so the un-flushed
+    side pins it.) The sentinel must flow through the
+    EventTimeWatermark operator — filtering it out pre-join would let
+    predicate pushdown drop it below the watermark node and undo the
+    flush — so callers remove user -1 rows in the foreachBatch sink,
+    after execution. (Kafka deployments do the same with heartbeat
+    messages on every partition.)"""
     import datetime as dt
 
     import pyarrow as pa
@@ -473,7 +479,7 @@ def _write_watermark_flush_row(source_parquet: str, staged_dir: str) -> None:
             "event_id": pa.array([-1], pa.int64()),
             "ts": pa.array([max_ts + dt.timedelta(days=30)], t.schema.field("ts").type),
             "user_id": pa.array([-1], pa.int64()),
-            "event_type": pa.array(["signup"], pa.string()),
+            "event_type": pa.array([event_type], pa.string()),
             "value": pa.array([0.0], pa.float64()),
             "props": pa.array(["{}"], pa.string()),
         }
@@ -489,20 +495,29 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     emission of the null-extended row happens only when the signup
     watermark proves no match can still arrive.
 
-    Replay determinism needs the watermark-flush sentinel (see
-    _write_watermark_flush_row): without it, unmatched purchases
-    inside the final watermark-delay window never close. With it, the
-    availableNow replay equals the batch LEFT JOIN bit-for-bit.
-    State stays bounded exactly as in the inner join: each side
-    evicts once the other side's watermark passes the time bound."""
+    Replay determinism needs the watermark-flush sentinel on BOTH
+    streams (see _write_watermark_flush_row — outer emission is gated
+    on the GLOBAL watermark, the min across sides, so flushing only
+    the signup stream leaves tail purchases pinned by the purchase
+    watermark). With both sentinels the availableNow replay equals
+    the batch LEFT JOIN bit-for-bit (the tail-unmatched edge is
+    pinned by tests/test_streaming.py::
+    test_left_outer_join_emits_tail_unmatched_via_flush_sentinel).
+    The matched sentinel pair itself is removed in the foreachBatch
+    sink — post-execution, where predicate pushdown can't hoist the
+    filter above the watermark operator. State stays bounded exactly
+    as in the inner join: each side evicts once the global watermark
+    passes the time bound."""
     workdir = tempfile.mkdtemp(prefix="rtrh_ssloj_")
     src = os.path.join(sf_dir, "events.parquet")
+    w1 = os.path.join(workdir, "w1")
     w2 = os.path.join(workdir, "w2")
-    os.makedirs(w2, exist_ok=True)
-    os.symlink(src, os.path.join(w2, "events.parquet"))
-    _write_watermark_flush_row(src, w2)
+    for d, etype in ((w1, "purchase"), (w2, "signup")):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        _write_watermark_flush_row(src, d, etype)
     purchases = (
-        events_parquet_stream(spark, src, wrapper_dir=os.path.join(workdir, "w1"))
+        events_parquet_stream(spark, w1)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -520,7 +535,6 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
             F.col("ts").alias("signup_ts"),
         )
         .withWatermark("signup_ts", "1 minute")
-        .filter(F.col("s_user_id") >= 0)
     )
     joined = purchases.join(
         signups,
@@ -533,7 +547,9 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     out_path = os.path.join(workdir, "out")
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        # drop the sentinel pair AFTER execution (a pre-join filter
+        # would push below EventTimeWatermark and undo the flush)
+        batch_df.filter(F.col("user_id") >= 0).write.mode("append").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -377,3 +377,42 @@ def test_jdbc_derby_merge_sql_ansi_shape():
     assert '"total_trips" = s."total_trips"' in sql
     assert "WHEN NOT MATCHED THEN INSERT" in sql
     assert "+" not in sql
+
+
+def test_left_outer_join_emits_tail_unmatched_via_flush_sentinel(spark, tmp_path):
+    """An UNMATCHED purchase at the very end of the stream sits inside
+    the final watermark-delay window — without the flush sentinel its
+    null-extended row would never emit (state still open when the
+    replay ends). The sentinel must close it; the result must equal
+    the batch LEFT JOIN including that tail row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # matched pair early in the stream
+        (1, base, 10, "signup"),
+        (2, base + dt.timedelta(days=1), 10, "purchase"),
+        # final event: a purchase with NO signup in window — the case
+        # the sentinel exists for
+        (3, base + dt.timedelta(days=2), 99, "purchase"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    pq.write_table(t, os.path.join(sf_dir, "events.parquet"))
+
+    out = sj.run_stream_stream_left_outer_join(spark, sf_dir)
+    got = {
+        (r.purchase_id, r.signup_id) for r in out.collect()
+    }
+    assert got == {(2, 1), (3, None)}
