@@ -259,3 +259,53 @@ def norm_stats_by_label(
             F.expr("round(sqrt(cast(_max_sq as double)), 6)").alias("max_norm"),
         )
     )
+
+
+def embedding_intstats_arrow(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector integer stats via ``mapInArrow`` — Spark 4's
+    Arrow-native map: the UDF receives raw ``pyarrow.RecordBatch``es
+    (no pandas conversion at all) and answers with pyarrow compute
+    kernels, the zero-copy fast path for columnar array math.
+
+    The per-element work runs on the FLATTENED child array of the
+    list column (one vectorized kernel over every element in the
+    batch), then folds back per row via ``list_parent_indices`` +
+    ``group_by`` — the Arrow idiom for ragged data, no Python loop
+    anywhere. Stats are exact integers (floor(x*1000) on the
+    bit-identical float->double widening), so the query carries a full
+    value-hash oracle despite crossing the Python boundary."""
+    import pyarrow as pa
+
+    out_schema = f"{id_col} long, sum_milli long, n_pos long"
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            vec = b.column(vec_col)
+            ids = b.column(id_col)
+            lv = pc.cast(vec, pa.list_(pa.float64()))
+            parent = pc.list_parent_indices(lv)
+            vals = pc.list_flatten(lv)
+            milli = pc.cast(pc.floor(pc.multiply(vals, 1000.0)), pa.int64())
+            pos = pc.cast(pc.greater(vals, 0.0), pa.int64())
+            agg = (
+                pa.table({"p": parent, "milli": milli, "pos": pos})
+                .group_by("p")
+                .aggregate([("milli", "sum"), ("pos", "sum")])
+                .sort_by("p")
+            )
+            def as_array(col):
+                return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+            yield pa.record_batch(
+                {
+                    id_col: as_array(pc.take(ids, agg.column("p"))),
+                    "sum_milli": as_array(agg.column("milli_sum")),
+                    "n_pos": as_array(agg.column("pos_sum")),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(stats, out_schema)

@@ -3980,3 +3980,76 @@ def stream_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Da
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.run_stream_stream_left_outer_join(spark, sf_dir)
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ), spine(d) AS (
+      SELECT d0 FROM bounds
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds WHERE d < d1
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, s.d AS day, coalesce(daily.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling via Spark 4's recursive CTE
+    (WITH RECURSIVE, new in 4.0): generate every day between the
+    corpus min and max date, cross with the event-type dimension, and
+    left-join daily counts so silent days surface as explicit zeros —
+    the standard warehouse shape for complete time series (dashboards,
+    anomaly baselines). The recursion is the date spine itself: one
+    row per level, depth = day span (bounded, acyclic — Spark's
+    recursive CTE supports UNION ALL recursion, which is exactly the
+    monotone generator shape; cyclic closure stays on the iterative
+    DataFrame path, dedup.connected_components). The spine is
+    driver-tiny; the only real data movement is the daily groupBy."""
+    events = _t(spark, sf_dir, "events")
+    view = "events_gapfill_src"
+    events.createOrReplaceTempView(view)
+    return spark.sql(f"""
+    WITH RECURSIVE bounds AS (
+      SELECT min(to_date(ts)) AS d0, max(to_date(ts)) AS d1 FROM {view}
+    ), spine(d) AS (
+      SELECT d0 FROM bounds
+      UNION ALL
+      SELECT date_add(d, 1) FROM spine, bounds WHERE d < d1
+    ), daily AS (
+      SELECT event_type, to_date(ts) AS d, count(*) AS n
+      FROM {view} GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM {view})
+    SELECT t.event_type, s.d AS day, coalesce(daily.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
+    """)
+
+
+@query(
+    "mapinarrow_embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
+             AS sum_milli,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS BIGINT)
+             AS n_pos
+    FROM embeddings
+    """,
+)
+def mapinarrow_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface (sim.embedding_intstats_arrow): raw
+    RecordBatch in, pyarrow compute kernels over the flattened list
+    child array, per-row fold via list_parent_indices — completes the
+    Python-boundary API family (scalar/GROUPED_AGG pandas_udf,
+    applyInPandas, mapInPandas, applyInPandasWithState, UDTF, Python
+    DataSource, and now Arrow-native map), every one Arrow-batched
+    and none row-at-a-time."""
+    return sim.embedding_intstats_arrow(_t(spark, sf_dir, "embeddings"))
