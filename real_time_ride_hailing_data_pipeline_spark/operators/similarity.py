@@ -309,3 +309,41 @@ def embedding_intstats_arrow(
             )
 
     return embeddings.select(id_col, vec_col).mapInArrow(stats, out_schema)
+
+
+def label_intstats_arrow(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label aggregate stats via grouped ``applyInArrow`` — the
+    grouped sibling of mapInArrow (one pyarrow.Table per group, no
+    pandas): vector count, total floor-milli mass, and the min vec_id
+    per label, all with pyarrow compute kernels. Exact integers ->
+    full value-hash oracle across the Python boundary.
+
+    Scale: the group count is the label cardinality (dim-sized); each
+    group's table is one cell of the corpus — the same partition-by-
+    key contract applyInPandas has, minus the pandas conversion."""
+    import pyarrow as pa
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lv = pc.cast(tbl.column(vec_col).combine_chunks(), pa.list_(pa.float64()))
+        vals = pc.list_flatten(lv)
+        milli = pc.cast(pc.floor(pc.multiply(vals, 1000.0)), pa.int64())
+        return pa.table(
+            {
+                "label": pa.array([tbl.column("label")[0].as_py()], pa.int32()),
+                "n_vecs": pa.array([tbl.num_rows], pa.int64()),
+                "sum_milli_total": pa.array([pc.sum(milli).as_py()], pa.int64()),
+                "min_vec_id": pa.array(
+                    [pc.min(tbl.column(id_col)).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        embeddings.select("label", id_col, vec_col)
+        .groupBy("label")
+        .applyInArrow(stats, "label int, n_vecs long, sum_milli_total long, min_vec_id long")
+    )

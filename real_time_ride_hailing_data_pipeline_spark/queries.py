@@ -3987,10 +3987,15 @@ def stream_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Da
     oracle="""
     WITH RECURSIVE bounds AS (
       SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
-    ), spine(d) AS (
+    ), weeks(w) AS (
       SELECT d0 FROM bounds
       UNION ALL
-      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine, bounds WHERE d < d1
+      SELECT CAST(w + INTERVAL 7 DAY AS DATE) FROM weeks, bounds
+      WHERE CAST(w + INTERVAL 7 DAY AS DATE) <= d1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(w, least(CAST(w + INTERVAL 6 DAY AS DATE), d1),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM weeks CROSS JOIN bounds
     ), daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
       FROM events GROUP BY 1, 2
@@ -4006,22 +4011,30 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus min and max date, cross with the event-type dimension, and
     left-join daily counts so silent days surface as explicit zeros —
     the standard warehouse shape for complete time series (dashboards,
-    anomaly baselines). The recursion is the date spine itself: one
-    row per level, depth = day span (bounded, acyclic — Spark's
-    recursive CTE supports UNION ALL recursion, which is exactly the
-    monotone generator shape; cyclic closure stays on the iterative
-    DataFrame path, dedup.connected_components). The spine is
-    driver-tiny; the only real data movement is the daily groupBy."""
+    anomaly baselines). Spark's recursive CTE supports UNION ALL
+    recursion — the monotone generator shape; cyclic closure stays on
+    the iterative DataFrame path (dedup.connected_components).
+
+    The recursion steps by WEEK and each week explodes to its days
+    (sequence + explode): Spark executes one micro-job per recursion
+    level, so a day-per-level spine costs span-many tiny jobs
+    (measured 6.9 s at bench scale) while week-per-level + fan-out is
+    span/7 levels for the identical output (1.5 s). Same hybrid in
+    the DuckDB oracle (generate_series per week) — structure mirrored
+    on both sides."""
     events = _t(spark, sf_dir, "events")
     view = "events_gapfill_src"
     events.createOrReplaceTempView(view)
     return spark.sql(f"""
     WITH RECURSIVE bounds AS (
       SELECT min(to_date(ts)) AS d0, max(to_date(ts)) AS d1 FROM {view}
-    ), spine(d) AS (
+    ), weeks(w) AS (
       SELECT d0 FROM bounds
       UNION ALL
-      SELECT date_add(d, 1) FROM spine, bounds WHERE d < d1
+      SELECT date_add(w, 7) FROM weeks, bounds WHERE date_add(w, 7) <= d1
+    ), spine AS (
+      SELECT explode(sequence(w, least(date_add(w, 6), d1))) AS d
+      FROM weeks CROSS JOIN bounds
     ), daily AS (
       SELECT event_type, to_date(ts) AS d, count(*) AS n
       FROM {view} GROUP BY 1, 2
@@ -4053,3 +4066,24 @@ def mapinarrow_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSource, and now Arrow-native map), every one Arrow-batched
     and none row-at-a-time."""
     return sim.embedding_intstats_arrow(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "applyinarrow_label_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(list_sum(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT)
+             AS sum_milli_total,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings GROUP BY label
+    """,
+)
+def applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow surface (sim.label_intstats_arrow): one
+    pyarrow.Table per label, reduced with Arrow kernels — with
+    mapinarrow_embedding_stats this closes out every Python-boundary
+    API Spark 4 ships (pandas trio, GROUPED_AGG UDAF, both Arrow-
+    native maps, UDTF, Python DataSource), each with a full oracle."""
+    return sim.label_intstats_arrow(_t(spark, sf_dir, "embeddings"))
