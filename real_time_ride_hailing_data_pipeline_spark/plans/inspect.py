@@ -63,6 +63,7 @@ _STREAMING_QUERIES = {
     "stream_static_enrichment",
     "stream_stream_join_purchase_attribution",
     "stream_stream_left_outer_attribution",
+    "statestore_open_windows",
     "streaming_city_metrics_replay",
     "streaming_dedup_replay",
     "streaming_jdbc_replay",

@@ -4087,3 +4087,54 @@ def applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     API Spark 4 ships (pandas trio, GROUPED_AGG UDAF, both Arrow-
     native maps, UDTF, Python DataSource), each with a full oracle."""
     return sim.label_intstats_arrow(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "statestore_open_windows",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mt FROM events),
+    w AS (
+      SELECT event_type, date_trunc('minute', ts) AS window_start, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, window_start, n_events
+    FROM w, m
+    WHERE window_start + INTERVAL 1 MINUTE > mt - INTERVAL 10 MINUTE
+    """,
+)
+def statestore_open_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state introspection via Spark 4's state data source
+    (`spark.read.format("statestore")`): run the reference pipeline's
+    availableNow replay, then read the aggregation state back OUT of
+    the checkpoint. What remains is exactly the set of windows still
+    open under the 10-minute watermark (window_end > max event time -
+    10 min — everything older was evicted), each carrying its running
+    count — the bounded-state claim of the streaming design made
+    directly observable, and the ops surface for state debugging /
+    capacity audits. The value struct has duplicate `count` field
+    names (count + avg internals); a positional struct cast renames
+    them for unambiguous access."""
+    import os
+    import tempfile as _tf
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import (
+        run_city_metrics_replay,
+    )
+
+    workdir = _tf.mkdtemp(prefix="rtrh_stater_")
+    ckpt = os.path.join(workdir, "ckpt")
+    run_city_metrics_replay(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(workdir, "sink"),
+        ckpt,
+    )
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("key.window.start").alias("window_start"),
+        F.col("value")
+        .cast("struct<n:bigint,s:bigint,n2:bigint>")
+        .getField("n")
+        .alias("n_events"),
+    )
