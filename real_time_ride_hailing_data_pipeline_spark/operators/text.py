@@ -267,3 +267,43 @@ def char_shingle_fingerprint(
         f"i -> md5(cast(substr({text_col}, i, {k}) as binary))))"
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window prep step of
+    RAG/training pipelines: fixed ``chunk``-token windows starting
+    every ``stride`` tokens (overlap = chunk - stride), the final
+    window truncated at the document end. Documents shorter than one
+    window yield a single chunk.
+
+    Map-only (explode of per-doc window starts), so it scales as pure
+    scan work. The chunk content is reported as an md5 digest, not the
+    text itself: downstream dedup/Bloom audits want the digest anyway,
+    and the shuffle stays ~50 B/row at any chunk size. Same
+    single-tokenization fold as word_shingles (the token array binds
+    once inside the aggregate lambda; a plain column reference would
+    re-split per window through CollapseProject)."""
+    structs = F.expr(
+        f"aggregate(array(split(trim(lower({text_col})), '\\\\s+')), "
+        "  cast(array() as array<struct<s:int,n:int,h:string>>), "
+        "  (acc, toks) -> transform("
+        f"    sequence(1, greatest(size(toks), 1), {stride}), "
+        f"    s -> named_struct("
+        f"      's', cast(s as int), "
+        f"      'n', cast(least(s + {chunk - 1}, size(toks)) - s + 1 as int), "
+        f"      'h', md5(cast(concat_ws(' ', slice(toks, s, "
+        f"             least({chunk}, size(toks) - s + 1))) as binary)))))"
+    )
+    return df.select(F.col(id_col), F.posexplode(structs).alias("chunk_id", "c")).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long"),
+        F.col("c.s").cast("long").alias("start_token"),
+        F.col("c.n").cast("long").alias("chunk_tokens"),
+        F.col("c.h").alias("chunk_md5"),
+    )

@@ -4138,3 +4138,27 @@ def statestore_open_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("n")
         .alias("n_events"),
     )
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_token,
+           CAST(least(s + 63, len(toks)) - s + 1 AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' ')) AS chunk_md5
+    FROM tk, unnest(generate_series(1, greatest(len(toks), 1), 48)) AS u(s)
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (tx.chunk_documents): 64-token
+    windows every 48 tokens (16-token overlap), final window truncated
+    — the context-window prep step every RAG / training pipeline runs
+    between cleaning and packing. Map-only; chunk content reported as
+    md5 so the shuffle is digest-sized at any window size."""
+    return tx.chunk_documents(_t(spark, sf_dir, "documents"), chunk=64, stride=48)
