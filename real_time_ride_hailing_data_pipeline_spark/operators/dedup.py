@@ -547,3 +547,162 @@ def substring_duplicate_spans(
         .filter(F.col("span_tokens") >= min_span)
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric near-dup join by shingle CONTAINMENT
+    |A∩B| / min(|A|,|B|) — the measure that catches a short document
+    embedded inside a longer one, which symmetric Jaccard structurally
+    misses (a 100-shingle doc fully contained in a 10k-shingle doc has
+    Jaccard ~0.01 but containment 1.0).
+
+    Candidate generation anchors on RARE shingles: the inverted index
+    keeps only shingles with document frequency <= max_df, so the join
+    fan-out per shingle is bounded by max_df² and hot boilerplate
+    shingles ("terms of service") never explode the join. A contained
+    pair is missed only if every shared shingle is corpus-hot — i.e.
+    the contained text is pure boilerplate, which is exactly the
+    content containment dedup should not fire on. The exact
+    containment then runs on candidates only via array_intersect over
+    the full shingle sets.
+
+    Scale shape: one explode shuffle of (shingle, id) ~50 B rows, a
+    shingle-frequency aggregate, a df-capped self-join, then
+    verification on the sparse candidate set — the same
+    never-all-pairs discipline as the LSH/prefix-filter paths.
+    """
+    from fractions import Fraction
+
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    sh = sh.cache()  # feeds the index build and both verify sides
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    from pyspark.sql import Window
+
+    # df-cap via window count over the single exploded relation (one
+    # scan — same lesson as substring_spans' frequency band)
+    rare = (
+        ex.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
+        .drop("df_")
+    )
+    rare = rare.cache()
+    cands = (
+        rare.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+        .join(rare.select(F.col("shingle"), F.col(id_col).alias("doc_b")), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    msize = F.least(F.size("sh_a"), F.size("sh_b")).cast("long")
+    frac = Fraction(threshold).limit_denominator(10_000)
+    tn, td = frac.numerator, frac.denominator
+    joined = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("overlap"),
+            msize.alias("min_size"),
+        )
+    )
+    # containment >= tn/td  <=>  td*overlap >= tn*min_size (exact ints)
+    return (
+        joined.filter(F.col("overlap") * td >= F.col("min_size") * tn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            "min_size",
+            F.expr(
+                "cast(((2 * overlap * 10000 + min_size) DIV (2 * min_size)) / 10000.0 "
+                "as double)"
+            ).alias("containment"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    bucket_len: int = 4,
+    window: int = 2,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD'95)
+    dedup: sort records by a blocking key (normalized text prefix),
+    compare each record only to its `window` successors in sort
+    order, score candidate pairs by exact token-set Jaccard.
+
+    The classic complement to hash blocking: O(n·w) comparisons with
+    a data-independent bound (LSH/prefix-filter costs depend on
+    shingle statistics), catching near-dups whose edits sit past the
+    blocking prefix. Distribution shape: the sort key's leading
+    `bucket_len` chars are the shuffle partition, the full key orders
+    WITHIN each partition — so the window comparison runs in
+    parallel per bucket with no global single-partition sort (the
+    textbook single total order is the non-scalable form; bucketed
+    SNM is how it shards, at the cost of missing pairs that straddle
+    a bucket boundary with different leading chars — which the key
+    construction makes near-dup-unlikely).
+    """
+    from pyspark.sql import Window
+
+    key = F.substring(normalize_text(text_col), 1, key_len)
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    base = df.select(
+        F.col(id_col), key.alias("snm_key"), toks.alias("toks")
+    )
+    w = Window.partitionBy(F.substring("snm_key", 1, bucket_len)).orderBy(
+        "snm_key", id_col
+    )
+    lead_cols = []
+    for i in range(1, window + 1):
+        lead_cols.append(F.lead(id_col, i).over(w).alias(f"nb_{i}"))
+    nb = base.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"), *lead_cols)
+    pair_frames = [
+        nb.filter(F.col(f"nb_{i}").isNotNull()).select(
+            "doc_a", F.col(f"nb_{i}").alias("doc_b"), "toks_a"
+        )
+        for i in range(1, window + 1)
+    ]
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.unionByName(p)
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("long") - inter
+    from fractions import Fraction
+
+    frac = Fraction(min_jaccard).limit_denominator(10_000)
+    tn, td = frac.numerator, frac.denominator
+    joined = pairs.join(b, "doc_b").select(
+        "doc_a", "doc_b", inter.alias("overlap"), union.alias("usize")
+    )
+    return (
+        joined.filter(F.col("overlap") * td >= F.col("usize") * tn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            "usize",
+            F.expr(
+                "cast(((2 * overlap * 10000 + usize) DIV (2 * usize)) / 10000.0 "
+                "as double)"
+            ).alias("jaccard"),
+        )
+    )

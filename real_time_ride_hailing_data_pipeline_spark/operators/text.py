@@ -307,3 +307,63 @@ def chunk_documents(
         F.col("c.n").cast("long").alias("chunk_tokens"),
         F.col("c.h").alias("chunk_md5"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword /
+    topic-signal extractor (and the exact term-weighting BM25 builds
+    on; see search.bm25 for the query-scoring variant).
+
+    score = tf * ln(N/df), reported as a floor-at-1e-6 fixed point
+    (``score_micro``) so cross-engine comparison never rides on the
+    last ulp of a transcendental: the double quotient N/df is
+    IEEE-identical everywhere, ln differs by at most an ulp across
+    libm implementations, and the 1e-6 floor absorbs it.
+
+    Plan shape: explode (doc, term) -> grouped tf -> term-keyed
+    document-frequency aggregate -> join back on term -> per-doc
+    top-k window. The df relation is vocabulary-sized (zipf-bounded,
+    far smaller than the corpus); the join is term-keyed with
+    fan-out = df per term, i.e. the inverted index itself — no
+    all-pairs, no driver collection. N arrives as a broadcast 1-row
+    aggregate, not a collected literal.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.cache()  # feeds both the df aggregate and the score join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("nd").cast("double") / F.col("doc_freq"))
+                * 1000000
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            "score_micro",
+            F.col("term_rank").cast("bigint").alias("term_rank"),
+        )
+    )

@@ -4162,3 +4162,269 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     between cleaning and packing. Map-only; chunk content reported as
     md5 so the shuffle is digest-sized at any window size."""
     return tx.chunk_documents(_t(spark, sf_dir, "documents"), chunk=64, stride=48)
+
+
+from real_time_ride_hailing_data_pipeline_spark.operators import profiling as pf  # noqa: E402
+
+_PROFILE_NUMERIC = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_OTHER = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        if c in _PROFILE_NUMERIC:
+            mn = f"CAST(min({c}) AS DOUBLE)"
+            mx = f"CAST(max({c}) AS DOUBLE)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS null_count, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_count, "
+            f"{mn} AS min_value, {mx} AS max_value FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table_columns", oracle=_profile_oracle())
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profiling.py:column_profile): null
+    count, exact distinct count, numeric min/max for every profiled
+    column of `orders` — computed in ONE pass (a single wide aggregate
+    with multi-column distinct via Expand, unpivoted with `stack`).
+    The pre-flight audit every ingestion pipeline runs; at 100 TB the
+    cost is exactly one scan regardless of column count, vs the naive
+    one-aggregation-per-column plan that scans the table N times."""
+    orders = _t(spark, sf_dir, "orders")
+    return pf.column_profile(orders, _PROFILE_NUMERIC, _PROFILE_OTHER)
+
+
+@query(
+    "histogram_event_values",
+    oracle="""
+    WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+    SELECT least(cents // 2500, 19) AS bucket_id,
+           count(*) AS n_events,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           least(cents // 2500, 19) * 2500 / 100.0 AS lo_dollars
+    FROM ev GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (operators/profiling.py): $25
+    buckets over the fare distribution, last bucket absorbing the
+    tail. Exact integer-cents bucket assignment (cents DIV width —
+    no float division near bucket edges), map-side partial
+    aggregation; the shuffle carries n_buckets rows."""
+    events = _t(spark, sf_dir, "events")
+    return pf.value_histogram(events, "value", bucket_cents=2500, n_buckets=20)
+
+
+@query(
+    "outlier_extreme_values",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+      FROM ev GROUP BY 1
+    ), sc AS (
+      SELECT ev.event_id, ev.event_type, ev.cents, st.n, st.s, st.q,
+             CAST(ev.cents AS HUGEINT) * st.n - st.s AS dev
+      FROM ev JOIN st USING (event_type)
+    ), rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(dev) DESC, event_id ASC
+             ) AS rk
+      FROM sc
+    )
+    SELECT event_id, event_type, cents AS value_cents,
+           CAST(rk AS BIGINT) AS extreme_rank,
+           (dev * dev > 9 * (n * q - s * s)) AS exceeds_z3
+    FROM rk WHERE rk <= 5
+    """,
+)
+def outlier_extreme_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped extreme-value detection (operators/profiling.py:
+    grouped_extremes): top-5 |z-score| events per type, flagged
+    against z>3 — entirely in exact integer/decimal arithmetic via
+    the identity z^2 > 9 <=> (x*n - s)^2 > 9*(n*q - s^2), so the
+    result is bit-stable across engines (intermediates run in
+    decimal(38,0) / HUGEINT; they reach ~1e19 at sf0.1 group sizes).
+    Plan: one tiny grouped aggregate broadcast back onto the events +
+    a per-group top-k window — no global sort."""
+    events = _t(spark, sf_dir, "events")
+    return pf.grouped_extremes(
+        events, "event_type", "value", "event_id", top_k=5, z_threshold=3
+    )
+
+
+@query(
+    "sketch_hll_distinct_users",
+    oracle="""
+    SELECT event_type AS group_key,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS group_key,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM events
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (operators/profiling.py:
+    hll_distinct_audit): per-type DataSketches HLL via Spark 4's
+    hll_sketch_agg, merged into a global sketch with hll_union_agg —
+    the re-aggregatable cardinality path (a 2^lgk-byte blob shuffles
+    instead of raw values, and rollups merge without a second scan;
+    approx_count_distinct's HLL++ cannot merge across groups). The
+    output asserts the estimate against the co-computed EXACT count
+    (boolean estimate_ok, ±2%), so the oracle is fully value-checked:
+    at these cardinalities the sketch is in exact list/set mode and
+    the flag is deterministically TRUE; the claim itself is
+    hash-compared, not just row-counted."""
+    events = _t(spark, sf_dir, "events")
+    return pf.hll_distinct_audit(events, "event_type", "user_id", lgk=12, tolerance_pct=2)
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t.term AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM tk, unnest(toks) AS t(term) GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS nd FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+             CAST(floor(tf.tf * ln(CAST(nd AS DOUBLE) / doc_freq) * 1000000)
+               AS BIGINT) AS score_micro
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ), rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+             ) AS term_rank
+      FROM sc
+    )
+    SELECT doc_id, term, tf, doc_freq, score_micro,
+           CAST(term_rank AS BIGINT) AS term_rank
+    FROM rk WHERE term_rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py:
+    tfidf_top_terms): explode -> grouped tf -> vocabulary-sized df
+    aggregate -> term-keyed join -> per-doc top-k window. Scores are
+    floor-at-1e-6 fixed point so the libm ln ulp never flips a
+    comparison; ties break on the term string."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      FROM tk
+    ), ex AS (
+      SELECT doc_id, s.shingle FROM t, unnest(sh) AS s(shingle)
+    ), dfq AS (
+      SELECT shingle, count(*) AS df_ FROM ex GROUP BY 1
+    ), rare AS (
+      SELECT ex.doc_id, ex.shingle
+      FROM ex JOIN dfq USING (shingle) WHERE df_ BETWEEN 2 AND 100
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+    ), v AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS overlap,
+             CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_size
+      FROM cand
+      JOIN t sa ON sa.doc_id = cand.doc_a
+      JOIN t sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, overlap, min_size,
+           ((2 * overlap * 10000 + min_size) // (2 * min_size)) / 10000.0
+             AS containment
+    FROM v WHERE overlap * 5 >= min_size * 4
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup |A∩B|/min(|A|,|B|) >= 0.8
+    (operators/dedup.py:containment_pairs) — catches short documents
+    embedded in longer ones, which symmetric Jaccard structurally
+    misses. Candidates anchor on rare shingles (document frequency in
+    [2, 100]), bounding join fan-out by max_df² and excluding hot
+    boilerplate from the join; exact verification runs on candidates
+    only. Threshold compare is exact integer (td*overlap >=
+    tn*min_size)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=100
+    )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24)
+               AS snm_key,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+    ), nb AS (
+      SELECT doc_id AS doc_a, toks AS toks_a,
+             lead(doc_id, 1) OVER w AS nb_1,
+             lead(doc_id, 2) OVER w AS nb_2
+      FROM base
+      WINDOW w AS (PARTITION BY substr(snm_key, 1, 4) ORDER BY snm_key, doc_id)
+    ), pairs AS (
+      SELECT doc_a, nb_1 AS doc_b, toks_a FROM nb WHERE nb_1 IS NOT NULL
+      UNION ALL
+      SELECT doc_a, nb_2 AS doc_b, toks_a FROM nb WHERE nb_2 IS NOT NULL
+    ), v AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(toks_a, b.toks)) AS BIGINT) AS overlap,
+             CAST(len(toks_a) + len(b.toks)
+                  - len(list_intersect(toks_a, b.toks)) AS BIGINT) AS usize
+      FROM pairs JOIN base b ON b.doc_id = pairs.doc_b
+    )
+    SELECT doc_a, doc_b, overlap, usize,
+           ((2 * overlap * 10000 + usize) // (2 * usize)) / 10000.0 AS jaccard
+    FROM v WHERE overlap * 5 >= usize * 1
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood dedup (Hernández & Stolfo SIGMOD'95;
+    operators/dedup.py:sorted_neighborhood_pairs): sort by a
+    normalized 24-char text-prefix key, compare each doc to its 2
+    successors, exact token-set Jaccard >= 0.2 on those pairs. The
+    data-independent O(n·w) complement to hash blocking; sharded by
+    the key's 4-char prefix so the sort is per-bucket, never a global
+    single partition."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", key_len=24, bucket_len=4, window=2, min_jaccard=0.2
+    )
