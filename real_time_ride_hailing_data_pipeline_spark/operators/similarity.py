@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Exact decimal dot product (canonical builder in functions/exact.py;
@@ -74,6 +74,45 @@ def brute_force_topk(
         cosine_similarity_expr(vec_col, "_qvec").alias("sim"),
     )
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact per-query top-k against a broadcast query *set* — the
+    batch retrieval shape (eval-set decontamination, hard-negative
+    mining run k queries at once, not one).
+
+    The query set is broadcast, so the corpus side stays a single
+    map stage: BroadcastNestedLoopJoin (build = Q query rows) fans
+    each corpus row out to Q scored rows without shuffling the corpus.
+    The per-query ranking is row_number over (query_id), which Spark
+    3.5+ executes with a WindowGroupLimit — every input partition
+    keeps only its local top-k per query before the shuffle, so
+    shuffle volume is O(k × Q × partitions), independent of corpus
+    size. Returns (query_id, rn, vec_id, sim).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = embeddings.crossJoin(q).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_similarity_expr(vec_col, "_qvec").alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "rn", id_col, "sim")
+    )
 
 
 def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64) -> Column:

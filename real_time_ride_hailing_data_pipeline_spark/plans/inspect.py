@@ -81,9 +81,9 @@ enforced by tests/test_plans.py: no CartesianProduct anywhere, no
 row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
 filters on the selective scans, BroadcastHashJoin on dim joins,
 SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
-below are *intended* 1-row broadcasts (the query vector in
-ann_cosine_topk; the scalar threshold in tpch_q22; the corpus-stats
-row in search_bm25_topk);
+below are *intended* tiny-side broadcasts (the query vector in
+ann_cosine_topk and the Q-row query set in ann_batch_topk; the scalar
+threshold in tpch_q22; the corpus-stats row in search_bm25_topk);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
 queries. Queries that execute a StreamingQuery (or an iterative

@@ -4428,3 +4428,189 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.sorted_neighborhood_pairs(
         docs, "text", "doc_id", key_len=24, bucket_len=4, window=2, min_jaccard=0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tail: batch retrieval, data-quality audit, schema-drift union
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 128 = 0
+    ), s AS (
+      SELECT q.query_id, e.vec_id,
+             round(CAST({_DOT_DECIMAL_DUCK.format(a="e.embedding", b="q.qv")} AS DOUBLE)
+               / (sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="e.embedding", b="e.embedding")} AS DOUBLE))
+                * sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="q.qv", b="q.qv")} AS DOUBLE))), 6) AS sim
+      FROM embeddings e CROSS JOIN q
+    ), r AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, rn, vec_id, sim FROM r WHERE rn <= 5
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search (operators/similarity.py:
+    brute_force_topk_batch): exact per-query top-5 for a broadcast
+    query *set* (every 128th vector) — the eval-decontamination /
+    hard-negative-mining retrieval shape. The corpus never shuffles
+    for scoring (BroadcastNestedLoopJoin, build = Q rows) and the
+    per-query ranking runs under a WindowGroupLimit, so shuffle
+    volume is O(k·Q·partitions) regardless of corpus size. Exact
+    DECIMAL dot products keep cosines bit-identical to the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 128 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk_batch(emb, queries_df, k=5)
+
+
+@query(
+    "quality_referential_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem_missing_order' AS check_name,
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+               AS BIGINT) AS violations
+      UNION ALL
+      SELECT 'orders_missing_customer',
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+               AS BIGINT)
+      UNION ALL
+      SELECT 'orders_duplicate_key',
+             CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                         GROUP BY o_orderkey
+                                         HAVING count(*) > 1) d)
+               AS BIGINT)
+      UNION ALL
+      SELECT 'orders_nonpositive_total',
+             CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+               AS BIGINT)
+      UNION ALL
+      SELECT 'orders_null_custkey',
+             CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               AS BIGINT)
+    ) ORDER BY check_name
+    """,
+)
+def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality / referential-integrity audit — the pre-training
+    gate a 100 TB ingest runs before anything else: orphaned facts
+    (left-anti joins that ship only join keys through the shuffle),
+    key uniqueness (groupBy + HAVING), and value constraints. The two
+    scalar constraint checks share ONE scan of orders via a single
+    wide aggregate unpivoted with stack(); each anti join ships no
+    payload columns. Output is one row per check so the audit result
+    is itself a tiny, joinable table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def _count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    missing_order = _count_row(
+        "lineitem_missing_order",
+        lineitem.select("l_orderkey").join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ),
+    )
+    missing_customer = _count_row(
+        "orders_missing_customer",
+        orders.select("o_custkey").join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    duplicate_key = _count_row(
+        "orders_duplicate_key",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    scalar_checks = orders.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("nonpositive"),
+        F.coalesce(F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("nullcust"),
+    ).select(
+        F.expr(
+            "stack(2, 'orders_nonpositive_total', nonpositive, "
+            "'orders_null_custkey', nullcust) AS (check_name, violations)"
+        )
+    )
+    return (
+        missing_order.unionByName(missing_customer)
+        .unionByName(duplicate_key)
+        .unionByName(scalar_checks)
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "schema_drift_union",
+    oracle="""
+    WITH legacy AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), cur AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), u AS (
+      SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM cur
+    )
+    SELECT coalesce(o_orderstatus, 'UNKNOWN') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM u GROUP BY 1 ORDER BY status
+    """,
+)
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (unionByName(allowMissingColumns=True)):
+    a legacy extract missing a column unioned with the current shape —
+    the mixed-vintage-parquet reality of a long-lived 100 TB lake.
+    Spark name-aligns and null-fills the missing column per branch
+    (equivalent to parquet mergeSchema across file vintages); the agg
+    then treats drift explicitly via coalesce. Exact integer cents
+    keep the sum order-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    current = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    unioned = legacy.unionByName(current, allowMissingColumns=True)
+    return (
+        unioned.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("UNKNOWN")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("status")
+    )
