@@ -4346,23 +4346,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                generate_series(1, greatest(len(toks) - 2, 1)),
                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       FROM tk
-    ), ex AS (
-      SELECT doc_id, s.shingle FROM t, unnest(sh) AS s(shingle)
-    ), dfq AS (
-      SELECT shingle, count(*) AS df_ FROM ex GROUP BY 1
-    ), rare AS (
-      SELECT ex.doc_id, ex.shingle
-      FROM ex JOIN dfq USING (shingle) WHERE df_ BETWEEN 2 AND 100
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
     ), v AS (
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS overlap,
-             CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_size
-      FROM cand
-      JOIN t sa ON sa.doc_id = cand.doc_a
-      JOIN t sb ON sb.doc_id = cand.doc_b
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS overlap,
+             CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS min_size
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, overlap, min_size,
            ((2 * overlap * 10000 + min_size) // (2 * min_size)) / 10000.0
@@ -4371,18 +4359,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment dedup |A∩B|/min(|A|,|B|) >= 0.8
+    """EXACT asymmetric containment dedup |A∩B|/min(|A|,|B|) >= 0.8
     (operators/dedup.py:containment_pairs) — catches short documents
     embedded in longer ones, which symmetric Jaccard structurally
-    misses. Candidates anchor on rare shingles (document frequency in
-    [2, 100]), bounding join fan-out by max_df² and excluding hot
-    boilerplate from the join; exact verification runs on candidates
-    only. Threshold compare is exact integer (td*overlap >=
-    tn*min_size)."""
+    misses. Candidates via asymmetric prefix filtering (the smaller
+    side's rarest-shingle prefix joined against the full inverted
+    index — lossless, so the oracle is the all-pairs ground truth);
+    exact verification on candidates only. Threshold compare is exact
+    integer (td*overlap >= tn*min_size)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.containment_pairs(
-        docs, "text", "doc_id", shingle_n=3, threshold=0.8, max_df=100
-    )
+    return dd.containment_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.8)
 
 
 @query(
@@ -4613,4 +4599,365 @@ def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
         .orderBy("status")
+    )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: a pre-aggregated
+    base (events before the cutoff — the 'materialized' state) merged
+    with a delta aggregate (the newly arrived partition) by
+    re-aggregating the re-aggregatable metrics (count->sum, sum->sum,
+    min->min, max->max). At 100 TB this is the nightly-refresh path:
+    only the new partition is scanned and the merge touches
+    |groups| rows, never the history. The oracle is the full
+    recompute — the value-hash equality IS the incremental-equals-
+    full-refresh theorem for these metrics."""
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = _partial(events.filter(F.col("ts") < cutoff))
+    delta = _partial(events.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ansi_try_tolerant_parse",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE)
+               AS absent,
+             TRY_CAST(props AS TIMESTAMP) AS bad_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), d AS (
+      SELECT event_type, k, absent, bad_ts,
+             CASE WHEN k IS NULL OR k = 0 THEN NULL
+                  ELSE CAST(cents AS DOUBLE) / k END AS cents_per_k
+      FROM p
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(cents_per_k) AS BIGINT) AS n_divisible,
+           CAST(count(absent) AS BIGINT) AS n_absent,
+           CAST(count(bad_ts) AS BIGINT) AS n_bad_ts,
+           round(min(cents_per_k), 6) AS min_cpk,
+           round(max(cents_per_k), 6) AS max_cpk
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def ansi_try_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-data tolerance under ANSI mode (Spark 4 defaults to
+    strict): try_cast / try_divide / try_to_timestamp turn bad rows
+    into NULLs instead of failing the 1000-executor job at hour nine —
+    the row-level error-handling contract a 100 TB ingest needs.
+    Exercised for real: props['k'] is sometimes 0 (division), the
+    extracted key is sometimes absent (cast of NULL), and props itself
+    never parses as a timestamp. min/max of the double ratio are exact
+    picks of IEEE-identical divisions, so fully value-hashable."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.expr("try_cast(get_json_object(props, '$.k') AS bigint)").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.missing') AS double)").alias(
+            "absent"
+        ),
+        F.expr("try_to_timestamp(props)").alias("bad_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "cents_per_k",
+        F.expr("try_divide(cast(cents AS double), cast(nullif(k, 0) AS double))"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("cents_per_k").alias("n_divisible"),
+            F.count("absent").alias("n_absent"),
+            F.count("bad_ts").alias("n_bad_ts"),
+            F.round(F.min("cents_per_k"), 6).alias("min_cpk"),
+            F.round(F.max("cents_per_k"), 6).alias("max_cpk"),
+        )
+        .orderBy("event_type")
+    )
+
+
+from real_time_ride_hailing_data_pipeline_spark.functions.layout import (  # noqa: E402
+    morton_z as _morton_z,
+    morton_z_duckdb as _morton_z_duck,
+)
+
+
+@query(
+    "zorder_cluster_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id % 65536 AS ub,
+             CAST(round(value * 100) AS BIGINT) % 65536 AS cb
+      FROM events WHERE event_id % 11 = 0
+    )
+    SELECT event_id, ub, cb,
+           {_morton_z_duck("ub", "cb")} AS z
+    FROM b ORDER BY event_id
+    """,
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (functions/layout.py): bit-
+    interleave two filter dimensions into one sort key. Files written
+    range-partitioned on z have min/max footers that bound rectangles
+    in (user, value) space, so a 100 TB scan filtered on EITHER
+    dimension skips most files — the Delta ZORDER / Iceberg sort-order
+    technique, as a pure-SQL map-only expression inside whole-stage
+    codegen. tests/test_scale_paths.py proves the written z-ranges
+    are disjoint."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") % 11 == 0)
+        .select(
+            "event_id",
+            (F.col("user_id") % 65536).alias("ub"),
+            (F.round(F.col("value") * 100).cast("long") % 65536).alias("cb"),
+        )
+        .withColumn("z", F.expr(_morton_z("ub", "cb")))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "graph_pagerank_supply",
+    oracle="""
+    WITH pe AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 4 = 0),
+    e AS (
+      SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pe
+      UNION ALL
+      SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pe
+    ),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ),
+    cnt AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN cnt),
+    s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // deg.outdeg) AS BIGINT) AS acc
+           FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.node = e.src
+           GROUP BY 1),
+    r1 AS (SELECT nodes.node,
+                  CAST((3 * 1000000000000) // (20 * n)
+                       + (17 * coalesce(acc, 0)) // 20 AS BIGINT) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN s1 ON s1.node = nodes.node),
+    s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // deg.outdeg) AS BIGINT) AS acc
+           FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.node = e.src
+           GROUP BY 1),
+    r2 AS (SELECT nodes.node,
+                  CAST((3 * 1000000000000) // (20 * n)
+                       + (17 * coalesce(acc, 0)) // 20 AS BIGINT) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN s2 ON s2.node = nodes.node),
+    s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // deg.outdeg) AS BIGINT) AS acc
+           FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.node = e.src
+           GROUP BY 1),
+    r3 AS (SELECT nodes.node,
+                  CAST((3 * 1000000000000) // (20 * n)
+                       + (17 * coalesce(acc, 0)) // 20 AS BIGINT) AS r
+           FROM nodes CROSS JOIN cnt LEFT JOIN s3 ON s3.node = nodes.node)
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           r
+    FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py:pagerank_fixed_point): 3 damped
+    iterations over the part<->supplier supply graph (distinct
+    lineitem pairs, both orientations; part/supplier key spaces
+    disambiguated by even/odd encoding), top-20 by rank — the
+    link-graph importance weighting a Common-Crawl-style corpus
+    pipeline feeds into document quality scores. Exact integer
+    fixed-point arithmetic (floor divisions of non-negative longs)
+    makes the iterative result bit-identical to the oracle's unrolled
+    iterations — a float PageRank could never be value-hashed."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import graph as gr
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)  # quarter of the part space:
+        # keeps the registry query bench-sized; the operator is general
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = pairs.cache()  # both edge orientations read it
+    edges = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).unionByName(
+        pairs.select(
+            (2 * F.col("l_suppkey") + 1).alias("src"),
+            (2 * F.col("l_partkey")).alias("dst"),
+        )
+    )
+    ranks = gr.pagerank_fixed_point(edges, iters=3)
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            "r",
+        )
+        .orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
+    "bucketed_join_no_shuffle",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written
+    ``bucketBy(8, custkey).sortBy(custkey)`` (external bucketed
+    tables), then sort-merge joined — Spark matches the bucket specs
+    and plans the join with NO shuffle exchange on either side (the
+    tests/test_scale_paths.py bucketed test asserts the plan). At
+    100 TB this is THE repeated-join optimization: pay the
+    partitioning once at write time, join for free forever after.
+    The query runs the full write -> catalog read -> join path so the
+    driver value-hash covers bucketed storage round-trip, not just
+    the plan shape."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="rtrh_buckets_")
+    for name in ("rtrh_b_orders", "rtrh_b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable("rtrh_b_orders")
+    )
+    (
+        customer.select("c_custkey", "c_nationkey")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .saveAsTable("rtrh_b_customer")
+    )
+    bo = spark.table("rtrh_b_orders")
+    bc = spark.table("rtrh_b_customer")
+    return (
+        bo.hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN 600 ELSE 1800 END
+               AS gap_s
+      FROM events
+    ), m AS (
+      SELECT user_id, ts, gap_s,
+             max(ts + to_seconds(gap_s))
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM g
+    ), b AS (
+      SELECT user_id, ts, gap_s,
+             CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), s AS (
+      SELECT user_id, ts, gap_s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sess
+      FROM b
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts + to_seconds(gap_s)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (T2+): purchases
+    close a session after 10 minutes, other events after 30 — the
+    per-event-type engagement-timeout shape static gaps cannot
+    express. Spark merges overlapping [ts, ts+gap) intervals per key
+    (one shuffle on user_id); the oracle reproduces interval-union
+    semantics with a gaps-and-islands running max. Interval
+    arithmetic is exact (microsecond integers), so fully
+    value-hashable."""
+    events = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
     )

@@ -433,3 +433,45 @@ def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_zorder_layout_writes_disjoint_z_ranges(spark, tmp_path):
+    """Z-order clustering end-to-end (functions/layout.py): write the
+    events keyed by the Morton interleave of (user bucket, value
+    bucket), range-partitioned and sorted on z. Every written file's
+    [min(z), max(z)] must be disjoint from every other's — the exact
+    property parquet min/max footer skipping needs for a filter on
+    EITHER clustered dimension to prune files at 100 TB."""
+    from real_time_ride_hailing_data_pipeline_spark.functions.layout import morton_z
+
+    events = catalog.load_table(spark, SF, "events")
+    keyed = events.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("ub"),
+        (F.round(F.col("value") * 100).cast("long") % 65536).alias("cb"),
+    ).withColumn("z", F.expr(morton_z("ub", "cb")))
+    out = str(tmp_path / "zordered")
+    (
+        keyed.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    back = spark.read.parquet(out)
+    files = sorted(
+        r["f"]
+        for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(F.min("z"), F.max("z")).collect()[0]
+        if mm[0] is not None:
+            ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        # the range partitioner sends each z to exactly one partition,
+        # so file ranges are strictly disjoint
+        assert hi1 < lo2, ranges
+    assert back.count() == events.count()
