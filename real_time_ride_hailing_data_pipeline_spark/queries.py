@@ -1907,6 +1907,36 @@ def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_sliding_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts) - (i.i * INTERVAL 1 MINUTE) AS window_start,
+           date_trunc('minute', ts) - (i.i * INTERVAL 1 MINUTE)
+             + INTERVAL 5 MINUTE                       AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events CROSS JOIN range(5) i(i)
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the REAL streaming path (T2's
+    overlapping form executed as a StreamingQuery, not just batch):
+    5-minute windows sliding by 1, watermarked stateful agg,
+    update-mode foreachBatch into the keyed upsert sink. Each event
+    expands to 5 window rows map-side before the stateful aggregate —
+    the oracle reproduces that expansion with a range(5) cross join
+    over the batch table. Batch/streaming parity on overlapping
+    windows is strictly stronger evidence than the tumbling replay:
+    it covers multi-assignment state keys and their watermark
+    eviction."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_sliding_replay(spark, sf_dir)
+
+
+@query(
     "streaming_jdbc_replay",
     oracle="""
     SELECT event_type,
@@ -4839,6 +4869,74 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("r"), F.asc("node"))
         .limit(20)
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, metric, value
+    FROM a UNPIVOT (value FOR metric IN (n_orders, total_cents, n_customers))
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of pivot_user_event_matrix): a wide
+    per-status metrics row melted to long (status, metric, value)
+    form — the metrics-catalog export shape. Spark's Expand node
+    emits the value rows map-side (no shuffle beyond the source agg);
+    DuckDB's standard-SQL UNPIVOT is the oracle twin."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_cents", "n_customers"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+@query(
+    "collect_sorted_event_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events WHERE user_id % 31 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def collect_sorted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per-user distinct event types
+    collected into a SORTED array (collect_set alone is
+    partition-order-nondeterministic — sort_array restores a total
+    order, which is what makes an array-valued aggregate testable and
+    joinable at all). Partial aggregation applies: each map task
+    sends one partial set per user, so shuffle volume is bounded by
+    |users| × |types|, not row count."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") % 31 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
     )
 
 

@@ -89,15 +89,21 @@ def events_parquet_stream(
 
 
 def city_metrics_update_stream(
-    events: DataFrame, watermark: str = "10 minutes"
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """The reference's streaming aggregation on the driver's `events`
-    schema: watermark -> 1-min tumbling window x event_type ->
-    count + exact-cents avg -> flat output projection (P4)."""
+    schema: watermark -> windowed (tumbling by default; pass
+    ``slide_duration`` < ``window_duration`` for overlapping windows)
+    x event_type -> count + exact-cents avg -> flat projection (P4)."""
     agg = rp.city_window_metrics(
         events,
         time_col="ts",
         key_col="event_type",
+        window_duration=window_duration,
+        slide_duration=slide_duration,
         id_col="event_id",
         fare_col="value",
         watermark=watermark,
@@ -119,6 +125,8 @@ def run_city_metrics_replay(
     checkpoint_dir: str,
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
 ) -> ParquetUpsertSink:
     """Execute the full streaming pipeline once with
     ``trigger(availableNow=True)``: process everything currently in
@@ -134,7 +142,9 @@ def run_city_metrics_replay(
         max_files_per_trigger,
         wrapper_dir=checkpoint_dir.rstrip("/") + "__srcview",
     )
-    metrics = city_metrics_update_stream(events, watermark)
+    metrics = city_metrics_update_stream(
+        events, watermark, window_duration, slide_duration
+    )
     sink = ParquetUpsertSink(sink_path, key_cols=("event_type", "window_start"))
     # State partition count is frozen into the checkpoint on first run.
     # The group cardinality here is |open windows| x |keys| — small —
@@ -404,6 +414,25 @@ def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         source_dir=os.path.join(sf_dir, "events.parquet"),
         sink_path=os.path.join(workdir, "city_metrics"),
         checkpoint_dir=os.path.join(workdir, "checkpoint"),
+    )
+    return sink.read(spark)
+
+
+def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry point: the same real streaming path with
+    OVERLAPPING windows (5-minute width sliding by 1 — each event
+    belongs to 5 windows, expanded map-side by Spark's Expand before
+    the stateful agg; state rows = |open windows| × |keys|, 5× the
+    tumbling case — the documented cost of sliding windows). Oracle:
+    the batch sliding aggregation (cross join on range(5))."""
+    workdir = tempfile.mkdtemp(prefix="rtrh_slide_")
+    sink = run_city_metrics_replay(
+        spark,
+        source_dir=os.path.join(sf_dir, "events.parquet"),
+        sink_path=os.path.join(workdir, "city_metrics"),
+        checkpoint_dir=os.path.join(workdir, "checkpoint"),
+        window_duration="5 minutes",
+        slide_duration="1 minute",
     )
     return sink.read(spark)
 
