@@ -1342,6 +1342,49 @@ def agg_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile_claim",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.45), 4) AS lo_bound,
+           round(quantile_cont(value, 0.55), 4) AS hi_bound,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_approx_percentile_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx with its error guarantee TESTED as a claim
+    (the sketch-output pattern of sketch_hll_distinct_users): the GK
+    sketch at accuracy=100 bounds rank error by n/100, i.e. the
+    approximate median is some element between the exact 45th and
+    55th discrete percentiles (generous 10× slack). The engine emits
+    the exact bounds plus the evaluated claim; the sketch value
+    itself is engine-specific and never compared — the CLAIM is what
+    the oracle value-hashes. Scale note: percentile_approx is the
+    mergeable fixed-memory path for unbounded group counts; the exact
+    `percentile` twin (agg_percentiles_per_type) is for
+    dashboard-sized cardinalities."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.45)"), 4).alias("lo_bound"),
+            F.round(F.expr("percentile(value, 0.55)"), 4).alias("hi_bound"),
+            F.expr("percentile_approx(value, 0.5, 100)").alias("_approx"),
+            F.expr("percentile(value, 0.45)").alias("_lo"),
+            F.expr("percentile(value, 0.55)").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "lo_bound",
+            "hi_bound",
+            ((F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi")))
+            .alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "variant_props_metrics",
     oracle="""
     SELECT event_type,
@@ -1934,6 +1977,54 @@ def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_sliding_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_complete_topk_replay",
+    oracle="""
+    SELECT event_type,
+           count(event_id)                                   AS total_trips,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0   AS total_fares
+    FROM events GROUP BY 1
+    ORDER BY total_trips DESC, event_type LIMIT 5
+    """,
+)
+def streaming_complete_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode executed (T4's other half): an unbounded
+    per-type aggregate re-emitted in full every trigger into a
+    snapshot-replace foreachBatch sink; final snapshot's top-5 by
+    trips. Complete mode fits dashboard-sized group counts with a
+    full-replace target — the windowed replays keep update mode
+    because their output grows per window."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_complete_topk_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_fanout_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-destination foreachBatch (S6+): each micro-batch is
+    persisted once and written to TWO sinks under the same epoch id —
+    the keyed parquet upsert table and an append-only JSON change log
+    (overwrite-by-epoch, replay-idempotent). The returned result is
+    the LOG's latest-wins compaction, value-hashed against the batch
+    aggregation; pytest additionally asserts log == upsert table, so
+    the two destinations are proven consistent."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_fanout_replay(spark, sf_dir)
 
 
 @query(
@@ -4869,6 +4960,63 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("r"), F.asc("node"))
         .limit(20)
+    )
+
+
+@query(
+    "jdbc_source_partitioned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def jdbc_source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC as a partition-PARALLEL source (the sink side runs in the
+    streaming_jdbc_replay family; this is the read side): orders
+    staged into embedded Derby, read back with
+    column/lowerBound/upperBound/numPartitions=4 so Spark issues four
+    range-bounded queries concurrently — the non-negotiable setting
+    for a 100 TB-adjacent operational-DB ingest (a single-partition
+    JDBC read serializes the whole table through one connection).
+    The aggregation pushes nothing to Derby (grouped aggs stay in
+    Spark); range predicates DO push down into each partition's
+    generated SQL."""
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_jdbcsrc_")
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.write.jdbc(url, "orders_src", mode="overwrite", properties=props)
+    bounds = src.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]  # driver scalars: the partitioning bounds
+    back = spark.read.jdbc(
+        url,
+        "orders_src",
+        column="o_orderkey",
+        lowerBound=bounds["lo"],
+        upperBound=bounds["hi"] + 1,
+        numPartitions=4,
+        properties=props,
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderstatus")
     )
 
 

@@ -418,6 +418,124 @@ def streaming_city_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return sink.read(spark)
 
 
+def streaming_complete_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode executed (T4's other half — the registry's
+    tumbling/sliding replays cover update mode): an unbounded
+    per-type aggregate emits its FULL result every trigger;
+    foreachBatch atomically replaces a snapshot directory, so the
+    sink is trivially idempotent (last snapshot wins). Complete mode
+    is the right shape when |groups| is dashboard-sized — here 10
+    event types — and the sink is a full-replace target; it would be
+    wrong for the windowed metrics (state and output grow with every
+    window), which is why the other replays use update mode. Returns
+    the final snapshot: top-5 event types by trips."""
+    workdir = tempfile.mkdtemp(prefix="rtrh_complete_")
+    snapshot = os.path.join(workdir, "snapshot")
+    events = events_parquet_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        wrapper_dir=os.path.join(workdir, "srcview"),
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count("event_id").alias("total_trips"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_fares"
+        ),
+    )
+
+    def _replace_snapshot(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(snapshot)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(_replace_snapshot)
+            .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.read.parquet(snapshot)
+        .orderBy(F.desc("total_trips"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+def streaming_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-destination foreachBatch (S6+): ONE micro-batch fans out
+    to two sinks with the same epoch id — (a) the keyed parquet
+    upsert table, (b) an append-only JSON change log written to a
+    per-epoch directory (overwrite-by-epoch = replay-idempotent).
+    The batch DataFrame is persisted across the two writes so the
+    stateful aggregation isn't recomputed per destination — the
+    documented foreachBatch fan-out pattern. Returns the LOG's
+    latest-wins compaction (max epoch per key), which must equal the
+    upsert table and the batch aggregation — that three-way equality
+    is the consistency contract (pytest asserts table==log; the
+    DuckDB oracle covers log==batch)."""
+    workdir = tempfile.mkdtemp(prefix="rtrh_fanout_")
+    log_dir = os.path.join(workdir, "change_log")
+    events = events_parquet_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        wrapper_dir=os.path.join(workdir, "srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    table_sink = ParquetUpsertSink(
+        os.path.join(workdir, "city_metrics"),
+        key_cols=("event_type", "window_start"),
+    )
+
+    def _fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            table_sink.write_batch(batch_df, epoch_id)
+            (
+                batch_df.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .json(os.path.join(log_dir, f"e_{epoch_id}"))
+            )
+        finally:
+            batch_df.unpersist()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(_fanout)
+            .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from pyspark.sql import Window
+
+    log = spark.read.option("recursiveFileLookup", "false").json(
+        os.path.join(log_dir, "*")
+    )
+    w = Window.partitionBy("event_type", "window_start").orderBy(F.desc("epoch"))
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            F.col("last_updated").cast("timestamp").alias("last_updated"),
+            F.col("total_trips").cast("long").alias("total_trips"),
+            F.col("average_fare").cast("double").alias("average_fare"),
+        )
+    )
+    return latest
+
+
 def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry point: the same real streaming path with
     OVERLAPPING windows (5-minute width sliding by 1 — each event

@@ -416,3 +416,20 @@ def test_left_outer_join_emits_tail_unmatched_via_flush_sentinel(spark, tmp_path
         (r.purchase_id, r.signup_id) for r in out.collect()
     }
     assert got == {(2, 1), (3, None)}
+
+
+def test_fanout_log_equals_upsert_table(spark):
+    """The two destinations of the fan-out foreachBatch must hold the
+    same logical content: the JSON change log's latest-wins compaction
+    (what the registry query returns) row-for-row equals the parquet
+    upsert table's final state (what the other sinks return for the
+    same pipeline)."""
+    log_rows = {
+        (r.event_type, r.window_start, r.last_updated, r.total_trips, r.average_fare)
+        for r in sj.streaming_fanout_replay(spark, SF_DIR).collect()
+    }
+    table_rows = {
+        (r.event_type, r.window_start, r.last_updated, r.total_trips, r.average_fare)
+        for r in sj.streaming_city_metrics_replay(spark, SF_DIR).collect()
+    }
+    assert log_rows == table_rows and len(log_rows) > 0
