@@ -98,26 +98,36 @@ _VERIFY_FIRST: list[str] = [
     # to the tail — acceptable: that entry's exact twin stays verified
     "transform_with_state_running_totals",
     # pandas-UDF + semi-structured + source connectors.  r4 rotation
-    # (VERDICT r3 item 5): the vector-index pillar (ann_lsh_topk,
-    # ann_ivf_topk, ivf_cell_stats) takes the slots of csv_source_agg /
+    # (VERDICT r3 item 5): the vector-index pillar (ann_ivf_topk,
+    # ivf_cell_stats) takes the slots of csv_source_agg /
     # json_source_agg (rotated out; sf0.001 oracles keep them verified
-    # locally).  LSH/IVF are approximate by construction, so the driver
-    # records the weaker rows-only check for them — that is the
+    # locally).  IVF is approximate by construction, so the driver
+    # records the weaker rows-only check for it — that is the
     # intended evidence tier.
     "grouped_median_value",
-    "json_props_metrics",
     "python_datasource_city_fares",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "ivf_cell_stats",
+    # late-r4 rotation: five NEW distinct components take the slots of
+    # five in-window entries whose operator family keeps another green
+    # row (rotated out: ann_lsh_topk — the approx-ANN tier stays via
+    # ann_ivf_topk; json_props_metrics — from_json stays via
+    # ride_roundtrip_city_metrics; text_ngram_doc_frequency and
+    # text_language_id — the text family stays via text_quality_scores;
+    # multimodal_frame_sample — the multimodal family stays via
+    # multimodal_binary_stats.  All rotated-out names keep full
+    # sf0.001 oracles in tests/test_queries_oracle.py).
+    "graph_pagerank_supply",
+    "dedup_containment_pairs",
+    "bucketed_join_no_shuffle",
+    "streaming_sliding_replay",
+    "jdbc_source_partitioned_read",
     # ride-event parse path (reference parity)
     "ride_roundtrip_city_metrics",
     "ride_corrupt_record_capture",
     # LLM-data-pipeline extension set (round-2 tail, now in-window)
     "dedup_exact_documents",
-    "text_ngram_doc_frequency",
     "text_quality_scores",
-    "text_language_id",
     # r5 rotation: the two new operators take the slots of
     # doc_fingerprint (fingerprint family stays in-window via
     # simhash_documents) and embedding_norm_stats (embedding-profile
@@ -131,7 +141,6 @@ _VERIFY_FIRST: list[str] = [
     "dedup_embedding_pairs",
     "embedding_quantize_int8",
     "multimodal_binary_stats",
-    "multimodal_frame_sample",
     "agg_distinct_users_per_type",
     # round-3 training-data-pipeline operators (oracle-backed, never yet
     # inside the driver window)

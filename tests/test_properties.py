@@ -368,3 +368,73 @@ def test_substring_spans_consolidate_and_guard_short_docs(spark):
     low = dd.substring_duplicate_spans(df, n=8, min_span=8, max_freq=20).collect()
     pairs = {(r.doc_a, r.doc_b): r.span_tokens for r in low}
     assert pairs[(4, 5)] == 9 and pairs[(1, 2)] == 20
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_morton_interleave_is_bijective(spark, pairs):
+    """The z-order key must be a bijection on the 16-bit × 16-bit
+    domain: distinct (a, b) -> distinct z, and de-interleaving the
+    engine's z recovers (a, b) exactly. Without bijectivity two
+    different coordinate pairs could collide into one clustering key
+    and file skipping would silently read or drop the wrong data."""
+    from real_time_ride_hailing_data_pipeline_spark.functions.layout import morton_z
+
+    df = spark.createDataFrame(pairs, ["a", "b"]).withColumn(
+        "z", F.expr(morton_z("a", "b"))
+    )
+    rows = df.collect()
+    assert len({r["z"] for r in rows}) == len(pairs)
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pagerank_mass_conserved_and_positive(spark, raw_edges):
+    """Fixed-point PageRank invariants on arbitrary graphs (fed as an
+    undirected edge set, both orientations, so no dangling nodes):
+    every rank is at least the teleport term, and total rank mass
+    stays within [BASE - n·(iters+1) floor-loss units, BASE] — the
+    damped walk neither creates mass nor loses more than the floor
+    divisions can account for."""
+    from real_time_ride_hailing_data_pipeline_spark.operators.graph import (
+        BASE,
+        pagerank_fixed_point,
+    )
+
+    edges = {(a, b) for a, b in raw_edges if a != b}
+    assume(edges)
+    sym = list(edges | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    ranks = pagerank_fixed_point(df, iters=2).collect()
+    n = len({x for e in sym for x in e})
+    assert len(ranks) == n
+    teleport = (3 * BASE) // (20 * n)
+    total = sum(r["r"] for r in ranks)
+    assert all(r["r"] >= teleport for r in ranks)
+    # each of the n nodes floors at most (iters+1) times per unit mass;
+    # a generous slack of n*(2+1)*20 units bounds the loss
+    assert total <= BASE
+    assert total >= BASE - n * 60 - n * teleport
