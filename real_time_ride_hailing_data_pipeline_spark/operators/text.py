@@ -367,3 +367,94 @@ def tfidf_top_terms(
             F.col("term_rank").cast("bigint").alias("term_rank"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the CCNet-style language-
+    model perplexity proxy (Wenzek et al. 2020 filter Common Crawl by
+    LM perplexity; a corpus-unigram model is its simplest honest
+    form): rare-token-heavy documents score high, boilerplate scores
+    low. token surprisal = ln(N_tokens / count(token)), reported as a
+    floor-at-1e-6 fixed point (same ulp-absorbing recipe as
+    tfidf_top_terms), mean over the document half-up in exact integer
+    arithmetic.
+
+    Plan shape: one explode -> token-keyed frequency aggregate
+    (vocabulary-sized) -> token-keyed join back (the inverted index,
+    fan-out = token frequency) -> per-doc sum. Corpus totals arrive
+    as a broadcast 1-row aggregate; nothing is collected.
+    Returns (doc_id, n_tokens, surprisal_micro_mean).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tok = tok.cache()  # feeds the frequency aggregate and the score join
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "sp_micro",
+            F.floor(
+                F.log(F.col("n_total").cast("double") / F.col("cnt")) * 1000000
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("sp_micro").alias("_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("CAST((2 * _sum + n_tokens) DIV (2 * n_tokens) AS BIGINT)").alias(
+                "surprisal_micro_mean"
+            ),
+        )
+    )
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering as a map-only SQL expression —
+    the classifier-filter stage of the big pipelines (CCNet's linear
+    model, GPT-3's quality classifier), with a FIXED linear model
+    over engineered features (the sandbox has no labels to train on;
+    the weights are a documented stand-in whose *execution shape* is
+    the real thing: batch inference = one codegen'd expression, no
+    model server, no UDF).
+
+    Features (exact integers): token count, distinct-token count,
+    and type-token ratio in 1e-6 fixed point (half-up).
+    logit_micro = (ttr_micro - 460000) + 1000*(n_tokens - 20) — keep
+    a document when its vocabulary diversity clears the corpus median
+    with a mild length bonus; all bigint arithmetic, so
+    keep = logit_micro > 0 is bit-identical in any engine (and
+    non-degenerate on the bench corpus: both classes populated).
+    Map-only: scales at scan speed. Returns (doc_id, n_tokens,
+    n_distinct, ttr_micro, logit_micro, keep).
+    """
+    toks = tokens(text_col)
+    feats = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    ).withColumn(
+        "ttr_micro",
+        F.expr(
+            "CAST((2 * n_distinct * 1000000 + n_tokens) DIV (2 * n_tokens) AS BIGINT)"
+        ),
+    )
+    return feats.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "ttr_micro",
+        F.expr(
+            "CAST((ttr_micro - 460000) + 1000 * (n_tokens - 20) AS BIGINT)"
+        ).alias("logit_micro"),
+    ).withColumn("keep", F.col("logit_micro") > 0)

@@ -4546,6 +4546,115 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "arrow_python_udf_reverse",
+    oracle="""
+    SELECT doc_id,
+           reverse(substr(trim(lower(text)), 1, 24)) AS rev_prefix,
+           CAST(length(trim(text)) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id
+    """,
+)
+def arrow_python_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized scalar Python UDF
+    (``@udf(useArrow=True)``) — the last Python-boundary API beside
+    the pandas/Arrow family: row-wise *semantics* with Arrow-batched
+    *transport*, planned as ArrowEvalPython (the sanctioned node; the
+    pickled row-at-a-time BatchEvalPython stays banned by
+    tests/test_plans.py). Exercised on a deterministic string
+    transform with an engine-portable twin; in production this API is
+    for logic that genuinely needs per-row Python objects — columnar
+    math belongs to pandas_udf."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def rev24(s: str) -> str:
+        return s.strip().lower()[:24][::-1]
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id",
+            rev24(F.col("text")).alias("rev_prefix"),
+            F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents), unnest(toks) AS t(term)
+    ), freq AS (
+      SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+    ), tot AS (SELECT count(*) AS n_total FROM tok),
+    sc AS (
+      SELECT tok.doc_id,
+             CAST(floor(ln(CAST(n_total AS DOUBLE) / cnt) * 1000000)
+               AS BIGINT) AS sp_micro
+      FROM tok JOIN freq USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST((2 * sum(sp_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+             AS surprisal_micro_mean
+    FROM sc GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity proxy (operators/text.py:
+    unigram_surprisal): per-document mean unigram surprisal against
+    the corpus unigram model — the quality/boilerplate signal the
+    Common Crawl pipelines filter on. Fixed-point floored logs keep
+    the transcendental off the comparison path; the mean is exact
+    half-up integer division."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.unigram_surprisal(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_quality_model_score",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')))
+               AS BIGINT) AS n_distinct
+      FROM documents
+    ), t AS (
+      SELECT doc_id, n_tokens, n_distinct,
+             CAST((2 * n_distinct * 1000000 + n_tokens) // (2 * n_tokens)
+               AS BIGINT) AS ttr_micro
+      FROM f
+    )
+    SELECT doc_id, n_tokens, n_distinct, ttr_micro,
+           CAST((ttr_micro - 460000) + 1000 * (n_tokens - 20) AS BIGINT)
+             AS logit_micro,
+           ((ttr_micro - 460000) + 1000 * (n_tokens - 20)) > 0 AS keep
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (operators/text.py:
+    quality_model_score): a fixed linear model over exact-integer
+    engineered features, evaluated as one map-only codegen'd
+    expression — the batch-inference execution shape of the CCNet /
+    GPT-3 quality-classifier stage (weights are a documented stand-in;
+    no labels exist in the sandbox to train real ones). Bit-identical
+    in any engine: every feature and the logit are bigint
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_model_score(docs, "text", "doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 tail: batch retrieval, data-quality audit, schema-drift union
 # ---------------------------------------------------------------------------
