@@ -86,7 +86,9 @@ ann_cosine_topk and the Q-row query set in ann_batch_topk; the scalar
 threshold in tpch_q22; the corpus-stats row in search_bm25_topk);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
-queries. Queries that execute a StreamingQuery (or an iterative
+queries and the embedding-pair candidate stage (a per-cell numpy
+matmul, where BLAS beats interpreted SQL lambda folds by orders of
+magnitude — the exact-decimal refine stays JVM-side). Queries that execute a StreamingQuery (or an iterative
 fixpoint: dedup_cluster_assignment, dedup_semantic_keep_list) are
 audited by their component batch plans and marked below.
 
