@@ -5139,6 +5139,67 @@ def jdbc_source_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shuffled_hash_join_supplier_volume",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def shuffled_hash_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join — the fourth physical join strategy beside
+    broadcast / sort-merge / BNLJ (all evidenced elsewhere): both
+    sides shuffle on the key, the smaller builds an in-memory hash
+    table per partition, the larger streams — no sort on either side.
+    The right choice when one side is much smaller than the other but
+    too big to broadcast, and the sort-elision matters (SMJ pays two
+    sorts). Pinned via the SHUFFLE_HASH hint so the toy input
+    exercises the same plan that wins at scale; tests/test_plans.py
+    asserts ShuffledHashJoin appears."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(supp.hint("shuffle_hash"), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "global_sort_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 23 = 0
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global sort with NO limit (top_cities_by_trips covers the
+    TakeOrderedAndProject top-k shortcut; this is the other physical
+    shape): Spark samples the sort key to build range boundaries,
+    Exchange rangepartitioning distributes rows into disjoint sorted
+    ranges, and each partition sorts locally — total order across
+    partitions without any single-node sort. The 100 TB export shape
+    (sorted parquet / sorted shards); skew in the key distribution is
+    absorbed by the sampler's boundary placement."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 23 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@query(
     "unpivot_order_metrics",
     oracle="""
     WITH a AS (

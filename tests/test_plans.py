@@ -233,3 +233,20 @@ def test_substring_spans_band_filter_precedes_self_join(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     # island consolidation partitions by (pair, diagonal), never globally
     assert "hashpartitioning(doc_a" in plan, plan
+
+
+def test_shuffled_hash_join_is_pinned(spark):
+    """The SHUFFLE_HASH hint must survive planning: the supplier-volume
+    query exercises ShuffledHashJoin (the no-sort big/medium strategy),
+    not a broadcast or sort-merge fallback, and a rangepartitioning
+    exchange must appear in the global-sort query (the no-limit total
+    order shape)."""
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        q.all_queries()["shuffled_hash_join_supplier_volume"](spark, SF)
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    sort_plan = physical_plan(q.all_queries()["global_sort_orders"](spark, SF))
+    assert "rangepartitioning" in sort_plan.lower(), sort_plan
