@@ -2011,6 +2011,34 @@ def streaming_complete_topk_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_append_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append output mode executed (T4 complete: update + complete +
+    append all run as real StreamingQuery paths): each window row
+    emitted exactly once after its watermark finalization, into an
+    append-only file sink — two watermark-flush sentinels make the
+    bounded replay deterministic (streaming/job.py:
+    streaming_append_closed_windows). The oracle is the batch tumbling
+    aggregation; equality proves both finalization (every window
+    eventually emitted) and exactly-once append (no window emitted
+    twice)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_append_closed_windows(spark, sf_dir)
+
+
+@query(
     "streaming_fanout_replay",
     oracle="""
     SELECT event_type,

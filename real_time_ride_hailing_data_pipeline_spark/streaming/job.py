@@ -466,6 +466,58 @@ def streaming_complete_topk_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND output mode executed — the third and last output mode
+    (update: the tumbling/sliding replays; complete: the top-k
+    replay): a window row is emitted exactly ONCE, only after the
+    watermark proves it final — the mode for append-only sinks (files,
+    Kafka topics) that cannot upsert. Emission mechanics make a
+    bounded replay need TWO watermark-flush sentinels: windows close
+    against the watermark set at the END of the previous batch, so
+    sentinel 1 (max+30 d) closes every real window and sentinel 2
+    (max+60 d) provides the batch in which they flush; neither
+    sentinel's own window ever closes, so the sink holds exactly the
+    real windows. maxFilesPerTrigger=1 pins the file-per-batch order
+    (source files carry ascending mtimes). Oracle: the batch tumbling
+    aggregation — append-once totals must equal it row for row."""
+    import time as _time
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_append_")
+    src_dir = os.path.join(workdir, "src")
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(src_dir, "a_events.parquet"))
+    _write_watermark_flush_row(src, src_dir, "flush1", days=30, filename="b_flush1.parquet")
+    _write_watermark_flush_row(src, src_dir, "flush2", days=60, filename="c_flush2.parquet")
+    now = _time.time()
+    for i, f in enumerate(("a_events.parquet", "b_flush1.parquet", "c_flush2.parquet")):
+        os.utime(os.path.join(src_dir, f), (now + i, now + i))
+
+    events = events_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+    metrics = city_metrics_update_stream(events)
+    out = os.path.join(workdir, "closed")
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out).filter(
+        ~F.col("event_type").isin("flush1", "flush2")
+    )
+
+
 def streaming_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-destination foreachBatch (S6+): ONE micro-batch fans out
     to two sinks with the same epoch id — (a) the keyed parquet
@@ -595,7 +647,11 @@ def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _write_watermark_flush_row(
-    source_parquet: str, staged_dir: str, event_type: str
+    source_parquet: str,
+    staged_dir: str,
+    event_type: str,
+    days: int = 30,
+    filename: str = "zz_watermark_flush.parquet",
 ) -> None:
     """Append a one-row parquet file (schema-identical to the source)
     to a staged stream directory: an ``event_type`` sentinel 30 days
@@ -624,14 +680,14 @@ def _write_watermark_flush_row(
     flush = pa.table(
         {
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([max_ts + dt.timedelta(days=30)], t.schema.field("ts").type),
+            "ts": pa.array([max_ts + dt.timedelta(days=days)], t.schema.field("ts").type),
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array([event_type], pa.string()),
             "value": pa.array([0.0], pa.float64()),
             "props": pa.array(["{}"], pa.string()),
         }
     ).select([f.name for f in t.schema]).cast(t.schema)
-    pq.write_table(flush, os.path.join(staged_dir, "zz_watermark_flush.parquet"))
+    pq.write_table(flush, os.path.join(staged_dir, filename))
 
 
 def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
