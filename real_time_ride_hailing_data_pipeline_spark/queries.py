@@ -4141,6 +4141,35 @@ def stream_stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> Da
 
 
 @query(
+    "stream_stream_full_outer_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           coalesce(p.user_id, s.user_id) AS user_id,
+           s.event_id  AS signup_id,
+           s.ts        AS signup_ts,
+           p.ts        AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts
+     AND s.ts >= p.ts - INTERVAL 7 DAY
+    """,
+)
+def stream_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join executed (streaming/job.py:
+    run_stream_stream_full_outer_join) — completes the streaming join
+    modes (inner, left-outer run elsewhere): both sides null-extend,
+    each unmatched row emitted once the opposite watermark proves no
+    partner can arrive; signups with no follow-up purchase inside 7
+    days surface as (null, signup) churn-candidate rows. Two-sided
+    flush sentinels make the bounded replay equal the batch FULL
+    JOIN bit-for-bit."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.run_stream_stream_full_outer_join(spark, sf_dir)
+
+
+@query(
     "timeseries_gap_fill",
     oracle="""
     WITH RECURSIVE bounds AS (

@@ -768,3 +768,77 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_path)
+
+
+def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — the last streaming join mode
+    (inner and left-outer run elsewhere): unmatched rows null-extend
+    on BOTH sides, each emitted only once the opposite watermark
+    proves no partner can still arrive (a signup with no follow-up
+    purchase inside 7 days surfaces as (null purchase, signup) — the
+    churn-candidate row a left join never shows). Same two-sided
+    flush-sentinel determinism as the left-outer replay; user_id is
+    coalesced across sides so right-only rows carry it. Oracle: the
+    batch FULL JOIN."""
+    workdir = tempfile.mkdtemp(prefix="rtrh_ssfoj_")
+    src = os.path.join(sf_dir, "events.parquet")
+    w1 = os.path.join(workdir, "w1")
+    w2 = os.path.join(workdir, "w2")
+    for d, etype in ((w1, "purchase"), (w2, "signup")):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        _write_watermark_flush_row(src, d, etype)
+    purchases = (
+        events_parquet_stream(spark, w1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    signups = (
+        events_parquet_stream(spark, w2)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 minute")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("signup_ts") <= F.col("purchase_ts"))
+        & (F.col("signup_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce("user_id", "s_user_id").alias("user_id"),
+        "signup_id",
+        "signup_ts",
+        "purchase_ts",
+    )
+
+    out_path = os.path.join(workdir, "out")
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        # sentinel rows (user -1 on either side) removed post-execution
+        batch_df.filter(F.col("user_id") >= 0).write.mode("append").parquet(out_path)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_path)
