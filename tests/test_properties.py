@@ -438,3 +438,56 @@ def test_pagerank_mass_conserved_and_positive(spark, raw_edges):
     # a generous slack of n*(2+1)*20 units bounds the loss
     assert total <= BASE
     assert total >= BASE - n * 60 - n * teleport
+
+
+@SLOW
+@given(data=st.data())
+def test_containment_prefix_filter_is_exact_on_any_corpus(spark, data):
+    """containment_pairs == brute-force trigram containment >= 0.8 on
+    ARBITRARY corpora — validating the asymmetric prefix-filter
+    theorem (the smaller side's rarest-shingle prefix joined against
+    the full index loses no true pair) on the adversarial shapes the
+    heuristic it replaced used to miss or explode on: exact duplicate
+    groups (all shingles hot), short-doc-inside-long-doc embeddings,
+    and boilerplate-prefix families."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+
+    docs: list[tuple[int, str]] = []
+    boiler = " ".join(data.draw(st.lists(st.sampled_from(VOCAB), min_size=10, max_size=10)))
+    for _ in range(data.draw(st.integers(min_value=2, max_value=3))):
+        docs.append((len(docs), boiler))  # exact copies: containment 1.0
+    for _ in range(data.draw(st.integers(min_value=1, max_value=3))):
+        tail = " ".join(
+            data.draw(st.lists(st.sampled_from(VOCAB), min_size=15, max_size=25))
+        )
+        docs.append((len(docs), boiler + " " + tail))  # short-inside-long
+    for _ in range(data.draw(st.integers(min_value=2, max_value=4))):
+        docs.append(
+            (
+                len(docs),
+                " ".join(
+                    data.draw(st.lists(st.sampled_from(VOCAB), min_size=8, max_size=30))
+                ),
+            )
+        )
+
+    def shingles(text: str) -> set[str]:
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    expected = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a][1]), shingles(docs[b][1])
+            overlap, msize = len(sa & sb), min(len(sa), len(sb))
+            if overlap * 5 >= msize * 4:  # exact integer threshold 0.8
+                expected.add((docs[a][0], docs[b][0]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert got == expected
