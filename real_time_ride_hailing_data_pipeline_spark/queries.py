@@ -2065,6 +2065,34 @@ def streaming_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_snapshot_time_travel",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel / snapshot isolation on the upsert sink
+    (streaming/job.py:streaming_snapshot_time_travel): a two-batch
+    time-ordered replay with per-epoch snapshot retention; returns
+    the table AS OF epoch 0. The oracle aggregates only the first
+    batch's time range — hash equality proves later commits never
+    leaked into the retained snapshot. At 100 TB the same read_at
+    API rides per-snapshot file manifests (a transaction log)
+    instead of full copies; copy-based retention is right-sized for
+    the aggregate tables this sink holds."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_snapshot_time_travel(spark, sf_dir)
+
+
+@query(
     "streaming_jdbc_replay",
     oracle="""
     SELECT event_type,

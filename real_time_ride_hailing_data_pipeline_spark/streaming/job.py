@@ -127,6 +127,7 @@ def run_city_metrics_replay(
     max_files_per_trigger: int | None = None,
     window_duration: str = "1 minute",
     slide_duration: str | None = None,
+    snapshot_dir: str | None = None,
 ) -> ParquetUpsertSink:
     """Execute the full streaming pipeline once with
     ``trigger(availableNow=True)``: process everything currently in
@@ -145,7 +146,9 @@ def run_city_metrics_replay(
     metrics = city_metrics_update_stream(
         events, watermark, window_duration, slide_duration
     )
-    sink = ParquetUpsertSink(sink_path, key_cols=("event_type", "window_start"))
+    sink = ParquetUpsertSink(
+        sink_path, key_cols=("event_type", "window_start"), snapshot_dir=snapshot_dir
+    )
     # State partition count is frozen into the checkpoint on first run.
     # The group cardinality here is |open windows| x |keys| — small —
     # so a handful of state partitions beats the batch default (each
@@ -842,3 +845,45 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_path)
+
+
+def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the streaming sink (the
+    Delta/Iceberg VERSION AS OF capability, on the engine's own upsert
+    sink): the events table is replayed as two time-ordered
+    micro-batches with per-epoch snapshot retention, and the EPOCH-0
+    snapshot is returned — the table as it stood after the first
+    batch, untouched by everything that committed later. The oracle
+    aggregates only the first batch's time range, so the value-hash
+    equality proves snapshot isolation (later commits did not leak
+    into the retained state). tests/test_streaming.py additionally
+    checks read_at on the last epoch equals the live table and the
+    history view carries one epoch partition per commit."""
+    import time as _time
+
+    workdir = tempfile.mkdtemp(prefix="rtrh_tt_")
+    src_dir = os.path.join(workdir, "src")
+    os.makedirs(src_dir)
+    events = catalog.load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    for name, half in (
+        ("a_half0", events.filter(F.col("ts") < cutoff)),
+        ("b_half1", events.filter(F.col("ts") >= cutoff)),
+    ):
+        tmp = os.path.join(workdir, f"tmp_{name}")
+        half.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(src_dir, f"{name}.parquet"))
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(src_dir))):
+        os.utime(os.path.join(src_dir, f), (now + i, now + i))
+
+    sink = run_city_metrics_replay(
+        spark,
+        source_dir=src_dir,
+        sink_path=os.path.join(workdir, "city_metrics"),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=1,
+        snapshot_dir=os.path.join(workdir, "snapshots"),
+    )
+    return sink.read_at(spark, sink.snapshots()[0])

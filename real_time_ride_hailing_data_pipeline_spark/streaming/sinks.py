@@ -81,6 +81,7 @@ class ParquetUpsertSink:
         partition_source: str = "window_start",
         retries: int = 2,
         retry_delay_s: float = 0.1,
+        snapshot_dir: str | None = None,
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
@@ -89,6 +90,14 @@ class ParquetUpsertSink:
         self.partition_source = partition_source
         self.retries = retries
         self.retry_delay_s = retry_delay_s
+        # When set, each committed epoch's FULL table state is retained
+        # under snapshot_dir/epoch=<id> — snapshot isolation + time
+        # travel (the Delta/Iceberg headline feature). The copy-based
+        # form is right-sized for what this sink holds (aggregate
+        # tables, dashboard-scale); at 100 TB raw-table scale the same
+        # API retains per-snapshot file MANIFESTS (a transaction log)
+        # instead of copies — read_at semantics are identical.
+        self.snapshot_dir = snapshot_dir
 
     # -- the foreachBatch hook -------------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -116,6 +125,7 @@ class ParquetUpsertSink:
             # crashed commit for this very epoch: finish it from the
             # durable staging (batch content is already inside it)
             self._commit(spark)
+            self._snapshot(spark, epoch_id)
             return
         if batch_df.isEmpty():
             # update-mode can emit empty micro-batches (e.g. the final
@@ -133,10 +143,51 @@ class ParquetUpsertSink:
             # instead of three FS round trips; no read-modify-write, so
             # no staging needed)
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
+            self._snapshot(spark, epoch_id)
             return
 
         self._stage_merge(spark, batch, epoch_id)
         self._commit(spark)
+        self._snapshot(spark, epoch_id)
+
+    def _snapshot(self, spark: SparkSession, epoch_id: int) -> None:
+        """Retain this epoch's full committed state (no-op unless
+        ``snapshot_dir`` is set). Idempotent: a replayed epoch
+        overwrites its own snapshot with identical content."""
+        if self.snapshot_dir is None:
+            return
+        (
+            spark.read.parquet(self.path)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.snapshot_dir, f"epoch={epoch_id}"))
+        )
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot epochs, ascending."""
+        if self.snapshot_dir is None or not os.path.isdir(self.snapshot_dir):
+            return []
+        return sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(self.snapshot_dir)
+            if name.startswith("epoch=")
+        )
+
+    def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        """Time-travel read: the table as of the newest snapshot whose
+        epoch is <= ``epoch_id`` (mirrors VERSION AS OF semantics)."""
+        eligible = [e for e in self.snapshots() if e <= epoch_id]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before epoch {epoch_id}")
+        return spark.read.parquet(
+            os.path.join(self.snapshot_dir, f"epoch={eligible[-1]}")
+        ).drop("part_date")
+
+    def read_history(self, spark: SparkSession) -> DataFrame:
+        """Every retained snapshot as one DataFrame with an ``epoch``
+        partition column — the audit/history view."""
+        if self.snapshot_dir is None:
+            raise ValueError("sink was built without snapshot_dir")
+        return spark.read.parquet(self.snapshot_dir)
 
     def _stage_merge(self, spark: SparkSession, batch: DataFrame, epoch_id: int) -> None:
         """Compute keep ∪ batch for the touched partitions and persist

@@ -433,3 +433,63 @@ def test_fanout_log_equals_upsert_table(spark):
         for r in sj.streaming_city_metrics_replay(spark, SF_DIR).collect()
     }
     assert log_rows == table_rows and len(log_rows) > 0
+
+
+def test_snapshot_time_travel_reads(spark):
+    """Snapshot retention invariants: read_at(last epoch) equals the
+    live table; the epoch-0 snapshot differs from it (later commits
+    changed state); the history view carries one epoch partition per
+    commit; read_at below the first epoch raises."""
+    import pytest as _pytest
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import (
+        run_city_metrics_replay,
+    )
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from real_time_ride_hailing_data_pipeline_spark import catalog as _cat
+
+    workdir = _tempfile.mkdtemp(prefix="rtrh_tt_test_")
+    src_dir = _os.path.join(workdir, "src")
+    _os.makedirs(src_dir)
+    events = _cat.load_table(spark, SF_DIR, "events")
+    cutoff = F2.lit("2024-01-16").cast("timestamp")
+    for name, half in (
+        ("a_half0", events.filter(F2.col("ts") < cutoff)),
+        ("b_half1", events.filter(F2.col("ts") >= cutoff)),
+    ):
+        tmp = _os.path.join(workdir, f"tmp_{name}")
+        half.coalesce(1).write.parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _os.rename(_os.path.join(tmp, part), _os.path.join(src_dir, f"{name}.parquet"))
+    now = _time.time()
+    for i, f in enumerate(sorted(_os.listdir(src_dir))):
+        _os.utime(_os.path.join(src_dir, f), (now + i, now + i))
+
+    sink = run_city_metrics_replay(
+        spark,
+        source_dir=src_dir,
+        sink_path=_os.path.join(workdir, "out"),
+        checkpoint_dir=_os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=1,
+        snapshot_dir=_os.path.join(workdir, "snaps"),
+    )
+    epochs = sink.snapshots()
+    assert len(epochs) >= 2
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    live = rows(sink.read(spark))
+    assert rows(sink.read_at(spark, epochs[-1])) == live
+    assert rows(sink.read_at(spark, epochs[0])) != live
+    hist = sink.read_history(spark)
+    assert {r["epoch"] for r in hist.select("epoch").distinct().collect()} == set(
+        epochs
+    )
+    with _pytest.raises(ValueError):
+        sink.read_at(spark, epochs[0] - 1)
