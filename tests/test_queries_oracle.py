@@ -44,3 +44,23 @@ def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
             approx[etype],
             n,
         )
+
+
+def test_side_effecting_queries_are_reentrant(spark, sf_dir):
+    """Queries with session-global side effects (saveAsTable bucketed
+    tables, embedded-Derby databases, Python DataSource / UDTF
+    registration) must be safely re-runnable in one session — the
+    driver, bench and verify all call them repeatedly. Two runs must
+    return identical rows."""
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+
+    for name in (
+        "bucketed_join_no_shuffle",
+        "jdbc_source_partitioned_read",
+        "python_datasource_city_fares",
+        "udtf_sentence_stats",
+    ):
+        fn = q.all_queries()[name]
+        first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        assert first == second and len(first) > 0, name
