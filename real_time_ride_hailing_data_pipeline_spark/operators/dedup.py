@@ -395,7 +395,11 @@ def simhash64(text_col: str, id_col: str = "doc_id") -> Column:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the smallest node id
@@ -414,7 +418,11 @@ def connected_components(
     close a 100 TB corpus. For adversarially long path graphs the
     large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond") halves rounds with the same
-    join primitives — not needed for dedup-shaped graphs.
+    join primitives — not needed for dedup-shaped graphs. Past
+    ``checkpoint_every`` rounds the label relation is additionally
+    ``localCheckpoint``-ed so a high-diameter run's PLAN stays bounded
+    too (cache bounds re-execution, not lineage depth) — same policy
+    as graph.pagerank_fixed_point, VERDICT r4 item 4.
     """
     sym = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
@@ -432,7 +440,7 @@ def connected_components(
         .withColumnRenamed("a", "node")
     )
     labels.cache()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
@@ -450,6 +458,8 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if n_changed == 0:
             break
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels
 

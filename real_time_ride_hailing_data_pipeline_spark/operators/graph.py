@@ -34,6 +34,7 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Damped PageRank (d = 0.85) for a fixed iteration count, in exact
     integer fixed-point. ``edges`` is a deduplicated directed edge
@@ -43,12 +44,20 @@ def pagerank_fixed_point(
     r_{i+1}(v) = (3·BASE) DIV (20·n)  +  (17 · Σ_{u→v} r_i(u) DIV outdeg(u)) DIV 20
 
     Returns (node, r) with r in BASE-scaled units.
-    """
-    # e / nodes / outdeg recur in EVERY iteration's subtree; cached so
-    # the final action computes each once, not iters× (measured 14.5 s
-    # -> ~4 s for 3 iterations on the bench supply graph). At scale
-    # with many iterations, checkpoint ranks per round instead — the
-    # lineage below stays depth-iters by design (iters is small).
+
+    Lineage control (VERDICT r4 item 4): the loop builds an unrolled
+    plan whose depth grows with ``iters`` (~70 Exchange nodes per
+    round in the STATIC plan; caching bounds the executed work but not
+    the plan). Every ``checkpoint_every`` rounds the rank relation is
+    ``localCheckpoint``-ed (eager), truncating lineage so the final
+    plan holds at most ``checkpoint_every`` rounds regardless of
+    ``iters`` — ``pagerank_fixed_point(iters=20)`` plans the same
+    bounded tree as ``iters=3``. Executor-local checkpoint is the
+    right tier here (ranks are (node, long) rows, rebuilt from edges
+    on executor loss); on a cluster running hundreds of rounds, swap
+    in ``df.checkpoint()`` with a reliable checkpoint dir. Checkpoint
+    materialization does not change values: rank arithmetic stays
+    exact integer fixed-point (tested)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -60,7 +69,7 @@ def pagerank_fixed_point(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
     teleport = (3 * BASE) // (20 * n)
     ranks = nodes.withColumn("r", F.lit(BASE // n).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -77,4 +86,9 @@ def pagerank_fixed_point(
             .cast("long")
             .alias("r"),
         )
+        # truncate lineage every few rounds (not after the last — the
+        # caller may still compose the result lazily); short runs
+        # (iters <= checkpoint_every) keep a single unbroken plan
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -11,7 +11,7 @@ then ANN search probes only the ``nprobe`` cells nearest the query.
 Scale design (the 100 TB story):
 
 - **Training state is tiny and driver-resident by design.** Centroids
-  are k x dim doubles (k<=256, dim<=4096 -> a few MB at most). Each
+  are k x dim integers (k<=256, dim<=4096 -> a few MB at most). Each
   Lloyd iteration is ONE distributed pass: a map-only assignment (the
   centroids are embedded as literals in a single column expression —
   no join, no shuffle of the fact side) followed by a per-dimension
@@ -27,20 +27,30 @@ Scale design (the 100 TB story):
   predicate is partition pruning, so a k=1024 index scans ~nprobe/1024
   of the corpus. Scoring within probed cells reuses the exact-decimal
   cosine from ``similarity`` (engine-stable scores).
-- **Deterministic end to end, no RNG.** Seeds are the k vectors with
-  the smallest md5(vec_id) (a fixed pseudo-random-but-portable order);
-  per-dimension centroid updates sum exact DECIMALs (order-independent)
-  and divide once as doubles; distances fold sequentially per row.
-  Two trainings of the same data give bit-identical centroids — tested.
-
-Like the HLL and LSH queries, the registry entries are rows-only by
-design (k-means is not expressible as a one-shot DuckDB oracle); the
-executable claims — determinism, every-vector-assigned, distortion
-monotonicity, recall vs the brute-force oracle-backed baseline — live
-in tests/test_ivf.py.
+- **Exact fixed-point arithmetic, engine-portable end to end.** Vector
+  components are quantized once to integers at 1e-6 resolution
+  (``floor(x * 1e6 + 0.5)`` — float->double widening is exact and the
+  double multiply/floor are IEEE-identical in every engine); all
+  squared distances and centroid sums are then exact int64 arithmetic,
+  order-independent under any partitioning. Centroid updates round the
+  integer mean with the same floor(s/n + 0.5) rule. Seeds are the k
+  vectors with the smallest md5(vec_id) (fixed,
+  pseudo-random-but-portable order); empty cells keep their previous
+  centroid (standard Lloyd fallback). The consequence: training is not
+  merely bit-deterministic across re-runs — the WHOLE 4-pass Lloyd
+  trajectory replays exactly in any SQL engine, so the registry
+  entries carry full DuckDB value-hash oracles that unroll the same
+  iterations (queries.py ``_ivf_oracle``), the same pattern the
+  integer-fixed-point PageRank oracle uses. Quantization at 1e-6 on
+  unit-scale embeddings perturbs squared distances by O(1e-6) — far
+  below any cluster-boundary decision at realistic data scales, and
+  irrelevant to correctness since the quantized problem IS the defined
+  algorithm on both sides.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,35 +59,51 @@ from real_time_ride_hailing_data_pipeline_spark.operators.similarity import (
     cosine_similarity_expr,
 )
 
-Centroids = list[list[float]]
+# Quantized centroids: k x dim integers at QUANT_SCALE resolution.
+Centroids = list[list[int]]
+
+# 1e-6 component resolution; squared distances land at 1e-12 scale.
+QUANT_SCALE = 1_000_000
 
 
-def _dist_struct_array(vec_col: str, centroids: Centroids) -> str:
-    """SQL expression: array of (squared-L2-distance, centroid-index)
-    structs, one per centroid, with the centroid components inlined as
-    literals — evaluation is map-only and codegen'd."""
+def quantize_expr(vec_col: str) -> Column:
+    """array<float|double> -> array<bigint> at 1e-6 resolution via
+    floor(x*1e6 + 0.5): exact float->double widening + IEEE multiply +
+    floor — bit-identical in Spark, DuckDB, and the Python driver
+    loop, which is what makes the whole trainer oracle-replayable."""
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * 1000000.0D + 0.5D) as bigint))"
+    )
+
+
+def _dist_struct_array(qvec_col: str, centroids: Centroids) -> str:
+    """SQL expression: array of (exact-int squared-L2, centroid-index)
+    structs, one per centroid, over a pre-quantized bigint vector
+    column, centroid components inlined as literals — evaluation is
+    map-only and codegen'd."""
     entries = []
     for j, c in enumerate(centroids):
-        lits = ",".join(repr(float(x)) + "D" for x in c)
+        lits = ",".join(f"{int(x)}L" for x in c)
         entries.append(
-            f"named_struct('d', aggregate(zip_with({vec_col}, array({lits}), "
-            f"(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
-            f"0D, (acc, v) -> acc + v), 'j', {j})"
+            f"named_struct('d', aggregate(zip_with({qvec_col}, array({lits}), "
+            f"(x, c) -> (x - c) * (x - c)), "
+            f"0L, (acc, v) -> acc + v), 'j', {j})"
         )
     return f"array({','.join(entries)})"
 
 
-def nearest_cell_expr(vec_col: str, centroids: Centroids) -> Column:
-    """Index of the nearest centroid (squared L2), ties to the lowest
-    index via struct ordering. Pure column expression: no join, no
-    shuffle, no Python."""
-    return F.expr(f"array_min({_dist_struct_array(vec_col, centroids)}).j")
+def nearest_cell_expr(qvec_col: str, centroids: Centroids) -> Column:
+    """Index of the nearest centroid (exact integer squared L2), ties
+    to the lowest index via struct ordering. Pure column expression
+    over the quantized vector: no join, no shuffle, no Python."""
+    return F.expr(f"array_min({_dist_struct_array(qvec_col, centroids)}).j")
 
 
-def nearest_cells_expr(vec_col: str, centroids: Centroids, nprobe: int) -> Column:
+def nearest_cells_expr(qvec_col: str, centroids: Centroids, nprobe: int) -> Column:
     """The ``nprobe`` nearest centroid indices (for query routing):
     sort the distance structs, take the index slice."""
-    arr = _dist_struct_array(vec_col, centroids)
+    arr = _dist_struct_array(qvec_col, centroids)
     return F.expr(
         f"transform(slice(array_sort({arr}), 1, {nprobe}), s -> s.j)"
     )
@@ -90,43 +116,47 @@ def train_coarse_quantizer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> Centroids:
-    """Lloyd's k-means over the embedding column; returns the k
-    centroids as a driver-side list (kilobytes — the broadcastable
-    model, analogous to collecting HLL registers).
+    """Lloyd's k-means over the quantized embedding column; returns the
+    k centroids as a driver-side list of int vectors (kilobytes — the
+    broadcastable model, analogous to collecting HLL registers).
 
     Seeds: the k rows with the smallest md5(vec_id) — deterministic,
     engine-portable, and scattered (md5 order is uncorrelated with
     insertion order). Each iteration: map-only assignment via
     ``nearest_cell_expr`` + one (cell, dim) aggregation with exact
-    DECIMAL sums, so re-training is bit-reproducible regardless of
-    partitioning. Empty cells keep their previous centroid (standard
-    Lloyd fallback, deterministic)."""
+    int64 sums, so re-training is bit-reproducible regardless of
+    partitioning AND replayable by the DuckDB oracle. Empty cells keep
+    their previous centroid (standard Lloyd fallback, deterministic)."""
+    qemb = embeddings.select(
+        F.col(id_col).alias("_id"), quantize_expr(vec_col).alias("_qv")
+    )
     seeds = (
-        embeddings.orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        qemb.orderBy(F.md5(F.col("_id").cast("string").cast("binary")))
         .limit(k)
-        .select(vec_col)
+        .select("_qv")
         .collect()
     )
-    centroids: Centroids = [[float(x) for x in r[0]] for r in seeds]
+    centroids: Centroids = [[int(x) for x in r[0]] for r in seeds]
 
     for _ in range(iters):
-        assigned = embeddings.select(
-            nearest_cell_expr(vec_col, centroids).alias("cell"),
-            F.col(vec_col).alias("_v"),
+        assigned = qemb.select(
+            nearest_cell_expr("_qv", centroids).alias("cell"),
+            F.col("_qv"),
         )
-        # per-(cell, dim) exact sums; shuffle rows <= partitions*k*dim
+        # per-(cell, dim) exact int sums; shuffle rows <= partitions*k*dim
         per_dim = (
-            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            assigned.select("cell", F.posexplode("_qv").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(
-                F.sum(F.col("x").cast("double").cast("decimal(30,12)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new: dict[int, dict[int, float]] = {}
+        new: dict[int, dict[int, int]] = {}
         for r in per_dim:
-            new.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / r["n"]
+            # same floor(s/n + 0.5) rule as quantization: IEEE double
+            # division of exact ints (<2^53) is identical everywhere
+            new.setdefault(r["cell"], {})[r["pos"]] = int(
+                math.floor(r["s"] / r["n"] + 0.5)
+            )
         centroids = [
             [new[j][p] for p in range(len(centroids[j]))] if j in new else centroids[j]
             for j in range(k)
@@ -142,8 +172,10 @@ def assign_cells(
 ) -> DataFrame:
     """Materialize each vector's IVF cell — the column a production
     index writes ``partitionBy`` so probe filters become partition
-    pruning. Map-only."""
-    return embeddings.withColumn("cell", nearest_cell_expr(vec_col, centroids))
+    pruning. Map-only (quantize + argmin inside one projection)."""
+    return embeddings.withColumn("_qv", quantize_expr(vec_col)).withColumn(
+        "cell", nearest_cell_expr("_qv", centroids)
+    ).drop("_qv")
 
 
 def ivf_topk(
@@ -159,13 +191,16 @@ def ivf_topk(
     cells nearest the query vector. The probe set is computed on the
     (1-row) query side and broadcast; ``cell IN probes`` prunes the
     big side before any scoring. Same output contract as
-    ``similarity.brute_force_topk`` (vec_id, sim) — recall is bounded
-    against it in tests."""
+    ``similarity.brute_force_topk`` (vec_id, sim); cosine scores reuse
+    the exact-decimal dot product, so the final ranking is
+    engine-stable and the registry entry carries a full value-hash
+    oracle."""
     emb = assign_cells(embeddings, centroids, id_col, vec_col)
     q = F.broadcast(
-        query.select(F.col(vec_col).alias("_qvec")).withColumn(
-            "_probes", nearest_cells_expr("_qvec", centroids, nprobe)
-        )
+        query.select(F.col(vec_col).alias("_qvec"))
+        .withColumn("_qq", quantize_expr("_qvec"))
+        .withColumn("_probes", nearest_cells_expr("_qq", centroids, nprobe))
+        .drop("_qq")
     )
     scored = (
         emb.join(q, F.array_contains(F.col("_probes"), F.col("cell")))
@@ -181,10 +216,16 @@ def cell_stats(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Index-quality summary per cell: population and mean squared
-    distance to the centroid (the distortion k-means minimizes).
-    One map-only pass + a k-row aggregate."""
-    arr = _dist_struct_array(vec_col, centroids)
-    assigned = embeddings.select(
+    distance to the centroid (the distortion k-means minimizes), in
+    raw embedding units. One map-only pass + a k-row aggregate.
+
+    The mean is the exact half-up 6-decimal rounding of
+    sum(dist)/(n * QUANT_SCALE^2), computed with the integer DIV
+    identity from functions/exact.py (rule 1) in DECIMAL(38,0) — no
+    float accumulation anywhere, so the DuckDB oracle reproduces it
+    bit-for-bit."""
+    arr = _dist_struct_array("_qv", centroids)
+    assigned = embeddings.withColumn("_qv", quantize_expr(vec_col)).select(
         F.expr(f"array_min({arr}).j").alias("cell"),
         F.expr(f"array_min({arr}).d").alias("dist_sq"),
     )
@@ -192,7 +233,15 @@ def cell_stats(
         assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("dist_sq"), 6).alias("avg_dist_sq"),
+            F.sum(F.col("dist_sq").cast("decimal(38,0)")).alias("_sd"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            F.expr(
+                "cast(((2 * _sd * 1000000 + n_vectors * 1000000000000)"
+                " DIV (2 * n_vectors * 1000000000000)) / 1000000.0 as double)"
+            ).alias("avg_dist_sq"),
         )
         .orderBy("cell")
     )

@@ -76,3 +76,10 @@ def configure_runtime(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Checkpoint-log retention: the default (100 batches of offset/
+    # commit/state files) sizes recovery depth for long-lived clusters;
+    # the replay harnesses here are availableNow one-shots, so retaining
+    # 2 batches cuts per-trigger checkpoint file churn with identical
+    # results (VERDICT r4 item 5). Long-lived deployments that want
+    # deeper recovery history override this on their own session.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")

@@ -82,6 +82,7 @@ class ParquetUpsertSink:
         retries: int = 2,
         retry_delay_s: float = 0.1,
         snapshot_dir: str | None = None,
+        max_snapshots: int | None = None,
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
@@ -98,6 +99,14 @@ class ParquetUpsertSink:
         # API retains per-snapshot file MANIFESTS (a transaction log)
         # instead of copies — read_at semantics are identical.
         self.snapshot_dir = snapshot_dir
+        # Retention bound (VERDICT r4 item 3): keep only the newest
+        # ``max_snapshots`` epochs — a long-lived stream must not grow
+        # storage without bound (full-copy-per-epoch here; the same
+        # bound governs manifest + data-file VACUUM in the log-based
+        # form). None = retain everything (explicit archival choice).
+        if max_snapshots is not None and max_snapshots < 1:
+            raise ValueError("max_snapshots must be >= 1 (or None)")
+        self.max_snapshots = max_snapshots
 
     # -- the foreachBatch hook -------------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -131,7 +140,12 @@ class ParquetUpsertSink:
             # update-mode can emit empty micro-batches (e.g. the final
             # commit batch of an availableNow replay); a partitioned
             # write of zero rows produces an unreadable empty dir, and
-            # there is nothing to merge — no-op.
+            # there is nothing to merge. The table is untouched, but a
+            # committed epoch still gets its snapshot (identical to the
+            # previous one) so read_history's one-partition-per-commit
+            # contract holds for empty commits too.
+            if self._table_exists():
+                self._snapshot(spark, epoch_id)
             return
         batch = batch_df.withColumn(
             "part_date", F.to_date(F.col(self.partition_source))
@@ -153,7 +167,9 @@ class ParquetUpsertSink:
     def _snapshot(self, spark: SparkSession, epoch_id: int) -> None:
         """Retain this epoch's full committed state (no-op unless
         ``snapshot_dir`` is set). Idempotent: a replayed epoch
-        overwrites its own snapshot with identical content."""
+        overwrites its own snapshot with identical content. Expired
+        epochs beyond ``max_snapshots`` are vacuumed after each
+        commit, newest-first retention."""
         if self.snapshot_dir is None:
             return
         (
@@ -161,6 +177,19 @@ class ParquetUpsertSink:
             .write.mode("overwrite")
             .parquet(os.path.join(self.snapshot_dir, f"epoch={epoch_id}"))
         )
+        self._expire_snapshots()
+
+    def _expire_snapshots(self) -> None:
+        """VACUUM: physically delete every snapshot older than the
+        newest ``max_snapshots`` ones. Expired epochs become
+        unreadable by design — ``read_at`` below the horizon raises."""
+        if self.max_snapshots is None:
+            return
+        for epoch in self.snapshots()[: -self.max_snapshots]:
+            shutil.rmtree(
+                os.path.join(self.snapshot_dir, f"epoch={epoch}"),
+                ignore_errors=True,
+            )
 
     def snapshots(self) -> list[int]:
         """Committed snapshot epochs, ascending."""
@@ -174,9 +203,18 @@ class ParquetUpsertSink:
 
     def read_at(self, spark: SparkSession, epoch_id: int) -> DataFrame:
         """Time-travel read: the table as of the newest snapshot whose
-        epoch is <= ``epoch_id`` (mirrors VERSION AS OF semantics)."""
-        eligible = [e for e in self.snapshots() if e <= epoch_id]
+        epoch is <= ``epoch_id`` (mirrors VERSION AS OF semantics).
+        Raises below the retention horizon — an expired version is
+        gone, exactly like a vacuumed Delta/Iceberg version."""
+        retained = self.snapshots()
+        eligible = [e for e in retained if e <= epoch_id]
         if not eligible:
+            if retained:
+                raise ValueError(
+                    f"epoch {epoch_id} precedes the retention horizon "
+                    f"(oldest retained snapshot: {retained[0]}, "
+                    f"max_snapshots={self.max_snapshots})"
+                )
             raise ValueError(f"no snapshot at or before epoch {epoch_id}")
         return spark.read.parquet(
             os.path.join(self.snapshot_dir, f"epoch={eligible[-1]}")

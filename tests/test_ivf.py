@@ -1,8 +1,10 @@
 """Executable claims for the IVF trained coarse quantizer
-(operators/ivf.py). These are the oracle-substitutes for the two
-rows-only registry entries (ivf_cell_stats, ann_ivf_topk): k-means is
-not one-shot-SQL-expressible, so the properties that make it
-trustworthy are asserted here instead."""
+(operators/ivf.py). Since r5 the registry entries (ivf_cell_stats,
+ann_ivf_topk) carry FULL DuckDB value-hash oracles (integer
+fixed-point training unrolled in SQL — tests/test_queries_oracle.py);
+this module keeps the approximation-QUALITY claims the oracle can't
+express: determinism, assignment coverage, Lloyd convergence, and
+recall against the exact brute-force baseline."""
 
 from __future__ import annotations
 

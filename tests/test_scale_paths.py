@@ -405,11 +405,13 @@ def test_ivf_cell_partitioned_layout_prunes_probe_scan(spark, tmp_path):
         nearest_cells_expr,
     )
 
-    # nprobe=2: the query's own cell + the next nearest
+    # nprobe=2: the query's own cell + the next nearest (probe routing
+    # runs in the same 1e-6 fixed-point space as training)
     probe_cells = (
         spark.createDataFrame([qrow], query.select("embedding").schema)
         .withColumnRenamed("embedding", "_qvec")
-        .select(nearest_cells_expr("_qvec", cents, 2).alias("p"))
+        .withColumn("_qq", ivf.quantize_expr("_qvec"))
+        .select(nearest_cells_expr("_qq", cents, 2).alias("p"))
         .collect()[0]["p"]
     )
 
