@@ -906,3 +906,47 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
         snapshot_dir=os.path.join(workdir, "snapshots"),
     )
     return sink.read_at(spark, sink.snapshots()[0])
+
+
+def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sink executed VERBATIM-dialect: the same
+    availableNow replay as streaming_jdbc_replay, but foreachBatch
+    stages each micro-batch into a REAL PostgreSQL server and merges
+    with ``INSERT .. ON CONFLICT DO UPDATE`` — the exact statement
+    family of /root/reference/spark_jobs/streaming_job.py:26-53,
+    corrected to the idempotent (key, window) overwrite form. The
+    server is an embedded PostgreSQL 15 booted from the container's
+    own binaries; the client is the pure-stdlib wire-protocol
+    implementation in sources/pgwire.py (no psycopg2, no JDBC jar).
+    Returns the merged table read back over the wire; the oracle is
+    the batch aggregation — batch/streaming parity through a real
+    Postgres transaction."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        PostgresUpsertSink,
+    )
+
+    workdir = _workdir("rtrh_pgsink_")
+    sink = PostgresUpsertSink(
+        table=f"city_metrics_{os.path.basename(workdir).rsplit('_', 1)[-1]}",
+        key_cols=("event_type", "window_start"),
+    )
+    events = events_parquet_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        wrapper_dir=os.path.join(workdir, "srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(sink.write_batch)
+            .option("checkpointLocation", os.path.join(workdir, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read(spark)
