@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -127,6 +128,60 @@ def skew_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def multifile_layout(spark, sf_dir: str, n_files: int = 32) -> str:
+    """Derived copy of the sf fixtures with every non-trivial table
+    split into ``n_files`` parquet parts (cached in /tmp, keyed by the
+    source tables' size+mtime).
+
+    Why: the driver's fixtures are ONE parquet file per table, which
+    caps a scan at one input split per row-group — BASELINE.md r5
+    documents map-only operators running FASTER at 8× data purely
+    because more files unlocked more parallelism. A production 100 TB
+    table is thousands of files; benchmarking plans against a
+    single-file layout measures the input-split cap, not the plan.
+    The frozen-7 baseline gate still runs on the ORIGINAL layout so
+    its numbers stay comparable with the r1 baseline.
+
+    Tables under 200 KB (dims like region/nation) keep one file —
+    32 near-empty parts would only add listing overhead.
+    """
+    import hashlib
+    import tempfile
+
+    from real_time_ride_hailing_data_pipeline_spark import catalog as _cat
+
+    sig = hashlib.md5(f"v1:{n_files}".encode())
+    for t in _cat.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            st = os.stat(p)
+            sig.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    dest = os.path.join(
+        tempfile.gettempdir(), f"rtrh_bench_mf_{sig.hexdigest()[:12]}"
+    )
+    marker = os.path.join(dest, "_READY")
+    if os.path.exists(marker):
+        return dest
+    tmp = dest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for t in _cat.TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        parts = n_files if os.path.getsize(src) >= 200 * 1024 else 1
+        (
+            spark.read.parquet(src)
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"{t}.parquet"))
+        )
+    shutil.rmtree(dest, ignore_errors=True)
+    os.rename(tmp, dest)
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return dest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -166,14 +221,24 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).collect()
 
+    # The full registry runs against the 32-file derived layout (plans
+    # measured with realistic input splits, see multifile_layout); the
+    # frozen-7 gate set is re-run afterwards on the ORIGINAL single-file
+    # layout so BASELINE.md comparisons stay apples-to-apples.
+    try:
+        bench_dir = multifile_layout(spark, sf_dir)
+        layout = "32-file"
+    except Exception:  # noqa: BLE001 — never lose the run to the copy step
+        bench_dir, layout = sf_dir, "single-file"
+
     # Failure isolation: one broken query records an error entry and the
-    # rest still get timed — both JSON lines are ALWAYS emitted.
+    # rest still get timed — every JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
-            rows = registry[name](spark, sf_dir).collect()
+            rows = registry[name](spark, bench_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 4)
             _ = len(rows)
         except Exception as exc:  # noqa: BLE001 — record and continue
@@ -186,10 +251,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "layout": layout,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # Short line that ALWAYS survives the driver's tail-of-stdout capture
+    # (the full per-query dict above overflowed it in r5): the registry
+    # trend — total wall, query count, error count — in <200 bytes.
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "n": len(timings),
+                "bench_errors": len(errors),
+                "sf": sf,
+                "layout": layout,
+            }
+        )
+    )
 
     # The driver captures only the TAIL of stdout, and the full per-query
     # line above (65+ entries) overflowed that capture in round 2
@@ -205,7 +288,18 @@ def main() -> None:
         "join_broadcast_enrichment",
         "agg_distinct_users_per_type",
     ]
-    frozen_t = {n: timings[n] for n in frozen if n in timings}
+    # Re-timed on the ORIGINAL single-file layout — the exact input the
+    # r1 baseline measured — so the ≤2× gate compares like with like.
+    frozen_t: dict[str, float] = {}
+    for name in frozen:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, sf_dir).collect()
+            frozen_t[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         skew = skew_bench(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — never lose the headline line
@@ -216,6 +310,7 @@ def main() -> None:
         "unit": "sec",
         "queries": frozen_t,
         "sf": sf,
+        "layout": "single-file-r1-baseline",
         "skew": skew,
     }
     if errors:

@@ -458,7 +458,9 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if n_changed == 0:
             break
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < max_iter:
+            # no benefit checkpointing after the last stepped round
+            # (same guard as graph.pagerank_fixed_point)
             labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels

@@ -2118,10 +2118,11 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     time-ordered replay with per-epoch snapshot retention; returns
     the table AS OF epoch 0. The oracle aggregates only the first
     batch's time range — hash equality proves later commits never
-    leaked into the retained snapshot. At 100 TB the same read_at
-    API rides per-snapshot file manifests (a transaction log)
-    instead of full copies; copy-based retention is right-sized for
-    the aggregate tables this sink holds."""
+    leaked into the retained snapshot. Snapshots are a transaction
+    log (per-epoch manifests over immutable per-partition copies,
+    streaming/sinks.py:_snapshot): write amplification per commit is
+    O(touched partitions), never O(table) — the storage shape a
+    100 TB deployment needs."""
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_snapshot_time_travel(spark, sf_dir)
@@ -2153,6 +2154,52 @@ def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_jdbc_replay(spark, sf_dir)
+
+
+try:  # environment gate: see streaming_postgres_replay below
+    from real_time_ride_hailing_data_pipeline_spark.sources.pgwire import (
+        EmbeddedPostgres as _EmbeddedPostgres,
+    )
+
+    _HAS_POSTGRES = _EmbeddedPostgres.available()
+except Exception:  # pragma: no cover - environment-dependent
+    _HAS_POSTGRES = False
+
+if _HAS_POSTGRES:
+
+    @query(
+        "streaming_postgres_replay",
+        oracle="""
+        SELECT event_type,
+               date_trunc('minute', ts)                    AS window_start,
+               date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+               count(event_id)                             AS total_trips,
+               ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+                 // (2 * count(value))) / 100.0            AS average_fare
+        FROM events
+        GROUP BY 1, 2, 3
+        """,
+    )
+    def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The reference's sink executed VERBATIM-dialect (S5,
+        /root/reference/spark_jobs/streaming_job.py:26-53): the same
+        availableNow replay as streaming_jdbc_replay, but each
+        micro-batch is staged into a REAL embedded PostgreSQL 15 and
+        merged with ``INSERT .. ON CONFLICT DO UPDATE`` — spoken over
+        the pure-stdlib wire protocol (sources/pgwire.py; no psycopg2,
+        no JDBC jar), keyed ``(event_type, window_start)`` with
+        overwrite-per-key values (the idempotent correction of the
+        reference's additive city-only conflict, SURVEY §4). The
+        merged table is read back over the wire; the oracle is the
+        batch aggregation — batch/streaming parity through a real
+        Postgres transaction.
+
+        Registered ONLY where the container ships the server binaries
+        (``EmbeddedPostgres.available()``); elsewhere the Derby ANSI
+        MERGE twin (streaming_jdbc_replay) carries the S4/S5 family."""
+        from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+        return sj.streaming_postgres_replay(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

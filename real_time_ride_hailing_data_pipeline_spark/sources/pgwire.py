@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import atexit
 import datetime as dt
+import math
 import os
+import re
 import shutil
 import socket
 import struct
@@ -48,10 +50,18 @@ def _cstring(buf: bytes, off: int) -> tuple[str, int]:
     return buf[off:end].decode("utf-8"), end + 1
 
 
+_TZ_SUFFIX = re.compile(r"([+-])(\d{2})(?::?(\d{2}))?(?::?(\d{2}))?$")
+
+
 def _decode(value: bytes | None, type_oid: int):
     """Text-format value -> Python, by type OID (pg_type.dat, public)."""
     if value is None:
         return None
+    if type_oid == 17:  # bytea, hex output format ("\x....")
+        s = value.decode("ascii")
+        if not s.startswith("\\x"):
+            raise PgError(f"unsupported bytea output format: {s[:8]!r}")
+        return bytes.fromhex(s[2:])
     s = value.decode("utf-8")
     if type_oid in (20, 21, 23, 26):  # int8/int2/int4/oid
         return int(s)
@@ -62,9 +72,22 @@ def _decode(value: bytes | None, type_oid: int):
     if type_oid == 16:  # bool
         return s == "t"
     if type_oid in (1114, 1184):  # timestamp / timestamptz
-        base = s[:-3] if type_oid == 1184 and s[-3] in "+-" else s
+        base, offset = s, dt.timedelta(0)
+        if type_oid == 1184:
+            # generic UTC-offset suffix: +HH, -HH:MM, +HH:MM:SS — not
+            # just whole hours (the client also pins TimeZone=UTC at
+            # startup, so this is a second line of defense)
+            m = _TZ_SUFFIX.search(s)
+            if m:
+                base = s[: m.start()]
+                sign = 1 if m.group(1) == "+" else -1
+                offset = sign * dt.timedelta(
+                    hours=int(m.group(2)),
+                    minutes=int(m.group(3) or 0),
+                    seconds=int(m.group(4) or 0),
+                )
         fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in base else "%Y-%m-%d %H:%M:%S"
-        return dt.datetime.strptime(base, fmt)
+        return dt.datetime.strptime(base, fmt) - offset  # naive UTC
     if type_oid == 1082:  # date
         return dt.date.fromisoformat(s)
     return s
@@ -81,7 +104,13 @@ def sql_literal(v) -> str:
     if isinstance(v, (int, Decimal)):
         return str(v)
     if isinstance(v, float):
+        if math.isnan(v):
+            return "'NaN'::float8"  # bare nan/inf are invalid pg literals
+        if math.isinf(v):
+            return f"'{'-' if v < 0 else ''}Infinity'::float8"
         return repr(v)  # shortest round-trip text; float8 re-parses exactly
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return f"'\\x{bytes(v).hex()}'::bytea"  # hex input format
     if isinstance(v, dt.datetime):
         return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
     if isinstance(v, dt.date):
@@ -98,7 +127,13 @@ class PgWireClient:
 
     def __init__(self, host: str, port: int, user: str, database: str) -> None:
         self._sock = socket.create_connection((host, port), timeout=30)
-        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        # TimeZone pinned to UTC so timestamptz renders with a +00
+        # offset regardless of server/locale config (any run-time GUC
+        # may ride in the startup packet, protocol §StartupMessage)
+        params = (
+            f"user\x00{user}\x00database\x00{database}\x00"
+            f"TimeZone\x00UTC\x00\x00"
+        ).encode()
         body = struct.pack("!i", 196608) + params
         self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
         self._consume_until_ready(startup=True)
@@ -235,7 +270,22 @@ class EmbeddedPostgres:
 
     @classmethod
     def ensure(cls) -> "EmbeddedPostgres":
+        """Boot (once per process) and return the singleton server.
+
+        Raises ``PgError`` — never a TypeError from a ``which()``-miss —
+        when the binaries are absent; callers gate on ``available()``
+        and treat PgError as a clean skip. Concurrency note: the data
+        dir is a fresh ``tempfile.mkdtemp`` per process, so N parallel
+        pytest/driver sessions boot N isolated servers on N free ports
+        — there is no shared state to race; the ``_instance`` singleton
+        and the ``atexit`` stop are likewise per-process."""
         if cls._instance is None:
+            if not cls.available():
+                raise PgError(
+                    "postgres server binaries (initdb/pg_ctl/postgres) "
+                    "unavailable on PATH (or no unprivileged runner for "
+                    "a root process) — embedded server cannot boot"
+                )
             server = cls()
             server._boot()
             cls._instance = server

@@ -875,9 +875,12 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     batch, untouched by everything that committed later. The oracle
     aggregates only the first batch's time range, so the value-hash
     equality proves snapshot isolation (later commits did not leak
-    into the retained state). tests/test_streaming.py additionally
-    checks read_at on the last epoch equals the live table and the
-    history view carries one epoch partition per commit."""
+    into the retained state). Snapshots are manifest-based (a
+    transaction log over immutable per-partition copies — O(touched
+    partitions) write amplification per commit, sinks.py:_snapshot).
+    tests/test_streaming.py additionally checks read_at on the last
+    epoch equals the live table, the history view carries one epoch
+    per commit, and expiry VACUUMs unreferenced partition copies."""
     import time as _time
 
     workdir = _workdir("rtrh_tt_")

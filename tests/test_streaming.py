@@ -497,10 +497,13 @@ def test_snapshot_time_travel_reads(spark):
 
 def test_snapshot_retention_expires_old_epochs(spark, tmp_path):
     """max_snapshots bounds snapshot storage (VERDICT r4 item 3): only
-    the newest N epoch copies survive, expired epochs are physically
-    deleted (unreadable), read_at below the retention horizon raises,
-    and an EMPTY committed epoch still writes its (identical) snapshot
-    so the one-partition-per-commit history contract holds."""
+    the newest N manifests survive, partition copies no retained
+    manifest references are physically VACUUMed, read_at below the
+    retention horizon raises, and an EMPTY committed epoch still
+    publishes its (identical) manifest so the one-commit-per-epoch
+    history contract holds."""
+    import os as _os
+
     import pytest as _pytest
 
     from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
@@ -515,29 +518,87 @@ def test_snapshot_retention_expires_old_epochs(spark, tmp_path):
         max_snapshots=2,
     )
 
-    def batch(n):
+    def batch(n, day=None):
         return spark.createDataFrame(
-            [("sf", f"2024-01-0{n + 1} 00:00:00", n)],
+            [("sf", f"2024-01-0{(day if day is not None else n) + 1} 00:00:00", n)],
             "city string, window_start string, total_trips int",
         ).withColumn("window_start", F.col("window_start").cast("timestamp"))
 
     for epoch in range(4):
         sink.write_batch(batch(epoch), epoch)
     assert sink.snapshots() == [2, 3]
-    assert not (tmp_path / "snaps" / "epoch=0").exists()
-    assert not (tmp_path / "snaps" / "epoch=1").exists()
+    mdir = tmp_path / "snaps" / "manifest"
+    assert sorted(_os.listdir(mdir)) == ["epoch=2.json", "epoch=3.json"]
 
     # inside the horizon: epoch-2 view has 3 keys, live table has 4
     assert sink.read_at(spark, 2).count() == 3
     assert sink.read(spark).count() == 4
     with _pytest.raises(ValueError, match="retention horizon"):
         sink.read_at(spark, 1)
+    # epoch 0/1's partition COPIES survive while a retained manifest
+    # still references them (the transaction-log property: a manifest
+    # entry, not the epoch number, decides a file's liveness)
+    froot = tmp_path / "snaps" / "files"
+    assert (froot / "epoch=0" / "part_date=2024-01-01").is_dir()
 
-    # an empty committed epoch still snapshots (identical content) and
-    # participates in retention
+    # an empty committed epoch publishes a manifest (identical content,
+    # ZERO data copies) and participates in retention
     empty = batch(0).filter("1 = 0")
     sink.write_batch(empty, 4)
     assert sink.snapshots() == [3, 4]
+    assert not (froot / "epoch=4").exists()  # nothing copied
     assert sink.read_at(spark, 4).count() == sink.read(spark).count() == 4
     hist = sink.read_history(spark)
     assert {r["epoch"] for r in hist.select("epoch").distinct().collect()} == {3, 4}
+
+    # re-touching day 1's partition at epoch 5 re-points its manifest
+    # entry — but manifest 4 (still retained) references the epoch-0
+    # copy, so it survives; once manifest 4 itself expires (epoch 6),
+    # no retained manifest references it and the VACUUM deletes it
+    sink.write_batch(batch(99, day=0), 5)
+    assert sink.snapshots() == [4, 5]
+    assert (froot / "epoch=0" / "part_date=2024-01-01").is_dir()  # ref'd by m4
+    assert (froot / "epoch=5" / "part_date=2024-01-01").is_dir()
+    assert sink.read_at(spark, 5).count() == 4
+    sink.write_batch(batch(0).filter("1 = 0"), 6)  # expires manifest 4
+    assert sink.snapshots() == [5, 6]
+    assert not (froot / "epoch=0").exists()  # unreferenced -> vacuumed
+    assert sink.read_at(spark, 6).count() == 4
+
+
+def test_snapshot_write_amplification_is_per_touched_partition(spark, tmp_path):
+    """VERDICT r5 item 5: a commit touching 1 of N partitions copies
+    exactly that partition into the snapshot store — O(changed files),
+    not O(table)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        path=str(tmp_path / "table"),
+        key_cols=("city", "window_start"),
+        partition_source="window_start",
+        snapshot_dir=str(tmp_path / "snaps"),
+    )
+    wide = spark.createDataFrame(
+        [("sf", f"2024-01-{d:02d} 00:00:00", d) for d in range(1, 11)],
+        "city string, window_start string, total_trips int",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    sink.write_batch(wide, 0)  # baseline: 10 partitions captured
+    froot = tmp_path / "snaps" / "files"
+    assert len(_os.listdir(froot / "epoch=0")) == 10
+
+    one = spark.createDataFrame(
+        [("sf", "2024-01-05 00:00:00", 99)],
+        "city string, window_start string, total_trips int",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    sink.write_batch(one, 1)
+    assert _os.listdir(froot / "epoch=1") == ["part_date=2024-01-05"]
+    # and the composed epoch-1 view is the full 10-partition table
+    got = {
+        (r["window_start"].day, r["total_trips"])
+        for r in sink.read_at(spark, 1).collect()
+    }
+    assert got == {(d, d) for d in range(1, 11) if d != 5} | {(5, 99)}
