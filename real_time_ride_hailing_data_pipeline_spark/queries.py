@@ -2110,6 +2110,45 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_snapshot_history",
+    oracle="""
+    WITH half0 AS (
+      SELECT event_type,
+             date_trunc('minute', ts)                    AS window_start,
+             date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+             count(event_id)                             AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0            AS average_fare
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2, 3
+    ), full_t AS (
+      SELECT event_type,
+             date_trunc('minute', ts)                    AS window_start,
+             date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+             count(event_id)                             AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0            AS average_fare
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT *, 0 AS epoch_seq FROM half0
+    UNION ALL
+    SELECT *, 1 AS epoch_seq FROM full_t
+    """,
+)
+def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY-style audit read over the snapshot transaction
+    log (streaming/job.py:streaming_snapshot_history): every committed
+    version of the sink reconstructed through its manifest and stacked
+    with a dense version index. The oracle is the first half's
+    aggregation at ``epoch_seq`` 0 unioned with the full table's at 1 —
+    value-hash equality proves each manifest composes exactly the
+    partition copies live at its commit (cross-epoch file reuse
+    included)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_snapshot_history(spark, sf_dir)
+
+
+@query(
     "streaming_jdbc_replay",
     oracle="""
     SELECT event_type,

@@ -72,13 +72,17 @@ def _decode(value: bytes | None, type_oid: int):
     if type_oid == 16:  # bool
         return s == "t"
     if type_oid in (1114, 1184):  # timestamp / timestamptz
-        base, offset = s, dt.timedelta(0)
-        if type_oid == 1184:
-            # generic UTC-offset suffix: +HH, -HH:MM, +HH:MM:SS — not
-            # just whole hours (the client also pins TimeZone=UTC at
-            # startup, so this is a second line of defense)
+        try:
+            # C-speed parse; Python >=3.11 accepts pg's exact output
+            # incl. any UTC-offset suffix (+HH / -HH:MM / +HH:MM:SS)
+            parsed = dt.datetime.fromisoformat(s)
+        except ValueError:
+            # fallback: strip a generic offset suffix by regex (the
+            # client also pins TimeZone=UTC at startup, so offsets are
+            # normally +00)
+            base, offset = s, dt.timedelta(0)
             m = _TZ_SUFFIX.search(s)
-            if m:
+            if m and type_oid == 1184:
                 base = s[: m.start()]
                 sign = 1 if m.group(1) == "+" else -1
                 offset = sign * dt.timedelta(
@@ -86,8 +90,11 @@ def _decode(value: bytes | None, type_oid: int):
                     minutes=int(m.group(3) or 0),
                     seconds=int(m.group(4) or 0),
                 )
-        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in base else "%Y-%m-%d %H:%M:%S"
-        return dt.datetime.strptime(base, fmt) - offset  # naive UTC
+            fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in base else "%Y-%m-%d %H:%M:%S"
+            return dt.datetime.strptime(base, fmt) - offset  # naive UTC
+        if parsed.tzinfo is not None:
+            parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return parsed  # naive UTC
     if type_oid == 1082:  # date
         return dt.date.fromisoformat(s)
     return s

@@ -201,8 +201,19 @@ def run_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(workdir, "src")
     os.makedirs(src)
     events_file = os.path.join(sf_dir, "events.parquet")
-    os.symlink(events_file, os.path.join(src, "copy1.parquet"))
-    os.symlink(events_file, os.path.join(src, "copy2.parquet"))
+    if os.path.isdir(events_file):
+        # multi-file table layout: symlink each part twice at the top
+        # level (the streaming file source lists one directory level)
+        parts = [f for f in os.listdir(events_file) if f.endswith(".parquet")]
+        for i, part in enumerate(sorted(parts)):
+            for copy in (1, 2):
+                os.symlink(
+                    os.path.join(events_file, part),
+                    os.path.join(src, f"copy{copy}_{i:04d}.parquet"),
+                )
+    else:
+        os.symlink(events_file, os.path.join(src, "copy1.parquet"))
+        os.symlink(events_file, os.path.join(src, "copy2.parquet"))
 
     events = events_parquet_stream(spark, src)
     deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
@@ -866,21 +877,12 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(out_path)
 
 
-def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot isolation + time travel on the streaming sink (the
-    Delta/Iceberg VERSION AS OF capability, on the engine's own upsert
-    sink): the events table is replayed as two time-ordered
-    micro-batches with per-epoch snapshot retention, and the EPOCH-0
-    snapshot is returned — the table as it stood after the first
-    batch, untouched by everything that committed later. The oracle
-    aggregates only the first batch's time range, so the value-hash
-    equality proves snapshot isolation (later commits did not leak
-    into the retained state). Snapshots are manifest-based (a
-    transaction log over immutable per-partition copies — O(touched
-    partitions) write amplification per commit, sinks.py:_snapshot).
-    tests/test_streaming.py additionally checks read_at on the last
-    epoch equals the live table, the history view carries one epoch
-    per commit, and expiry VACUUMs unreferenced partition copies."""
+def _two_batch_snapshot_replay(spark: SparkSession, sf_dir: str) -> ParquetUpsertSink:
+    """Shared harness for the snapshot queries: split `events` into two
+    time-ordered files at a fixed cutoff, replay them as two
+    micro-batches (``maxFilesPerTrigger=1``) with per-epoch snapshot
+    retention, and return the sink (epoch 0 = first half committed,
+    epoch 1 = full state)."""
     import time as _time
 
     workdir = _workdir("rtrh_tt_")
@@ -900,7 +902,7 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     for i, f in enumerate(sorted(os.listdir(src_dir))):
         os.utime(os.path.join(src_dir, f), (now + i, now + i))
 
-    sink = run_city_metrics_replay(
+    return run_city_metrics_replay(
         spark,
         source_dir=src_dir,
         sink_path=os.path.join(workdir, "city_metrics"),
@@ -908,7 +910,47 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
         max_files_per_trigger=1,
         snapshot_dir=os.path.join(workdir, "snapshots"),
     )
+
+
+def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on the streaming sink (the
+    Delta/Iceberg VERSION AS OF capability, on the engine's own upsert
+    sink): the events table is replayed as two time-ordered
+    micro-batches with per-epoch snapshot retention, and the EPOCH-0
+    snapshot is returned — the table as it stood after the first
+    batch, untouched by everything that committed later. The oracle
+    aggregates only the first batch's time range, so the value-hash
+    equality proves snapshot isolation (later commits did not leak
+    into the retained state). Snapshots are manifest-based (a
+    transaction log over immutable per-partition copies — O(touched
+    partitions) write amplification per commit, sinks.py:_snapshot).
+    tests/test_streaming.py additionally checks read_at on the last
+    epoch equals the live table, the history view carries one epoch
+    per commit, and expiry VACUUMs unreferenced partition copies."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
     return sink.read_at(spark, sink.snapshots()[0])
+
+
+def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit/history view over the snapshot transaction log (the
+    Delta DESCRIBE HISTORY + per-version read shape): the same
+    two-batch replay, then the first two committed versions read back
+    THROUGH THEIR MANIFESTS and stacked with a dense version index.
+    ``epoch_seq`` 0 must equal the first half's aggregation and
+    ``epoch_seq`` 1 the full table's — proving each manifest composes
+    exactly the partition copies live at its commit (early partitions
+    resolve to the epoch-0 copies inside the epoch-1 manifest unless
+    the second batch re-touched them)."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    epochs = sink.snapshots()[:2]
+    dfs = [
+        sink.read_at(spark, e).withColumn("epoch_seq", F.lit(i))
+        for i, e in enumerate(epochs)
+    ]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
