@@ -141,6 +141,13 @@ _VERIFY_FIRST: list[str] = [
     "text_quality_model_score",
     "chunk_documents_sliding",
     "ann_batch_topk",
+    # overflow spares: only enter the window if a gated entry above is
+    # absent in the driver's environment — keeps slot 50 a full-hash
+    # oracle row instead of whatever rows-only entry comes first in
+    # definition order. Both carry full oracles (history is new in r6;
+    # window_lag was driver-green in r2).
+    "streaming_snapshot_history",
+    "window_lag_user_value_delta",
 ]
 
 
