@@ -2156,6 +2156,32 @@ def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on real streaming output (the OPTIMIZE
+    shape of a long-lived 100 TB streaming table;
+    streaming/job.py:streaming_compaction_roundtrip): two-micro-batch
+    replay, then ``compact()`` rewrites every date partition to one
+    file via a crash-safe staging copy. The oracle is the batch
+    aggregation — hash equality proves the rewrite preserved every
+    row; pytest asserts the file-count reduction."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_compaction_roundtrip(spark, sf_dir)
+
+
+@query(
     "streaming_jdbc_replay",
     oracle="""
     SELECT event_type,

@@ -119,7 +119,8 @@ def sql_literal(v) -> str:
     if isinstance(v, (bytes, bytearray, memoryview)):
         return f"'\\x{bytes(v).hex()}'::bytea"  # hex input format
     if isinstance(v, dt.datetime):
-        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        # C-speed; omits a zero microsecond part (valid pg literal)
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
     if isinstance(v, dt.date):
         return "DATE '" + v.isoformat() + "'"
     s = str(v).replace("'", "''")

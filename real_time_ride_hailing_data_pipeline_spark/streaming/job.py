@@ -877,12 +877,14 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(out_path)
 
 
-def _two_batch_snapshot_replay(spark: SparkSession, sf_dir: str) -> ParquetUpsertSink:
-    """Shared harness for the snapshot queries: split `events` into two
-    time-ordered files at a fixed cutoff, replay them as two
-    micro-batches (``maxFilesPerTrigger=1``) with per-epoch snapshot
-    retention, and return the sink (epoch 0 = first half committed,
-    epoch 1 = full state)."""
+def _two_batch_snapshot_replay(
+    spark: SparkSession, sf_dir: str, snapshots: bool = True
+) -> ParquetUpsertSink:
+    """Shared harness for the snapshot/compaction queries: split
+    `events` into two time-ordered files at a fixed cutoff, replay
+    them as two micro-batches (``maxFilesPerTrigger=1``) — with
+    per-epoch snapshot retention when ``snapshots`` — and return the
+    sink (epoch 0 = first half committed, epoch 1 = full state)."""
     import time as _time
 
     workdir = _workdir("rtrh_tt_")
@@ -908,7 +910,7 @@ def _two_batch_snapshot_replay(spark: SparkSession, sf_dir: str) -> ParquetUpser
         sink_path=os.path.join(workdir, "city_metrics"),
         checkpoint_dir=os.path.join(workdir, "ckpt"),
         max_files_per_trigger=1,
-        snapshot_dir=os.path.join(workdir, "snapshots"),
+        snapshot_dir=os.path.join(workdir, "snapshots") if snapshots else None,
     )
 
 
@@ -929,6 +931,32 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     per commit, and expiry VACUUMs unreferenced partition copies."""
     sink = _two_batch_snapshot_replay(spark, sf_dir)
     return sink.read_at(spark, sink.snapshots()[0])
+
+
+def streaming_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction executed on real streaming output (the
+    OPTIMIZE shape every long-lived streaming table needs at 100 TB):
+    the two-batch replay leaves each date partition with up to
+    |shuffle partitions| files per touching batch; ``compact()``
+    rewrites every partition to one file through a crash-safe staging
+    copy. Returned is the compacted table — the oracle (the full batch
+    aggregation) proves the rewrite is content-identical;
+    tests/test_scale_paths.py asserts the file-count reduction."""
+    import glob as _glob
+
+    sink = _two_batch_snapshot_replay(spark, sf_dir, snapshots=False)
+    sink.compact(spark, files_per_partition=1)
+    leftover = [
+        d
+        for d in _glob.glob(os.path.join(sink.path, "part_date=*", "*.parquet"))
+        if os.path.getsize(d) > 0
+    ]
+    parts = _glob.glob(os.path.join(sink.path, "part_date=*"))
+    if parts and len(leftover) > len(parts):
+        raise RuntimeError(
+            f"compaction left {len(leftover)} files across {len(parts)} partitions"
+        )
+    return sink.read(spark)
 
 
 def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,12 @@ def test_sql_literal_temporals():
         sql_literal(dt.datetime(2024, 1, 15, 10, 30, 0, 123456))
         == "TIMESTAMP '2024-01-15 10:30:00.123456'"
     )
+    # zero microseconds: isoformat omits the fraction — still a valid
+    # pg literal
+    assert (
+        sql_literal(dt.datetime(2024, 1, 15, 10, 30))
+        == "TIMESTAMP '2024-01-15 10:30:00'"
+    )
     assert sql_literal(dt.date(2024, 2, 29)) == "DATE '2024-02-29'"
 
 
