@@ -226,6 +226,23 @@ def test_postgres_sink_write_batch_is_idempotent(spark):
 
 
 @needs_pg
+def test_postgres_sink_binary_column_roundtrip(spark):
+    """Multimodal payload columns survive the sink: BinaryType maps to
+    BYTEA, literals hex-render, and the wire read-back returns the
+    exact bytes (the corruption path the old quoted-str() fallback
+    would have hit)."""
+    payload = bytes(range(256))
+    df = spark.createDataFrame(
+        [("img-1", payload, 256), ("img-2", b"", 0)],
+        "media_id string, payload binary, n_bytes long",
+    )
+    sink = PostgresUpsertSink(table="t_media", key_cols=("media_id",))
+    sink.write_batch(df, 0)
+    got = {r["media_id"]: (bytes(r["payload"]), r["n_bytes"]) for r in sink.read(spark).collect()}
+    assert got == {"img-1": (payload, 256), "img-2": (b"", 0)}
+
+
+@needs_pg
 def test_postgres_streaming_replay_equals_batch(spark):
     """The registry entry: a real availableNow StreamingQuery drives
     foreachBatch into a real PostgreSQL server; the merged table equals
