@@ -171,6 +171,67 @@ def test_wire_error_recovers_to_ready():
         client.close()
 
 
+# -- property: literal -> wire -> Python round-trip -----------------------
+
+
+@needs_pg
+def test_literal_roundtrip_property():
+    """Hypothesis: arbitrary strings (any unicode, quotes, backslashes),
+    ints, finite floats, bytes, and timestamps round-trip exactly
+    through sql_literal -> a real server -> the wire decoder. Each
+    example batches all values into ONE SELECT so the server round
+    trips stay cheap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    client = EmbeddedPostgres.ensure().connect()
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        s=printable,
+        i=st.integers(min_value=-(2**62), max_value=2**62),
+        f=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        b=st.binary(max_size=64),
+        ts=st.datetimes(
+            min_value=dt.datetime(1, 1, 1),
+            max_value=dt.datetime(9999, 12, 31),
+        ),
+    )
+    def check(s, i, f, b, ts):
+        _, rows = client.query(
+            "SELECT "
+            + sql_literal(s)
+            + "::text AS s, "
+            + sql_literal(i)
+            + "::bigint AS i, "
+            + sql_literal(f)
+            + "::float8 AS f, "
+            + sql_literal(b)
+            + " AS b, "
+            + sql_literal(ts)
+            + " AS ts"
+        )
+        (r,) = rows
+        assert r[0] == s
+        assert r[1] == i
+        assert r[2] == f
+        assert r[3] == b
+        assert r[4] == ts
+
+    try:
+        check()
+    finally:
+        client.close()
+
+
 # -- merge statement shape ------------------------------------------------
 
 

@@ -566,6 +566,47 @@ def test_snapshot_retention_expires_old_epochs(spark, tmp_path):
     assert sink.read_at(spark, 6).count() == 4
 
 
+def test_snapshot_crash_before_manifest_publish_recovers(spark, tmp_path):
+    """The manifest write is the snapshot's commit point: a crash after
+    the partition copies but before the manifest publish leaves the
+    epoch unlisted; replaying the same epoch (the streaming restart
+    path) overwrites the copies and publishes an identical manifest —
+    no duplicate or torn snapshot state."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        path=str(tmp_path / "table"),
+        key_cols=("city", "window_start"),
+        partition_source="window_start",
+        snapshot_dir=str(tmp_path / "snaps"),
+    )
+
+    def batch(n, day):
+        return spark.createDataFrame(
+            [("sf", f"2024-01-0{day} 00:00:00", n)],
+            "city string, window_start string, total_trips int",
+        ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+
+    sink.write_batch(batch(1, 1), 0)
+    sink.write_batch(batch(2, 2), 1)
+    # simulate the crash: epoch-1 copies are on disk, manifest gone
+    _os.remove(tmp_path / "snaps" / "manifest" / "epoch=1.json")
+    assert sink.snapshots() == [0]  # uncommitted snapshot is invisible
+    # a read at epoch 1 resolves to the newest COMMITTED snapshot <= 1
+    assert sink.read_at(spark, 1).count() == 1
+    # replay the epoch (streaming restart re-delivers the same batch)
+    sink.write_batch(batch(2, 2), 1)
+    assert sink.snapshots() == [0, 1]
+    assert sink.read_at(spark, 1).count() == 2
+    assert {tuple(r) for r in sink.read_at(spark, 1).collect()} == {
+        tuple(r) for r in sink.read(spark).collect()
+    }
+
+
 def test_snapshot_write_amplification_is_per_touched_partition(spark, tmp_path):
     """VERDICT r5 item 5: a commit touching 1 of N partitions copies
     exactly that partition into the snapshot store — O(changed files),
