@@ -2156,6 +2156,52 @@ def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_snapshot_change_feed",
+    oracle="""
+    WITH half0 AS (
+      SELECT event_type,
+             date_trunc('minute', ts)                    AS window_start,
+             date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+             count(event_id)                             AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0            AS average_fare
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2, 3
+    ), full_t AS (
+      SELECT event_type,
+             date_trunc('minute', ts)                    AS window_start,
+             date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+             count(event_id)                             AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0            AS average_fare
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT f.event_type, f.window_start, f.last_updated, f.total_trips,
+           f.average_fare, 'update_postimage' AS change_type
+    FROM full_t f
+    LEFT JOIN half0 h
+      ON f.event_type = h.event_type AND f.window_start = h.window_start
+    WHERE h.event_type IS NULL
+       OR h.total_trips != f.total_trips
+       OR h.average_fare != f.average_fare
+    """,
+)
+def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed sink versions (the Delta
+    CDF ``table_changes`` shape;
+    streaming/sinks.py:ParquetUpsertSink.read_changes): post-image
+    rows the second micro-batch inserted or overwrote. The read is
+    MANIFEST-PRUNED — only partitions whose immutable (epoch, dir)
+    pointer changed between the versions are scanned, O(changed
+    partitions) at any table size — with a multiset ``exceptAll``
+    inside them. The oracle re-derives the same relation from raw
+    events: full-history aggregates restricted to windows that differ
+    from (or are absent in) the first half's aggregation."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_snapshot_change_feed(spark, sf_dir)
+
+
+@query(
     "streaming_compaction_roundtrip",
     oracle="""
     SELECT event_type,

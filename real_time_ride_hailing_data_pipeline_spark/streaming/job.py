@@ -981,6 +981,27 @@ def streaming_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed versions of the sink
+    (the Delta CDF ``table_changes`` shape, derived from the snapshot
+    log): every key the second micro-batch inserted or overwrote, with
+    its post-image. ``ParquetUpsertSink.read_changes`` is
+    MANIFEST-PRUNED: only partitions whose (epoch, dir) pointer
+    changed between the versions are scanned — O(changed partitions)
+    at any table size — and the in-partition diff is a multiset
+    ``exceptAll``. The oracle derives the same relation from the raw
+    events: the full-history aggregation restricted to windows whose
+    aggregate DIFFERS from (or is absent in) the first-half
+    aggregation. Downstream consumers (incremental ETL, cache
+    invalidation) read exactly this relation instead of re-scanning
+    the table."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    e = sink.snapshots()[:2]
+    return sink.read_changes(spark, e[0], e[1]).withColumn(
+        "change_type", F.lit("update_postimage")
+    )
+
+
 def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's sink executed VERBATIM-dialect: the same
     availableNow replay as streaming_jdbc_replay, but foreachBatch

@@ -607,6 +607,45 @@ def test_snapshot_crash_before_manifest_publish_recovers(spark, tmp_path):
     }
 
 
+def test_snapshot_change_feed_is_pruned_and_exact(spark, tmp_path):
+    """read_changes(v0, v1) returns exactly the rows v1 inserted or
+    overwrote — nothing from untouched partitions — and an identical
+    (empty-commit) version pair yields an empty feed."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        path=str(tmp_path / "table"),
+        key_cols=("city", "window_start"),
+        partition_source="window_start",
+        snapshot_dir=str(tmp_path / "snaps"),
+    )
+    schema = "city string, window_start string, total_trips int"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "window_start", F.col("window_start").cast("timestamp")
+        )
+
+    sink.write_batch(
+        df([("sf", f"2024-01-0{d} 00:00:00", d) for d in (1, 2, 3)]), 0
+    )
+    # epoch 1: overwrite day 2's key and add a day-4 key; days 1/3 untouched
+    sink.write_batch(
+        df([("sf", "2024-01-02 00:00:00", 99), ("sf", "2024-01-04 00:00:00", 4)]), 1
+    )
+    changes = {
+        (r["window_start"].day, r["total_trips"])
+        for r in sink.read_changes(spark, 0, 1).collect()
+    }
+    assert changes == {(2, 99), (4, 4)}
+
+    # an empty commit produces an identical version -> empty feed
+    sink.write_batch(df([]).filter("1=0"), 2)
+    assert sink.read_changes(spark, 1, 2).count() == 0
+
+
 def test_snapshot_write_amplification_is_per_touched_partition(spark, tmp_path):
     """VERDICT r5 item 5: a commit touching 1 of N partitions copies
     exactly that partition into the snapshot store — O(changed files),
