@@ -434,26 +434,39 @@ class ParquetUpsertSink:
         Streaming upserts inevitably accrete small files (every
         micro-batch rewrites its touched partitions with
         task-parallel output); scan efficiency at 100 TB depends on
-        periodic compaction toward ~128 MB files. Implemented as a
-        full-fidelity rewrite through a staging directory (same
-        crash-safety posture as the merge: the staging copy is
-        complete before the target is replaced)."""
+        periodic compaction toward ~128 MB files.
+
+        One Spark rewrite, not two: rows are repartitioned on
+        ``(part_date, file-bucket)`` — the bucket is a key-hash mod
+        ``files_per_partition`` — so every date compacts in parallel
+        across exactly ``files_per_partition`` tasks (a plain
+        ``repartition(n, "part_date")`` would serialize each date into
+        one task, a straggler at 100 TB). The commit is then a per-
+        partition RENAME from the completed staging copy: crash-safe
+        (staging is durable before the first replace; a crash mid-
+        commit leaves every partition complete, some compacted and
+        some not — content identical either way)."""
         current = spark.read.parquet(self.path)
         staging = self.path.rstrip("/") + "__compact"
+        data_cols = [c for c in current.columns]
         (
-            current.repartition(files_per_partition, "part_date")
+            current.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(*self.key_cols), F.lit(files_per_partition)),
+            )
+            .repartition("part_date", "__bucket")
+            .select(*data_cols)
             .write.mode("overwrite")
             .partitionBy("part_date")
             .parquet(staging)
         )
-        (
-            spark.read.parquet(staging)
-            .repartition(files_per_partition, "part_date")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("part_date")
-            .parquet(self.path)
-        )
+        for d in os.listdir(staging):
+            if not d.startswith("part_date="):
+                continue
+            dst = os.path.join(self.path, d)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(os.path.join(staging, d), dst)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def postgres_merge_sql(
