@@ -259,20 +259,33 @@ class EmbeddedPostgres:
         self._base: str | None = None
         self._prefix: list[str] = []
 
-    @staticmethod
-    def available() -> bool:
+    _available: "bool | None" = None
+
+    @classmethod
+    def available(cls) -> bool:
         """Cheap static gate: server binaries present, and (when root)
-        an unprivileged runner works."""
+        an unprivileged runner works. Memoized — the probe spawns a
+        subprocess, and this gate runs at registry import time in
+        every pytest/bench/driver process."""
+        if cls._available is None:
+            cls._available = cls._probe_available()
+        return cls._available
+
+    @staticmethod
+    def _probe_available() -> bool:
         if not all(shutil.which(b) for b in ("initdb", "pg_ctl", "postgres")):
             return False
         if os.geteuid() == 0:
             if not shutil.which("runuser"):
                 return False
-            probe = subprocess.run(
-                ["runuser", "-u", "nobody", "--", "true"],
-                capture_output=True,
-                timeout=10,
-            )
+            try:
+                probe = subprocess.run(
+                    ["runuser", "-u", "nobody", "--", "true"],
+                    capture_output=True,
+                    timeout=10,
+                )
+            except subprocess.TimeoutExpired:
+                return False
             return probe.returncode == 0
         return True
 

@@ -79,6 +79,29 @@ def _as_source_dir(path: str, wrapper_dir: str | None) -> str:
     return wrapper
 
 
+def _link_table_parts(table_path: str, dest_dir: str, prefix: str) -> list[str]:
+    """Symlink a parquet table into a stream source dir, handling BOTH
+    fixture layouts: a single file links as ``<prefix>.parquet``; a
+    directory table (e.g. the bench's 32-file layout) links each part
+    as ``<prefix>_NNNN.parquet`` — the file source lists one directory
+    level, so a symlinked DIRECTORY would be silently ignored and the
+    stream would see nothing. Returns the created link names."""
+    names: list[str] = []
+    if os.path.isdir(table_path):
+        parts = sorted(
+            f for f in os.listdir(table_path) if f.endswith(".parquet")
+        )
+        for i, part in enumerate(parts):
+            name = f"{prefix}_{i:04d}.parquet"
+            os.symlink(os.path.join(table_path, part), os.path.join(dest_dir, name))
+            names.append(name)
+    else:
+        name = f"{prefix}.parquet"
+        os.symlink(table_path, os.path.join(dest_dir, name))
+        names.append(name)
+    return names
+
+
 def events_parquet_stream(
     spark: SparkSession,
     source_dir: str,
@@ -201,19 +224,8 @@ def run_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(workdir, "src")
     os.makedirs(src)
     events_file = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(events_file):
-        # multi-file table layout: symlink each part twice at the top
-        # level (the streaming file source lists one directory level)
-        parts = [f for f in os.listdir(events_file) if f.endswith(".parquet")]
-        for i, part in enumerate(sorted(parts)):
-            for copy in (1, 2):
-                os.symlink(
-                    os.path.join(events_file, part),
-                    os.path.join(src, f"copy{copy}_{i:04d}.parquet"),
-                )
-    else:
-        os.symlink(events_file, os.path.join(src, "copy1.parquet"))
-        os.symlink(events_file, os.path.join(src, "copy2.parquet"))
+    _link_table_parts(events_file, src, "copy1")
+    _link_table_parts(events_file, src, "copy2")
 
     events = events_parquet_stream(spark, src)
     deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
@@ -507,26 +519,35 @@ def streaming_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFra
     sentinel 1 (max+30 d) closes every real window and sentinel 2
     (max+60 d) provides the batch in which they flush; neither
     sentinel's own window ever closes, so the sink holds exactly the
-    real windows. maxFilesPerTrigger=1 pins the file-per-batch order
-    (source files carry ascending mtimes). Oracle: the batch tumbling
-    aggregation — append-once totals must equal it row for row."""
+    real windows. ``maxFilesPerTrigger`` is sized so batch 1 takes ALL
+    data parts PLUS sentinel 1 and batch 2 is exactly sentinel 2 —
+    critical for the multi-file table layout: parts are randomly
+    row-partitioned, so feeding them one batch at a time would advance
+    the watermark mid-ingest and append mode would DROP later parts'
+    rows as late. The watermark only moves at batch end, so one
+    data+sentinel-1 batch ingests everything, then closes everything.
+    Oracle: the batch tumbling aggregation — append-once totals must
+    equal it row for row."""
     import time as _time
 
     workdir = _workdir("rtrh_append_")
     src_dir = os.path.join(workdir, "src")
     os.makedirs(src_dir)
     src = os.path.join(sf_dir, "events.parquet")
-    os.symlink(src, os.path.join(src_dir, "a_events.parquet"))
+    data_links = _link_table_parts(src, src_dir, "a_events")
     _write_watermark_flush_row(src, src_dir, "flush1", days=30, filename="b_flush1.parquet")
     _write_watermark_flush_row(src, src_dir, "flush2", days=60, filename="c_flush2.parquet")
     now = _time.time()
-    # skip the symlinked fixture: only the flush files' mtimes matter
-    # for source ordering, and utime through the link would mutate the
-    # shared sf_dir fixture's timestamp (a side effect on test data)
+    # skip the symlinked fixture parts: only the flush files' mtimes
+    # matter for source ordering (every real-data part precedes both
+    # sentinels), and utime through a link would mutate the shared
+    # sf_dir fixture's timestamp (a side effect on test data)
     for i, f in enumerate(("b_flush1.parquet", "c_flush2.parquet"), start=1):
         os.utime(os.path.join(src_dir, f), (now + i, now + i))
 
-    events = events_parquet_stream(spark, src_dir, max_files_per_trigger=1)
+    events = events_parquet_stream(
+        spark, src_dir, max_files_per_trigger=len(data_links) + 1
+    )
     metrics = city_metrics_update_stream(events)
     out = os.path.join(workdir, "closed")
 
@@ -750,7 +771,7 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     w2 = os.path.join(workdir, "w2")
     for d, etype in ((w1, "purchase"), (w2, "signup")):
         os.makedirs(d, exist_ok=True)
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        _link_table_parts(src, d, "events")
         _write_watermark_flush_row(src, d, etype)
     purchases = (
         events_parquet_stream(spark, w1)
@@ -819,7 +840,7 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     w2 = os.path.join(workdir, "w2")
     for d, etype in ((w1, "purchase"), (w2, "signup")):
         os.makedirs(d, exist_ok=True)
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        _link_table_parts(src, d, "events")
         _write_watermark_flush_row(src, d, etype)
     purchases = (
         events_parquet_stream(spark, w1)

@@ -142,8 +142,11 @@ class ParquetUpsertSink:
             # crashed commit for this very epoch: finish it from the
             # durable staging (batch content is already inside it).
             # The touched set must be read BEFORE _commit drops the
-            # staging directory.
-            touched = self._staged_touched(spark)
+            # staging directory — and only when a snapshot will
+            # actually use it (it costs a Spark job over the staging).
+            touched = (
+                self._staged_touched(spark) if self.snapshot_dir else None
+            )
             self._commit(spark)
             self._snapshot(spark, epoch_id, touched)
             return
@@ -335,6 +338,14 @@ class ParquetUpsertSink:
         O(changed partitions), never O(table), which is the whole
         point of keeping the log. Within the changed partitions the
         diff is ``exceptAll`` (multiset — duplicate-safe)."""
+        retained = self.snapshots()
+        for epoch in (from_epoch, to_epoch):
+            if epoch not in retained:
+                raise ValueError(
+                    f"epoch {epoch} is not a retained snapshot "
+                    f"(retained: {retained}, max_snapshots="
+                    f"{self.max_snapshots}) — expired or never committed"
+                )
         m_from = self._load_manifest(from_epoch)
         m_to = self._load_manifest(to_epoch)
         changed = sorted(d for d, e in m_to.items() if m_from.get(d) != e)
@@ -439,16 +450,22 @@ class ParquetUpsertSink:
         One Spark rewrite, not two: rows are repartitioned on
         ``(part_date, file-bucket)`` — the bucket is a key-hash mod
         ``files_per_partition`` — so every date compacts in parallel
-        across exactly ``files_per_partition`` tasks (a plain
+        across up to ``files_per_partition`` tasks (a plain
         ``repartition(n, "part_date")`` would serialize each date into
-        one task, a straggler at 100 TB). The commit is then a per-
-        partition RENAME from the completed staging copy: crash-safe
-        (staging is durable before the first replace; a crash mid-
-        commit leaves every partition complete, some compacted and
-        some not — content identical either way)."""
-        current = spark.read.parquet(self.path)
+        one task, a straggler at 100 TB). The commit is a per-
+        partition RENAME from the completed staging copy, and it is
+        re-runnable: the staging (with Spark's ``_SUCCESS`` marker) is
+        durable before the first target partition is touched, and a
+        crash mid-swap is repaired by the next ``compact()`` call,
+        which finishes the pending swap from staging BEFORE reading
+        the table (``_finish_compact``). A partition is therefore
+        always fully present in the target or pending in a complete
+        staging — never lost."""
+        # finish (or discard, if incomplete) a previous crashed commit
         staging = self.path.rstrip("/") + "__compact"
-        data_cols = [c for c in current.columns]
+        self._finish_compact(staging)
+        current = spark.read.parquet(self.path)
+        data_cols = list(current.columns)
         (
             current.withColumn(
                 "__bucket",
@@ -460,6 +477,18 @@ class ParquetUpsertSink:
             .partitionBy("part_date")
             .parquet(staging)
         )
+        self._finish_compact(staging)
+
+    def _finish_compact(self, staging: str) -> None:
+        """Swap every partition out of a COMPLETE compaction staging
+        into the target, then drop the staging. No-op when no staging
+        exists; an incomplete staging (no ``_SUCCESS`` — the write
+        itself crashed) is discarded, leaving the target untouched."""
+        if not os.path.isdir(staging):
+            return
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         for d in os.listdir(staging):
             if not d.startswith("part_date="):
                 continue
@@ -607,8 +636,16 @@ class PostgresUpsertSink:
         )
         pdf = pd.DataFrame(rows, columns=names)
         for f in self._schema.fields:
-            if f.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+            t = f.dataType.typeName()
+            if t in ("timestamp", "timestamp_ntz"):
                 pdf[f.name] = pd.to_datetime(pdf[f.name])
+            elif t in ("long", "integer", "short", "byte"):
+                # nullable Int64: a SQL NULL must not coerce the whole
+                # column to float64/NaN (which the integer schema
+                # would then reject)
+                pdf[f.name] = pdf[f.name].astype("Int64")
+            elif t == "boolean":
+                pdf[f.name] = pdf[f.name].astype("boolean")
         return spark.createDataFrame(pdf, schema=self._schema)
 
 
