@@ -42,6 +42,18 @@ from real_time_ride_hailing_data_pipeline_spark.session import configure_runtime
 from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import ParquetUpsertSink
 
 
+# State-partition pin for the bounded replay harnesses: streaming
+# group cardinality here is |open windows| x |keys| — small — so a
+# handful of state partitions beats the batch default (each state
+# partition pays per-commit file I/O on every trigger). 8 balances
+# that against parallelism for the per-group Python paths
+# (applyInPandasWithState regressed at 4 in a loaded session; pure
+# aggs were flat — measured r6). Partition count never affects
+# values; production jobs pass their own conf, and the pin is
+# restored after each run.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _workdir(prefix: str) -> str:
     """Fresh work root (checkpoint + sink + source-view) for one replay.
 
@@ -193,7 +205,7 @@ def run_city_metrics_replay(
     # so a handful of state partitions beats the batch default (each
     # state partition pays per-commit file I/O on every trigger).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("update")
@@ -236,7 +248,7 @@ def run_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(workdir, "out"), key_cols=("event_type", "window_start")
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("update")
@@ -285,7 +297,7 @@ def run_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             agg.writeStream.outputMode("complete")
@@ -354,7 +366,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             joined.writeStream.outputMode("append")
@@ -385,7 +397,7 @@ def run_stateful_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             sessions.writeStream.outputMode("append")
@@ -430,7 +442,7 @@ def run_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_source="last_ts",
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             totals.writeStream.outputMode("update")
@@ -489,7 +501,7 @@ def streaming_complete_topk_replay(spark: SparkSession, sf_dir: str) -> DataFram
         batch_df.write.mode("overwrite").parquet(snapshot)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             counts.writeStream.outputMode("complete")
@@ -555,7 +567,7 @@ def streaming_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFra
         batch_df.write.mode("append").parquet(out)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("append")
@@ -610,7 +622,7 @@ def streaming_fanout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.unpersist()
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("update")
@@ -685,7 +697,7 @@ def streaming_jdbc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     metrics = city_metrics_update_stream(events)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("update")
@@ -809,7 +821,7 @@ def run_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataF
         batch_df.filter(F.col("user_id") >= 0).write.mode("append").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             joined.writeStream.outputMode("append")
@@ -883,7 +895,7 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
         batch_df.filter(F.col("user_id") >= 0).write.mode("append").parquet(out_path)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             joined.writeStream.outputMode("append")
@@ -1052,7 +1064,7 @@ def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     metrics = city_metrics_update_stream(events)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     try:
         query = (
             metrics.writeStream.outputMode("update")
