@@ -30,6 +30,7 @@ source swapped in (sources/kafka.py) and more executors.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -65,9 +66,30 @@ def _workdir(prefix: str) -> str:
     is unchanged for production: real deployments pass their own
     ``checkpoint_dir`` on durable storage (run_city_metrics_replay's
     explicit parameter); tmpfs is only the default for these
-    self-contained replay harnesses whose checkpoints are single-use."""
+    self-contained replay harnesses whose checkpoints are single-use.
+
+    Every workdir is removed at process exit (they are single-use by
+    design, and on tmpfs they hold RAM): a long driver/bench session
+    invoking many replays must not accrete ~3 MB per query forever.
+    Deletion is deferred to exit — returned DataFrames read their
+    workdir's parquet lazily, possibly long after the query function
+    returns."""
     root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=root)
+    d = tempfile.mkdtemp(prefix=prefix, dir=root)
+    if not _WORKDIRS:
+        atexit.register(_cleanup_workdirs)
+    _WORKDIRS.append(d)
+    return d
+
+
+_WORKDIRS: list[str] = []
+
+
+def _cleanup_workdirs() -> None:
+    import shutil
+
+    for d in _WORKDIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _as_source_dir(path: str, wrapper_dir: str | None) -> str:
