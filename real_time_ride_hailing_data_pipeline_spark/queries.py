@@ -1798,6 +1798,75 @@ def python_datasource_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_stream_source_city_fares",
+    oracle="""
+    WITH g AS (
+      SELECT id,
+             ['New York','Los Angeles','Chicago','Houston','Phoenix',
+              'Philadelphia','San Antonio','San Diego','Dallas','San Jose']
+               [CAST(id % 10 AS INT) + 1] AS city,
+             500 + CAST(list_sum(list_transform(generate_series(1, 12),
+                     j -> (instr('0123456789abcdef',
+                             substr(md5(CAST(id AS VARCHAR)), CAST(j AS INT), 1))
+                           - 1)::BIGINT << CAST(4 * (12 - j) AS INT)))
+                   AS BIGINT) % 14500 AS fare_cents
+      FROM range(5000) t(id)
+    )
+    SELECT city,
+           count(*) AS n_trips,
+           sum(fare_cents) / 100.0 AS total_fares
+    FROM g GROUP BY city
+    """,
+)
+def python_stream_source_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 STREAMING Python DataSource executed (the
+    ``SimpleDataSourceStreamReader`` API — completes the Python
+    connector surface next to the batch reader): a real
+    StreamingQuery pulls micro-batches from the pure-Python source
+    (driver-side reads, dict offsets in the checkpoint log), appends
+    them via foreachBatch, and ``processAllAvailable`` drains it to
+    the source's hard cap — so the materialized table is exactly rows
+    [0, 5000) of the md5-derived event space no matter how triggers
+    landed, and the same DuckDB generate_series query regenerates it
+    for a full value-hash oracle."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasource as pds,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    pds.register(spark)
+    workdir = _workdir("rtrh_pystream_")
+    out = _os.path.join(workdir, "out")
+    stream = (
+        spark.readStream.format("ride_events_py")
+        .option("n", 5_000)
+        .option("rows_per_batch", 1_000)
+        .load()
+    )
+
+    def append(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(out)
+
+    q_ = (
+        stream.writeStream.foreachBatch(append)
+        .option("checkpointLocation", _os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q_.processAllAvailable()
+    finally:
+        q_.stop()
+    df = spark.read.parquet(out)
+    return df.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        (F.sum("fare_cents") / 100.0).alias("total_fares"),
+    )
+
+
+@query(
     "udtf_sentence_stats",
     oracle=r"""
     WITH s AS (

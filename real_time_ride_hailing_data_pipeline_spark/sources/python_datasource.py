@@ -20,7 +20,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 CITIES = [
     "New York",
@@ -68,8 +73,48 @@ class RideEventsReader(DataSourceReader):
             yield (eid, CITIES[eid % len(CITIES)], _fare_cents(eid))
 
 
+class RideEventsStreamReader(SimpleDataSourceStreamReader):
+    """Spark 4 STREAMING Python data source (the
+    ``SimpleDataSourceStreamReader`` API — driver-side reads with
+    dict-shaped offsets tracked in the checkpoint log, the sanctioned
+    way to stream from a system with no JVM connector).
+
+    Deterministic and bounded: batch k serves rows
+    ``[k*rows_per_batch, ...)`` of the same md5-derived event space as
+    the batch reader, up to a hard cap — after the cap every read
+    returns an empty slice with an unchanged offset, so
+    ``processAllAvailable()`` terminates and the materialized result
+    is exactly rows ``[0, n)`` regardless of trigger timing. That is
+    what makes a custom Python STREAM source value-hash oracle-able.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.cap = int(options.get("n", 5_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.rows_per_batch, self.cap)
+        return self._slice(lo, hi), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed range after restart
+        return self._slice(int(start["offset"]), int(end["offset"]))
+
+    @staticmethod
+    def _slice(lo: int, hi: int):
+        return iter(
+            [(eid, CITIES[eid % len(CITIES)], _fare_cents(eid)) for eid in range(lo, hi)]
+        )
+
+
 class RideEventsDataSource(DataSource):
-    """``spark.read.format("ride_events_py").option("n", ...)``."""
+    """``spark.read.format("ride_events_py").option("n", ...)`` —
+    and ``spark.readStream.format("ride_events_py")`` for the
+    streaming reader."""
 
     @classmethod
     def name(cls) -> str:
@@ -80,6 +125,9 @@ class RideEventsDataSource(DataSource):
 
     def reader(self, schema) -> RideEventsReader:
         return RideEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RideEventsStreamReader:
+        return RideEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
