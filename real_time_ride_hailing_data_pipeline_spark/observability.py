@@ -11,8 +11,11 @@ micro-batch in ``QueryProgress.observedMetrics`` for alerting.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 
 def observe_parse_health(
@@ -31,3 +34,56 @@ def observe_parse_health(
         n_corrupt,
     )
     return observed, obs
+
+
+class BatchMetricsListener(StreamingQueryListener):
+    """Streaming-side observability: a ``StreamingQueryListener`` that
+    accumulates per-micro-batch progress — batch id, input rows, and
+    any ``DataFrame.observe`` metrics the query carries — the surface
+    a production alerting pipeline consumes (lag/throughput/corrupt
+    counters per trigger, no extra scan, no log parsing).
+
+    Progress events are delivered asynchronously on the listener bus;
+    ``wait_for_rows`` polls until the accumulated input-row total
+    reaches a target (use after ``awaitTermination`` in tests).
+    """
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    # -- listener callbacks (sync with the abstract interface) ------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 - Spark API
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802 - Spark API
+        p = event.progress
+        self.progress.append(
+            {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "observedMetrics": {
+                    name: row.asDict() for name, row in p.observedMetrics.items()
+                },
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802 - Spark API
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802 - Spark API
+        pass
+
+    # -- helpers ----------------------------------------------------------
+    def total_input_rows(self) -> int:
+        return sum(p["numInputRows"] for p in self.progress)
+
+    def wait_for_rows(self, n: int, timeout_s: float = 30.0) -> None:
+        """Block until ``total_input_rows() >= n`` (listener delivery
+        is asynchronous even after the query terminates)."""
+        deadline = time.time() + timeout_s
+        while self.total_input_rows() < n:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"saw {self.total_input_rows()}/{n} rows after {timeout_s}s"
+                )
+            time.sleep(0.1)

@@ -607,6 +607,49 @@ def test_snapshot_crash_before_manifest_publish_recovers(spark, tmp_path):
     }
 
 
+def test_streaming_query_listener_collects_batch_metrics(spark, tmp_path):
+    """Streaming observability (the alerting surface): a
+    StreamingQueryListener accumulates per-micro-batch input rows AND
+    the query's DataFrame.observe metrics — total input equals the
+    source row count, and the observed per-batch counters sum to it."""
+    from real_time_ride_hailing_data_pipeline_spark.observability import (
+        BatchMetricsListener,
+    )
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        events = sj.events_parquet_stream(
+            spark,
+            os.path.join(SF_DIR, "events.parquet"),
+            wrapper_dir=str(tmp_path / "srcview"),
+        )
+        observed = events.observe(
+            "ingest", F.count(F.lit(1)).alias("n_rows"), F.max("ts").alias("max_ts")
+        )
+        out = str(tmp_path / "out")
+        q_ = (
+            observed.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        n_events = spark.read.parquet(out).count()
+        listener.wait_for_rows(n_events)
+        assert listener.total_input_rows() == n_events
+        observed_total = sum(
+            p["observedMetrics"]["ingest"]["n_rows"]
+            for p in listener.progress
+            if "ingest" in p["observedMetrics"]
+        )
+        assert observed_total == n_events
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_snapshot_change_feed_is_pruned_and_exact(spark, tmp_path):
     """read_changes(v0, v1) returns exactly the rows v1 inserted or
     overwrote — nothing from untouched partitions — and an identical
