@@ -562,7 +562,16 @@ class PostgresUpsertSink:
         server=None,
         table: str = "city_metrics",
         key_cols: tuple[str, ...] = ("city", "window_start"),
+        max_batch_rows: int = 1_000_000,
     ) -> None:
+        """``max_batch_rows`` enforces the O(batch) driver-memory
+        contract: foreachBatch hands this sink an already-aggregated
+        micro-batch (rows ~ |keys x windows changed per trigger|), and
+        the staging INSERT collects it on the driver. A batch above
+        the bound means the pipeline is shipping raw-scale data into a
+        driver-side sink — fail loudly with the fix (stage via
+        DataFrameWriter.jdbc; the MERGE statement is identical) rather
+        than OOM the driver."""
         if server is None:
             from real_time_ride_hailing_data_pipeline_spark.sources.pgwire import (
                 EmbeddedPostgres,
@@ -573,6 +582,7 @@ class PostgresUpsertSink:
         self.table = table
         self.staging_table = f"{table}_staging"
         self.key_cols = list(key_cols)
+        self.max_batch_rows = max_batch_rows
         self._client = None
         self._schema = None
 
@@ -601,7 +611,17 @@ class PostgresUpsertSink:
 
         self._schema = batch_df.schema
         names = [f.name for f in batch_df.schema.fields]
-        rows = batch_df.collect()  # aggregates: O(batch), like the reference
+        # limit(bound+1) before collect: the bound check must not
+        # itself materialize an unbounded batch on the driver
+        rows = batch_df.limit(self.max_batch_rows + 1).collect()
+        if len(rows) > self.max_batch_rows:
+            raise ValueError(
+                f"micro-batch exceeds max_batch_rows={self.max_batch_rows}: "
+                "this sink stages via a driver-side INSERT and expects "
+                "aggregated micro-batches (O(keys x windows) rows). For "
+                "raw-scale batches stage with DataFrameWriter.jdbc and "
+                "run postgres_merge_sql() through the same connection."
+            )
         staging_ddl, target_ddl = self._ddl(batch_df.schema)
         statements = [staging_ddl, target_ddl, f"TRUNCATE {self.staging_table}"]
         if rows:

@@ -287,6 +287,24 @@ def test_postgres_sink_write_batch_is_idempotent(spark):
 
 
 @needs_pg
+def test_postgres_sink_enforces_batch_row_bound(spark):
+    """The O(batch) driver-memory contract is enforced, not assumed: a
+    micro-batch above max_batch_rows fails loudly with the
+    DataFrameWriter.jdbc guidance instead of OOMing the driver."""
+    df = spark.range(5).selectExpr(
+        "CAST(id AS STRING) AS city",
+        "timestamp'2024-01-15 10:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0)"
+        " AS window_start",
+        "id AS total_trips",
+    )
+    sink = PostgresUpsertSink(
+        table="t_bound", key_cols=("city", "window_start"), max_batch_rows=3
+    )
+    with pytest.raises(ValueError, match="max_batch_rows"):
+        sink.write_batch(df, 0)
+
+
+@needs_pg
 def test_postgres_sink_binary_column_roundtrip(spark):
     """Multimodal payload columns survive the sink: BinaryType maps to
     BYTEA, literals hex-render, and the wire read-back returns the
