@@ -66,3 +66,27 @@ def test_csv_source_roundtrip(spark, tmp_path):
         .collect()
     }
     assert agg(back) == agg(events)
+
+
+def test_python_stream_reader_offsets_and_replay():
+    """SimpleDataSourceStreamReader contract: monotone capped offsets,
+    deterministic slices, and readBetweenOffsets (the restart-replay
+    path) regenerating exactly the committed range."""
+    from real_time_ride_hailing_data_pipeline_spark.sources.python_datasource import (
+        RideEventsStreamReader,
+    )
+
+    r = RideEventsStreamReader({"n": 25, "rows_per_batch": 10})
+    off = r.initialOffset()
+    assert off == {"offset": 0}
+    batches = []
+    for _ in range(5):  # two past exhaustion
+        it, off = r.read(off)
+        batches.append(list(it))
+    assert [len(b) for b in batches] == [10, 10, 5, 0, 0]
+    assert off == {"offset": 25}  # capped, never advances past n
+    all_rows = [row for b in batches for row in b]
+    assert [row[0] for row in all_rows] == list(range(25))
+    # replay of the middle committed range is byte-identical
+    replay = list(r.readBetweenOffsets({"offset": 10}, {"offset": 20}))
+    assert replay == batches[1]
