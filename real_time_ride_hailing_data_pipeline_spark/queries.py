@@ -4310,6 +4310,96 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "textfile_source_doc_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text)                        AS content_md5
+    FROM documents
+    """,
+)
+def textfile_source_doc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source/sink surface (S-extension,
+    ``spark.read.text`` — the log-file ingestion format): every
+    document round-trips as ONE line ``doc_id|hex(utf8(text))`` (hex,
+    not base64: hex never inserts line breaks, so embedded newlines in
+    the documents cannot split lines), is read back with the text
+    source, decoded JVM-side, and re-keyed. Value-hash equality of
+    (doc_id, byte length, md5) against the parquet truth proves the
+    byte-exact round trip through the line codec."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    txt_dir = tempfile.mkdtemp(prefix="rtrh_txt_") + "/docs"
+    docs.select(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.hex(F.col("text").cast("binary"))
+        ).alias("value")
+    ).write.mode("overwrite").text(txt_dir)
+    lines = spark.read.text(txt_dir)
+    decoded = lines.select(
+        F.split_part(F.col("value"), F.lit("|"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.unhex(F.split_part(F.col("value"), F.lit("|"), F.lit(2))).alias("raw"),
+    )
+    return decoded.select(
+        "doc_id",
+        F.length("raw").alias("n_bytes"),
+        F.md5("raw").alias("content_md5"),
+    )
+
+
+@query(
+    "binaryfile_source_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text)                        AS content_md5
+    FROM documents
+    ORDER BY octet_length(CAST(text AS BLOB)) DESC, doc_id
+    LIMIT 40
+    """,
+)
+def binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source surface (S-extension): file-per-object
+    ingestion — exactly how image/audio corpora arrive at a training
+    pipeline (millions of small files listed and read as (path,
+    length, content) rows; at 100 TB this is the landing format the
+    multimodal featurizer consumes before consolidation into parquet).
+    The 40 largest documents are materialized as one file each
+    (``doc_<id>.bin``, driver-side fixture setup — the measured
+    operator is the distributed binaryFile scan), read back with
+    ``spark.read.format("binaryFile")``, and fingerprinted. Value-hash
+    equality of (doc_id from filename, byte length, md5(content))
+    against the parquet truth proves byte fidelity of the file scan."""
+    import os as _os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = (
+        docs.select("doc_id", F.col("text").cast("binary").alias("raw"))
+        .withColumn("n", F.length("raw"))
+        .orderBy(F.desc("n"), F.asc("doc_id"))
+        .limit(40)
+        .collect()
+    )
+    bin_dir = tempfile.mkdtemp(prefix="rtrh_binf_") + "/objects"
+    _os.makedirs(bin_dir)
+    for r in picked:
+        with open(_os.path.join(bin_dir, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(bytes(r["raw"]))
+    files = spark.read.format("binaryFile").load(bin_dir)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
     "dedup_semantic_keep_list",
     oracle=f"""
     WITH RECURSIVE n AS (
