@@ -4310,6 +4310,47 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_source_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink surface (S-extension, built into Spark 4
+    from the spark-xml donation — no external package): events
+    round-tripped through ``write.format("xml")`` / ``read.format
+    ("xml")`` with an explicit schema (timestamps as epoch micros,
+    money as cents — the exact-integer text form csv/json/orc use) and
+    aggregated against the parquet truth. Completes the bundled
+    source-format matrix: parquet, ORC, CSV, JSON-lines, text,
+    binaryFile, XML, JDBC, Python DataSource (batch + streaming);
+    Avro alone stays environment-gated (connector jar not bundled)."""
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    xml_dir = tempfile.mkdtemp(prefix="rtrh_xml_") + "/events"
+    events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).write.mode("overwrite").format("xml").option("rowTag", "event").save(xml_dir)
+    back = (
+        spark.read.schema("event_id long, ts_us long, event_type string, value_c long")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(xml_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("sum_value_c"),
+    )
+
+
+@query(
     "textfile_source_doc_roundtrip",
     oracle="""
     SELECT doc_id,
