@@ -160,6 +160,14 @@ _VERIFY_SPARES: list[str] = [
     "window_lag_user_value_delta",
 ]
 
+# r7 rotation candidates (oracle-backed entries with no driver row
+# yet, all new in r6): streaming_snapshot_history (unless it entered
+# as a spare), streaming_snapshot_change_feed,
+# streaming_compaction_roundtrip, python_stream_source_city_fares,
+# xml_source_agg, textfile_source_doc_roundtrip,
+# binaryfile_source_stats. After those, every oracle-backed registry
+# entry will have had at least one driver-green row.
+
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
     # Keep the verified head at exactly 50 names.  _VERIFY_FIRST lists
