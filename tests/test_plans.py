@@ -293,3 +293,19 @@ def test_iterative_operators_keep_bounded_plans(spark):
     assert {(r["node"], r["comp"]) for r in labels.collect()} == {
         (i, 0) for i in range(12)
     }
+
+
+def test_change_feed_insert_only_commit_is_scan_only(spark):
+    """The snapshot CDF's scale story, plan-asserted: when a commit
+    only ADDS partitions (the two-batch replay's second batch touches
+    only new dates), read_changes resolves entirely through the
+    manifests — the physical plan is a pruned parquet scan + project,
+    ZERO Exchanges, no exceptAll machinery. The non-trivial
+    re-touched-partition diff path is exercised separately in
+    tests/test_streaming.py::test_snapshot_change_feed_is_pruned_and_exact."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["streaming_snapshot_change_feed"](spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Except" not in plan, plan
