@@ -59,6 +59,7 @@ class BatchMetricsListener(StreamingQueryListener):
         p = event.progress
         self.progress.append(
             {
+                "queryId": str(p.id),  # the listener bus is session-global
                 "batchId": p.batchId,
                 "numInputRows": p.numInputRows,
                 "observedMetrics": {
@@ -74,16 +75,26 @@ class BatchMetricsListener(StreamingQueryListener):
         pass
 
     # -- helpers ----------------------------------------------------------
-    def total_input_rows(self) -> int:
-        return sum(p["numInputRows"] for p in self.progress)
+    def for_query(self, query_id) -> list[dict]:
+        """Progress for ONE query — the listener bus delivers every
+        query on the session, so per-query consumers must filter here
+        (pass ``StreamingQuery.id``) or rows attribute across queries."""
+        qid = str(query_id)
+        return [p for p in self.progress if p["queryId"] == qid]
 
-    def wait_for_rows(self, n: int, timeout_s: float = 30.0) -> None:
-        """Block until ``total_input_rows() >= n`` (listener delivery
-        is asynchronous even after the query terminates)."""
-        deadline = time.time() + timeout_s
-        while self.total_input_rows() < n:
-            if time.time() > deadline:
+    def total_input_rows(self, query_id=None) -> int:
+        rows = self.progress if query_id is None else self.for_query(query_id)
+        return sum(p["numInputRows"] for p in rows)
+
+    def wait_for_rows(self, n: int, query_id=None, timeout_s: float = 30.0) -> None:
+        """Block until ``total_input_rows(query_id) >= n`` (listener
+        delivery is asynchronous even after the query terminates).
+        Monotonic deadline — wall-clock steps must not cut the wait."""
+        deadline = time.monotonic() + timeout_s
+        while self.total_input_rows(query_id) < n:
+            if time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"saw {self.total_input_rows()}/{n} rows after {timeout_s}s"
+                    f"saw {self.total_input_rows(query_id)}/{n} rows "
+                    f"after {timeout_s}s"
                 )
             time.sleep(0.1)

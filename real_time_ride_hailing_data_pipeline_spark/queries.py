@@ -84,14 +84,14 @@ _VERIFY_FIRST: list[str] = [
     "filter_project",
     # streaming-sink anchors: the reference's ACTUAL Postgres dialect
     # over the stdlib wire protocol (r6, VERDICT r5 item 1 — gated on
-    # EmbeddedPostgres.available(); where absent the window is 49 and
-    # the Derby twin's r5 row carries the family) + the flagship
-    # update-mode replay
+    # EmbeddedPostgres.available(); where absent, _VERIFY_SPARES tops
+    # the head back up to 50 and the Derby twin's r5 row carries the
+    # family) + the flagship update-mode replay
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     # registered only where protobuf exists (harmless no-op otherwise);
-    # when present it takes a window slot and the last head entry falls
-    # to the tail — acceptable: that entry's family stays verified
+    # when present, the designated overflow sacrifice at the END of
+    # this list falls to the tail — see the comment there
     "transform_with_state_running_totals",
     # --- never-driver-verified until r6, rotated in per VERDICT r5
     # item 3 --- deep TPC-H completions (q5 was r2-only, the rest never)
@@ -1714,10 +1714,8 @@ def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip) then read back with an explicit schema and aggregated.
     The oracle reads the parquet original: reader fidelity is the
     thing under test."""
-    import tempfile
-
     events = _t(spark, sf_dir, "events")
-    csv_dir = tempfile.mkdtemp(prefix="rtrh_csv_") + "/events"
+    csv_dir = _scratch_dir("rtrh_csv") + "/events"
     events.select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -1749,10 +1747,8 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_json wire parsing): events written as JSONL and read back via
     spark.read.json with an explicit schema (no inference job), then
     aggregated against the parquet truth."""
-    import tempfile
-
     events = _t(spark, sf_dir, "events")
-    json_dir = tempfile.mkdtemp(prefix="rtrh_json_") + "/events"
+    json_dir = _scratch_dir("rtrh_json") + "/events"
     events.select(
         "event_id",
         "event_type",
@@ -4298,10 +4294,8 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized columnar read path and predicate pushdown machinery
     parquet uses, so this is the format-coverage twin of those two
     queries on the second mainstream warehouse format."""
-    import tempfile
-
     events = _t(spark, sf_dir, "events")
-    orc_dir = tempfile.mkdtemp(prefix="rtrh_orc_") + "/events"
+    orc_dir = _scratch_dir("rtrh_orc") + "/events"
     events.select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -4336,10 +4330,8 @@ def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-format matrix: parquet, ORC, CSV, JSON-lines, text,
     binaryFile, XML, JDBC, Python DataSource (batch + streaming);
     Avro alone stays environment-gated (connector jar not bundled)."""
-    import tempfile
-
     events = _t(spark, sf_dir, "events")
-    xml_dir = tempfile.mkdtemp(prefix="rtrh_xml_") + "/events"
+    xml_dir = _scratch_dir("rtrh_xml") + "/events"
     events.select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -4376,10 +4368,8 @@ def textfile_source_doc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     source, decoded JVM-side, and re-keyed. Value-hash equality of
     (doc_id, byte length, md5) against the parquet truth proves the
     byte-exact round trip through the line codec."""
-    import tempfile
-
     docs = _t(spark, sf_dir, "documents")
-    txt_dir = tempfile.mkdtemp(prefix="rtrh_txt_") + "/docs"
+    txt_dir = _scratch_dir("rtrh_txt") + "/docs"
     docs.select(
         F.concat_ws(
             "|", F.col("doc_id").cast("string"), F.hex(F.col("text").cast("binary"))
@@ -4423,7 +4413,7 @@ def binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality of (doc_id from filename, byte length, md5(content))
     against the parquet truth proves byte fidelity of the file scan."""
     import os as _os
-    import tempfile
+    import shutil as _shutil
 
     docs = _t(spark, sf_dir, "documents")
     picked = (
@@ -4433,7 +4423,10 @@ def binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .collect()
     )
-    bin_dir = tempfile.mkdtemp(prefix="rtrh_binf_") + "/objects"
+    # process-scoped root, wiped per call: a stale doc_*.bin written
+    # for a DIFFERENT sf_dir would otherwise pollute the scan
+    bin_dir = _scratch_dir("rtrh_binf") + "/objects"
+    _shutil.rmtree(bin_dir, ignore_errors=True)
     _os.makedirs(bin_dir)
     for r in picked:
         with open(_os.path.join(bin_dir, f"doc_{r['doc_id']}.bin"), "wb") as fh:

@@ -42,6 +42,12 @@ CITIES = [
 
 SCHEMA = "event_id bigint, city string, fare_cents bigint"
 
+# Shared default row count: with no options, the batch read and the
+# fully-drained stream read of this source produce the SAME event
+# space (batch/streaming parity holds for defaults, not just for
+# explicitly-matched options).
+DEFAULT_N = 10_000
+
 
 def _fare_cents(event_id: int) -> int:
     """fare in [5.00, 150.00): 500 + (first 12 md5 hex digits of the
@@ -58,7 +64,7 @@ class RideEventsPartition(InputPartition):
 
 class RideEventsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.n = int(options.get("n", 10_000))
+        self.n = int(options.get("n", DEFAULT_N))
         self.num_partitions = int(options.get("partitions", 8))
 
     def partitions(self) -> list[InputPartition]:
@@ -89,7 +95,7 @@ class RideEventsStreamReader(SimpleDataSourceStreamReader):
     """
 
     def __init__(self, options: dict) -> None:
-        self.cap = int(options.get("n", 5_000))
+        self.cap = int(options.get("n", DEFAULT_N))
         self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
 
     def initialOffset(self) -> dict:

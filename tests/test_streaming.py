@@ -636,13 +636,16 @@ def test_streaming_query_listener_collects_batch_metrics(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        qid = q_.id
         q_.awaitTermination()
         n_events = spark.read.parquet(out).count()
-        listener.wait_for_rows(n_events)
-        assert listener.total_input_rows() == n_events
+        # filter by query id: the listener bus is session-global and
+        # other tests' queries may emit progress while registered
+        listener.wait_for_rows(n_events, query_id=qid)
+        assert listener.total_input_rows(qid) == n_events
         observed_total = sum(
             p["observedMetrics"]["ingest"]["n_rows"]
-            for p in listener.progress
+            for p in listener.for_query(qid)
             if "ingest" in p["observedMetrics"]
         )
         assert observed_total == n_events
