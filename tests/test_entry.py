@@ -65,3 +65,42 @@ def test_engine_self_configures_under_non_utc_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert got == baseline
+
+
+def test_verified_window_arithmetic_across_gate_combinations():
+    """The 50-slot driver window stays exactly 50 full-oracle rows in
+    every environment-gate combination (postgres binaries / protobuf
+    present or absent): gated-absent slots are topped up from
+    _VERIFY_SPARES, a both-present overflow drops only the designated
+    long-green sacrifice, and no rows-only entry ever enters the head."""
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+
+    base = {k: v for k, v in q._QUERIES.items()}
+    gated = ["streaming_postgres_replay", "transform_with_state_running_totals"]
+    sacrifice = q._VERIFY_FIRST[-1]
+
+    def head(mapping):
+        return [n for n in q._ordered(mapping) if True][:50]
+
+    for drop_pg in (False, True):
+        for add_pb in (False, True):
+            m = dict(base)
+            if drop_pg:
+                m.pop("streaming_postgres_replay", None)
+            if add_pb:
+                m.setdefault("transform_with_state_running_totals", lambda s, d: None)
+            h = head(m)
+            assert len(h) == 50, (drop_pg, add_pb, len(h))
+            # every head slot is oracle-backed (rows-only entries have
+            # no oracle and must never enter the verified window); the
+            # simulated gated entry is allowed through — in a real
+            # protobuf environment its oracle registers alongside it
+            assert all(n in q._ORACLES or n in gated for n in h), (
+                drop_pg,
+                add_pb,
+                [n for n in h if n not in q._ORACLES and n not in gated],
+            )
+            present_listed = [n for n in q._VERIFY_FIRST if n in m]
+            if len(present_listed) > 50:  # both gated present
+                assert sacrifice not in h  # only the sacrifice drops
+                assert all(n in h for n in present_listed if n != sacrifice)

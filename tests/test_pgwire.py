@@ -49,6 +49,19 @@ def test_sql_literal_scalars():
     assert sql_literal(0.1) == "0.1"
 
 
+@needs_pg
+def test_decimal_scientific_notation_roundtrip():
+    """Decimal str() can emit scientific notation ('1E+2'); PostgreSQL
+    accepts it as a numeric literal and preserves the value."""
+    client = EmbeddedPostgres.ensure().connect()
+    try:
+        for v in (Decimal("1E+2"), Decimal("-3.14E-5"), Decimal("0.1")):
+            _, rows = client.query(f"SELECT {sql_literal(v)}::numeric AS x")
+            assert rows[0][0] == v, (v, rows[0][0])
+    finally:
+        client.close()
+
+
 def test_sql_literal_nonfinite_floats_are_quoted():
     """Bare ``inf``/``nan`` are invalid PostgreSQL float8 literals —
     they must render quoted (protocol docs: 'Infinity', 'NaN')."""
