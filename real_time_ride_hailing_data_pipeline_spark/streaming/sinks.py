@@ -138,6 +138,11 @@ class ParquetUpsertSink:
 
     def _merge(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # A compact() that crashed mid-swap leaves a partition pending
+        # in its staging; finish it BEFORE touching the table, or a
+        # merge into that partition's date would be silently clobbered
+        # when the next compact() completes the stale swap.
+        self._finish_compact(self._compact_staging())
         if self._merge_staged_for(epoch_id):
             # crashed commit for this very epoch: finish it from the
             # durable staging (batch content is already inside it).
@@ -264,7 +269,13 @@ class ParquetUpsertSink:
         if not os.path.isdir(files_root):
             return
         for epoch_dir in os.listdir(files_root):
-            epoch = int(epoch_dir.split("=", 1)[1])
+            # stray entries (tmp files, _SUCCESS-like markers) must not
+            # abort the commit's expiry — parse only 'epoch=<int>' dirs,
+            # mirroring the guard in snapshots()
+            name, sep, suffix = epoch_dir.partition("=")
+            if name != "epoch" or not sep or not suffix.lstrip("-").isdigit():
+                continue
+            epoch = int(suffix)
             for d in os.listdir(os.path.join(files_root, epoch_dir)):
                 if (epoch, d) not in referenced:
                     shutil.rmtree(
@@ -434,8 +445,14 @@ class ParquetUpsertSink:
             for name in os.listdir(self.path)
         )
 
+    def _compact_staging(self) -> str:
+        return self.path.rstrip("/") + "__compact"
+
     def read(self, spark: SparkSession) -> DataFrame:
-        """The materialized table (without the physical partition col)."""
+        """The materialized table (without the physical partition col).
+        Finishes any pending compaction swap first — a crash mid-swap
+        must never serve (or let a writer extend) a torn table."""
+        self._finish_compact(self._compact_staging())
         return spark.read.parquet(self.path).drop("part_date")
 
     def compact(self, spark: SparkSession, files_per_partition: int = 1) -> None:
@@ -456,13 +473,15 @@ class ParquetUpsertSink:
         partition RENAME from the completed staging copy, and it is
         re-runnable: the staging (with Spark's ``_SUCCESS`` marker) is
         durable before the first target partition is touched, and a
-        crash mid-swap is repaired by the next ``compact()`` call,
-        which finishes the pending swap from staging BEFORE reading
-        the table (``_finish_compact``). A partition is therefore
-        always fully present in the target or pending in a complete
-        staging — never lost."""
+        crash mid-swap is repaired at EVERY table entry point —
+        ``compact()``, ``write_batch()`` and ``read()`` all finish the
+        pending swap from staging before touching the table
+        (``_finish_compact``), so a post-crash merge can never land in
+        a partition a stale staging is about to clobber. A partition
+        is therefore always fully present in the target or pending in
+        a complete staging — never lost."""
         # finish (or discard, if incomplete) a previous crashed commit
-        staging = self.path.rstrip("/") + "__compact"
+        staging = self._compact_staging()
         self._finish_compact(staging)
         current = spark.read.parquet(self.path)
         data_cols = list(current.columns)

@@ -44,8 +44,27 @@ def _norm(v):
     return v
 
 
-def compare_query(spark, sf_dir: str, fn, sql: str) -> None:
+def assert_driver_canonicalizable(name: str, sdf) -> None:
+    """The correctness driver canonicalizes through pandas before
+    hashing; array/map/struct columns break its ``factorize`` with
+    'unhashable type' (the r6 collect_sorted_event_types failure).
+    Registry queries must ship scalar columns — flatten arrays via
+    ``array_join`` on both sides."""
+    from pyspark.sql import types as T
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            raise AssertionError(
+                f"{name}: driver-incompatible column "
+                f"{f.name}:{f.dataType.simpleString()} — flatten it "
+                "(array_join / to_json) before registering an oracle"
+            )
+
+
+def compare_query(spark, sf_dir: str, fn, sql: str, *, registry_name: str | None = None) -> None:
     sdf = fn(spark, sf_dir)
+    if registry_name is not None:
+        assert_driver_canonicalizable(registry_name, sdf)
     spark_cols = sorted(sdf.columns)
     spark_rows = sdf.collect()
 

@@ -13,7 +13,15 @@ _WITH_ORACLE = sorted(q.all_oracles().keys())
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_query_matches_oracle(spark, sf_dir, name):
-    compare_query(spark, sf_dir, q.all_queries()[name], q.all_oracles()[name])
+    # registry_name turns on the driver-canonicalizable schema guard
+    # (no array/map/struct output columns — the r6 failure class)
+    compare_query(
+        spark,
+        sf_dir,
+        q.all_queries()[name],
+        q.all_oracles()[name],
+        registry_name=name,
+    )
 
 
 def test_every_query_returns_rows(spark, sf_dir):
@@ -64,3 +72,67 @@ def test_side_effecting_queries_are_reentrant(spark, sf_dir):
         first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         assert first == second and len(first) > 0, name
+
+
+def test_oracle_outputs_are_driver_canonicalizable(sf_dir):
+    """Regression guard for the r6 red-row CLASS (VERDICT r6 item 3):
+    the correctness driver canonicalizes both result sets through
+    pandas before hashing, so an oracle FINAL column that DuckDB types
+    HUGEINT (uncast integer ``sum``) lands as float64 while Spark emits
+    int64 — a value-identical hash mismatch — and a LIST/STRUCT/MAP
+    column kills ``factorize`` outright (unhashable).  Every oracle's
+    output relation must therefore be scalar-typed with no HUGEINT.
+    Fix sites: wrap sums in CAST(... AS BIGINT); flatten arrays through
+    array_to_string / array_join on BOTH sides."""
+    from tests.oracle_utils import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    flagged = []
+    for name, sql in q.all_oracles().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if (
+                "HUGEINT" in t
+                or t.startswith("LIST")
+                or "[]" in t
+                or t.startswith("STRUCT")
+                or t.startswith("MAP")
+            ):
+                flagged.append((name, col, t))
+    assert not flagged, f"driver-incompatible oracle columns: {flagged}"
+
+
+def test_collect_sorted_arrays_raw_form(spark, sf_dir):
+    """The raw ``sort_array(collect_set(...))`` array aggregate — the
+    pre-r7 form of collect_sorted_event_types — stays value-checked
+    here (the local harness tuple-normalizes lists) even though the
+    registry entry ships the array_join'd scalar for the driver."""
+    from pyspark.sql import functions as F
+
+    from real_time_ride_hailing_data_pipeline_spark import catalog
+
+    def raw(spark, sf_dir):
+        events = catalog.load_table(spark, sf_dir, "events")
+        return (
+            events.filter(F.col("user_id") % 31 == 0)
+            .groupBy("user_id")
+            .agg(
+                F.sort_array(F.collect_set("event_type")).alias("event_types"),
+                F.countDistinct("event_type").alias("n_types"),
+            )
+            .orderBy("user_id")
+        )
+
+    compare_query(
+        spark,
+        sf_dir,
+        raw,
+        """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events WHERE user_id % 31 = 0
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
