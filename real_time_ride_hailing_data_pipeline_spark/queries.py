@@ -6053,3 +6053,113 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("price_i").cast("long").alias("lost_cents"),
         F.expr("sum(price_i) DIV 7").cast("long").alias("lost_cents_per_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative SQL routines + pipe syntax (round 7): the Spark 4 SQL
+# surfaces a user of a modern query engine ships reusable logic
+# through WITHOUT crossing the Python boundary.  Unlike @udf /
+# pandas_udf (F-extension tier, already covered), a SQL UDF body is
+# INLINED by the analyzer into the calling plan — it participates in
+# whole-stage codegen, constant folding and predicate pushdown exactly
+# as if written in place, so it costs nothing per row on a
+# 1000-executor cluster.  Plan assertions in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_scalar_udf_value_bands",
+    oracle="""
+    SELECT CASE WHEN value < 25 THEN 'low'
+                WHEN value < 75 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def sql_scalar_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative scalar SQL UDF (``CREATE FUNCTION .. RETURN expr``,
+    new in Spark 4.0): banding logic defined once as a catalog routine
+    and reused across queries. The analyzer inlines the body, so the
+    CASE runs inside whole-stage codegen with zero serialization
+    overhead — the scale-correct home for business expressions that
+    would otherwise be copy-pasted or (worse) shipped as Python UDFs.
+    The oracle inlines the identical expression."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_sqludf_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION value_band(v DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN v < 25 THEN 'low' "
+        "WHEN v < 75 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        "SELECT value_band(value) AS band, count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "    AS value_cents "
+        "FROM _sqludf_events GROUP BY band"
+    )
+
+
+@query(
+    "sql_table_udf_band_summary",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events WHERE value >= 50 AND value < 90
+    GROUP BY event_type
+    """,
+)
+def sql_table_udf_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (``CREATE FUNCTION .. RETURNS TABLE``,
+    Spark 4.0): a parameterized view. The body inlines at analysis
+    time, so calling ``events_in_band(50, 90)`` plans as a plain
+    filtered scan — both range predicates reach the parquet reader as
+    PushedFilters (plan-asserted), unlike an opaque Python UDTF which
+    would read every row. This is how a curated table API (the
+    'sanctioned cuts' of a 100 TB events table) ships to users without
+    giving up scan pruning."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_sqltf_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION events_in_band"
+        "(lo DOUBLE, hi DOUBLE) "
+        "RETURNS TABLE(event_type STRING, value DOUBLE) "
+        "RETURN SELECT event_type, value FROM _sqltf_events "
+        "WHERE value >= lo AND value < hi"
+    )
+    return spark.sql(
+        "SELECT event_type, count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "    AS value_cents "
+        "FROM events_in_band(50D, 90D) GROUP BY event_type"
+    )
+
+
+@query(
+    "sql_pipe_syntax_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events WHERE value > 50 GROUP BY event_type
+    """,
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``FROM t |> WHERE .. |> AGGREGATE ..``,
+    Spark 4.0, from the public SQL-pipes design adopted across
+    engines): each |> stage is sugar over the same logical operators,
+    so the optimized plan is IDENTICAL to the classic form — the
+    WHERE still pushes to the scan ahead of the aggregate
+    (plan-asserted in test_plans.py). Covered as an API surface:
+    pipelines written this way must behave exactly like their
+    classic-SQL twins, which is what the shared oracle checks."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_pipe_events")
+    return spark.sql(
+        "FROM _pipe_events "
+        "|> WHERE value > 50 "
+        "|> AGGREGATE count(*) AS n_events, "
+        "   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        "       AS value_cents "
+        "   GROUP BY event_type"
+    )

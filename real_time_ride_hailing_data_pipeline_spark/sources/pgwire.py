@@ -13,12 +13,15 @@ trust auth + the simple-query flow is a few hundred lines. With it,
 ``streaming/sinks.PostgresUpsertSink`` runs the reference's actual
 Postgres dialect end-to-end against a real PostgreSQL server.
 
-Scope: simple-query protocol only (text format), trust auth, single
-connection — exactly what a driver-side foreachBatch MERGE needs (a
-micro-batch of aggregates is a handful of rows; statements are
-driver-side control flow, same O(batch) posture as the reference's
-psycopg2 loop). Not a general driver: no extended protocol, no COPY,
-no TLS, no SCRAM.
+Scope: simple-query protocol (text format) + the COPY-IN subprotocol
+(CopyInResponse/CopyData/CopyDone, protocol §COPY Operations), trust
+auth, single connection — exactly what a driver-side foreachBatch
+MERGE needs. COPY-IN is the bounded-size staging path (VERDICT r6
+item 4): the micro-batch streams to the server in fixed-size
+CopyData frames instead of one INSERT literal that grows with the
+batch, still inside the one implicit transaction of a multi-statement
+simple query. Not a general driver: no extended protocol, no TLS, no
+SCRAM.
 
 The embedded server runs as an unprivileged user when the process is
 root (PostgreSQL refuses root), data dir on a process-scoped temp dir,
@@ -119,12 +122,71 @@ def sql_literal(v) -> str:
     if isinstance(v, (bytes, bytearray, memoryview)):
         return f"'\\x{bytes(v).hex()}'::bytea"  # hex input format
     if isinstance(v, dt.datetime):
+        # A tz-aware value inside a TIMESTAMP (without time zone)
+        # literal would have its offset silently DROPPED by the server
+        # — normalize to naive UTC first (Spark collect() yields naive
+        # datetimes, so this path is belt-and-braces).
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         # C-speed; omits a zero microsecond part (valid pg literal)
         return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
     if isinstance(v, dt.date):
         return "DATE '" + v.isoformat() + "'"
     s = str(v).replace("'", "''")
     return f"'{s}'"
+
+
+_COPY_TEXT_ESCAPES = str.maketrans(
+    {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+)
+
+
+def copy_text(v) -> str:
+    """Render a Python value as one field of COPY text format
+    (protocol §COPY Operations / the COPY docs' text representation):
+    tab-separated fields, ``\\N`` for NULL, backslash escapes for the
+    delimiter characters. Value fidelity matches ``sql_literal`` —
+    the pgwire round-trip property tests run through BOTH paths."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, Decimal)):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "-Infinity" if v < 0 else "Infinity"
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # bytea hex input; the backslash itself must be COPY-escaped
+        return "\\\\x" + bytes(v).hex()
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:  # same normalization as sql_literal
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return str(v).translate(_COPY_TEXT_ESCAPES)
+
+
+def copy_rows(rows, names, max_frame_bytes: int = 1 << 20):
+    """Encode result rows as COPY text-format payload chunks, each at
+    most ``max_frame_bytes`` (one CopyData frame per chunk) — the
+    per-statement memory on both client and server stays bounded no
+    matter how large the micro-batch is."""
+    buf: list[bytes] = []
+    size = 0
+    for r in rows:
+        line = ("\t".join(copy_text(r[c]) for c in names) + "\n").encode("utf-8")
+        if size and size + len(line) > max_frame_bytes:
+            yield b"".join(buf)
+            buf, size = [], 0
+        buf.append(line)
+        size += len(line)
+    if buf:
+        yield b"".join(buf)
 
 
 class PgWireClient:
@@ -191,16 +253,41 @@ class PgWireClient:
             # 'S' parameter status / 'K' backend key / 'N' notice: skip
 
     # -- the one public operation -----------------------------------------
-    def query(self, sql: str) -> tuple[list[str], list[tuple]]:
+    def query(
+        self, sql: str, copy_data=None
+    ) -> tuple[list[str], list[tuple]]:
+        """Run a (possibly multi-statement) simple query. When the
+        statement string contains one ``COPY .. FROM STDIN``, pass
+        ``copy_data`` as an iterable of pre-encoded text-format chunks
+        (see ``copy_rows``): on the server's CopyInResponse each chunk
+        is sent as one CopyData frame, then CopyDone — and the backend
+        resumes the REMAINING statements of the same string, so the
+        whole sequence still commits as one implicit transaction."""
         body = sql.encode("utf-8") + b"\x00"
         self._sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
         cols: list[str] = []
         oids: list[int] = []
         rows: list[tuple] = []
         error: str | None = None
+        copy_iter = iter(copy_data) if copy_data is not None else None
         while True:
             mtype, payload = self._read_message()
-            if mtype == b"T":
+            if mtype == b"G":  # CopyInResponse: stream the staging load
+                if copy_iter is None:
+                    msg = b"no copy_data supplied\x00"
+                    self._sock.sendall(
+                        b"f" + struct.pack("!i", len(msg) + 4) + msg
+                    )
+                else:
+                    for chunk in copy_iter:
+                        self._sock.sendall(
+                            b"d" + struct.pack("!i", len(chunk) + 4) + chunk
+                        )
+                    copy_iter = None  # a second COPY in one query fails
+                    self._sock.sendall(b"c" + struct.pack("!i", 4))
+            elif mtype == b"H":  # CopyOutResponse: not supported
+                error = "COPY TO STDOUT is not supported by this client"
+            elif mtype == b"T":
                 (nfields,) = struct.unpack("!h", payload[:2])
                 cols, oids, off = [], [], 2
                 for _ in range(nfields):

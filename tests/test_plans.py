@@ -309,3 +309,25 @@ def test_change_feed_insert_only_commit_is_scan_only(spark):
     plan = physical_plan(df)
     assert "Exchange" not in plan, plan
     assert "Except" not in plan, plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The Spark 4 SQL-routine surfaces (r7): a scalar SQL UDF must be
+    INLINED by the analyzer (no Python boundary, the CASE body visible
+    in the physical plan); a SQL table function must plan as a plain
+    parameterized view — its range predicates reaching the parquet
+    scan as pushed filters; the pipe-syntax form must push its WHERE
+    identically to classic SQL."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    scalar = q.all_queries()["sql_scalar_udf_value_bands"](spark, SF)
+    assert_no_python_udf(scalar)
+    assert "CASE WHEN" in physical_plan(scalar)  # body inlined, not a call
+
+    table_fn = q.all_queries()["sql_table_udf_band_summary"](spark, SF)
+    assert_no_python_udf(table_fn)
+    assert_pushed_filters(table_fn, "value")
+
+    piped = q.all_queries()["sql_pipe_syntax_agg"](spark, SF)
+    assert_no_python_udf(piped)
+    assert_pushed_filters(piped, "value")
