@@ -6163,3 +6163,146 @@ def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       AS value_cents "
         "   GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime pruning surfaces (round 7): the two Catalyst features that
+# keep a 100 TB scan from reading data a join was about to discard —
+# dynamic partition pruning (partitioned fact + filtered dim: the scan
+# skips whole partitions named by a runtime subquery on the dim) and
+# runtime bloom-filter join reduction (a semi-join filter built from
+# the small side's join keys, applied inside the big side's scan
+# before the shuffle). Both are optimizer-injected, not hand-written —
+# the queries pin the shapes so they can't silently regress.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events WHERE day(CAST(ts AS DATE)) <= 10
+    GROUP BY event_type
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a date-partitioned fact table:
+    events land partitioned by ``part_date`` (the layout any 100 TB
+    event table uses), the date dimension carries a flag column the
+    fact does NOT have, and the join's dim-side filter is on that
+    flag — so no static predicate can prune the fact; only Catalyst's
+    runtime ``dynamicpruningexpression`` subquery (broadcast the
+    filtered dim's keys, prune fact partitions before the scan) keeps
+    this from reading every partition. Plan-asserted in
+    test_plans.py. The dim is materialized to parquet first
+    precisely so the optimizer cannot constant-fold the flag back
+    into a static partition filter — the pruning in the plan is
+    genuinely dynamic."""
+    events = _t(spark, sf_dir, "events")
+    base = _scratch_dir("rtrh_dpp")
+    fact_dir, dim_dir = base + "/fact", base + "/dim"
+    events.withColumn("part_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("part_date").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    (
+        fact.select("part_date")
+        .distinct()
+        .withColumn(
+            "day_bucket",
+            F.when(F.dayofmonth("part_date") <= 10, F.lit("early")).otherwise(
+                F.lit("late")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    # literal-equality dim filter: the pruning rule only fires behind a
+    # LIKELY-SELECTIVE predicate (EqualTo/In/Like on an attribute); a
+    # bare boolean attribute would be skipped as unselective
+    dim = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("day_bucket") == "early")
+        .select("part_date")
+    )
+    return (
+        fact.join(dim, "part_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+def _bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined-aggregate shape `runtime_bloom_filter_join` executes
+    (factored out so tests/test_plans.py can rebuild it under the same
+    confs and assert the injected ``might_contain``): lineitem ⋈ a
+    brand-filtered part over a forced shuffle join — the selective
+    small side seeds a bloom filter Catalyst applies inside the
+    lineitem scan, so most rows die before the exchange."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    return li.join(part.hint("merge"), li["l_partkey"] == part["p_partkey"]).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+_BLOOM_CONFS = {
+    # Defaults trigger the filter only past real-scale thresholds
+    # (creation side >10 MB, application-side scan >10 GB) — correct in
+    # production, unreachable at bench SF. Lowered HERE (and restored)
+    # purely to exercise the injected plan; at 100 TB the defaults fire
+    # on exactly this shape with no conf changes.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10KB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    # the filtered part side would broadcast at bench SF (and a
+    # broadcast join needs no bloom filter); at 100 TB it exceeds the
+    # threshold and shuffles — model that side of the threshold
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "runtime_bloom_filter_join",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+    """,
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join reduction (Catalyst's
+    InjectRuntimeFilter): before lineitem shuffles for the join, a
+    bloom filter aggregated from the brand-filtered part keys is
+    pushed into the lineitem side as ``might_contain`` — at 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling ~selectivity of it. Executed eagerly under the lowered
+    demo thresholds (see _BLOOM_CONFS — restored after; defaults fire
+    at production scale) via localCheckpoint, so the registry
+    callable stays conf-clean for its caller."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        return _bloom_filter_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

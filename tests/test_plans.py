@@ -331,3 +331,43 @@ def test_sql_udf_inlines_into_codegen(spark):
     piped = q.all_queries()["sql_pipe_syntax_agg"](spark, SF)
     assert_no_python_udf(piped)
     assert_pushed_filters(piped, "value")
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark):
+    """dpp_partition_pruned_join (r7): the date-partitioned fact scan
+    must carry a runtime dynamicpruningexpression — and NO static
+    partition predicate derived from the dim's flag (the dim is
+    materialized to parquet precisely to make static pruning
+    impossible), so the pruning observed is genuinely dynamic."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    df = q.all_queries()["dpp_partition_pruned_join"](spark, SF)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "dayofmonth" not in plan.lower()  # flag never folded back
+
+
+def test_bloom_filter_join_injects_might_contain(spark):
+    """runtime_bloom_filter_join (r7): under the demo thresholds the
+    optimizer must inject a bloom-filter semi-join reduction — a
+    might_contain predicate on the lineitem side ahead of the
+    exchange. Rebuilt here via the factored shape because the registry
+    callable returns the post-checkpoint result."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+    from real_time_ride_hailing_data_pipeline_spark.queries import (
+        _BLOOM_CONFS,
+        _bloom_filter_join,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        plan = physical_plan(_bloom_filter_join(spark, SF))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan.lower()
