@@ -513,3 +513,62 @@ def test_postgres_sink_multichunk_batch_lands_atomically(spark, monkeypatch):
     client = sink._connect()
     client.query("DROP TABLE IF EXISTS copy_chunk_metrics")
     client.query("DROP TABLE IF EXISTS copy_chunk_metrics_staging")
+
+
+@needs_pg
+def test_copy_text_roundtrip_property():
+    """Hypothesis twin of test_literal_roundtrip_property for the
+    COPY-IN path: arbitrary strings (tabs, newlines, backslashes, any
+    unicode), ints, finite floats, bytes, timestamps and NULLs
+    round-trip exactly through copy_rows -> COPY FROM STDIN -> the
+    wire decoder — value fidelity of the staging stream equals the
+    literal path it replaced."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from real_time_ride_hailing_data_pipeline_spark.sources.pgwire import (
+        copy_rows,
+    )
+
+    client = EmbeddedPostgres.ensure().connect()
+    client.query(
+        "DROP TABLE IF EXISTS copy_prop;"
+        "CREATE TABLE copy_prop (s TEXT, i BIGINT, f FLOAT8, b BYTEA, "
+        "ts TIMESTAMP)"
+    )
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        s=st.one_of(st.none(), printable),
+        i=st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+        f=st.floats(allow_nan=False, allow_infinity=False, width=64),
+        b=st.one_of(st.none(), st.binary(max_size=64)),
+        ts=st.datetimes(
+            min_value=dt.datetime(1, 1, 1),
+            max_value=dt.datetime(9999, 12, 31),
+        ),
+    )
+    def check(s, i, f, b, ts):
+        row = {"s": s, "i": i, "f": f, "b": b, "ts": ts}
+        client.query(
+            "TRUNCATE copy_prop;\n"
+            "COPY copy_prop (s, i, f, b, ts) FROM STDIN",
+            copy_data=copy_rows([row], ["s", "i", "f", "b", "ts"],
+                                max_frame_bytes=32),
+        )
+        _, rows = client.query("SELECT s, i, f, b, ts FROM copy_prop")
+        assert rows == [(s, i, f, b, ts)]
+
+    try:
+        check()
+    finally:
+        client.query("DROP TABLE IF EXISTS copy_prop")
+        client.close()
