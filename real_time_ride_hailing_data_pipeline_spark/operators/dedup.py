@@ -760,3 +760,91 @@ def sorted_neighborhood_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 24,
+    bucket_len: int = 4,
+    window: int = 2,
+    max_distance: int = 40,
+) -> DataFrame:
+    """Character-exact edit-distance verify tier over sorted-
+    neighborhood blocking: each document is compared to its `window`
+    successors in normalized-prefix sort order, and candidate pairs
+    are verified with a BANDED Levenshtein bounded by `max_distance`.
+
+    Spark's three-argument ``levenshtein(l, r, threshold)`` runs the
+    banded O(threshold * n) dynamic program and returns -1 once the
+    distance provably exceeds the band — so the per-pair verify cost
+    is bounded by the threshold, not by the O(n*m) full-matrix cost
+    of the two-argument form. That bound is what makes a
+    character-exact tier (catching single-character edits that
+    token-set Jaccard scores as identical and shingle methods blur)
+    affordable at corpus scale.
+
+    Distribution shape: the blocking key's leading `bucket_len` chars
+    are the shuffle partition, the full key orders within each bucket,
+    and the neighbor's (id, text) rides the same window (``lead``) so
+    the verify is join-free. The `window` neighbor slots are emitted as
+    ONE array-of-structs column and exploded, rather than unioned
+    per-slot frames (the sorted_neighborhood_pairs form) — a union of
+    filters over a window re-plans the scan+Exchange+Sort+Window chain
+    per branch, while the explode keeps the whole tier to exactly one
+    Exchange and one Window node (pinned in test_plans.py).
+
+    Output: (doc_a, doc_b, edit_distance, sim) where sim is a
+    fixed-point similarity 1 - d/maxlen at 1e-4, computed in integer
+    arithmetic so it hashes identically across engines.
+    """
+    from pyspark.sql import Window
+
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.substring(norm, 1, key_len).alias("snm_key"),
+        norm.alias("norm_text"),
+    )
+    w = Window.partitionBy(F.substring("snm_key", 1, bucket_len)).orderBy(
+        "snm_key", id_col
+    )
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead(id_col, i).over(w).alias("doc_b"),
+                F.lead("norm_text", i).over(w).alias("text_b"),
+            )
+            for i in range(1, window + 1)
+        ]
+    )
+    nb = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("norm_text").alias("text_a"),
+        neighbors.alias("nbs"),
+    )
+    pairs = (
+        nb.select("doc_a", "text_a", F.explode("nbs").alias("nb"))
+        .filter(F.col("nb.doc_b").isNotNull())
+        .select(
+            "doc_a",
+            F.col("nb.doc_b").alias("doc_b"),
+            "text_a",
+            F.col("nb.text_b").alias("text_b"),
+        )
+    )
+    dist = F.levenshtein("text_a", "text_b", max_distance)
+    maxlen = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        pairs.select("doc_a", "doc_b", dist.alias("edit_distance"), maxlen.alias("_ml"))
+        .filter(F.col("edit_distance") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+            F.expr(
+                "cast(((10000 * (_ml - edit_distance)) DIV _ml) / 10000.0 as double)"
+            ).alias("sim"),
+        )
+    )

@@ -6306,3 +6306,108 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "collation_caseinsensitive_group",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS k,
+             value
+      FROM events
+    )
+    SELECT lower(k) AS event_type_ci,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM m GROUP BY lower(k)
+    """,
+)
+def collation_caseinsensitive_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``collate(col,
+    'UTF8_LCASE')``): group keys compare case-insensitively under the
+    collation itself — no ``lower()`` rewrite of the data, and the
+    same declaration makes joins / ORDER BY / DISTINCT
+    case-insensitive for free. Case variance is synthesized
+    deterministically (even event_ids upper-cased) since the test
+    corpus is all-lowercase; the checked key is re-normalized with
+    ``lower`` because the group's representative value under a
+    case-folding collation is whichever variant the engine retains.
+    Plan shape: Catalyst falls back from HashAggregate to a
+    partial+final SortAggregate pair — a case-folding collation has
+    no binary-stable grouping key for hashing — but the distribution
+    strategy is unchanged: one Exchange on the collated key, so it
+    scales like any groupBy with a sort-based comparator (pinned in
+    test_plans.py)."""
+    ev = _t(spark, sf_dir, "events")
+    mangled = (
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+    )
+    return (
+        ev.select(F.collate(mangled, "UTF8_LCASE").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lower("k").alias("event_type_ci"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "dedup_edit_distance_pairs",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, norm_text,
+             substr(norm_text, 1, 24) AS snm_key
+      FROM base
+    ), nb AS (
+      SELECT doc_id AS doc_a, norm_text AS text_a,
+             lead(doc_id, 1) OVER w AS nb_id_1,
+             lead(norm_text, 1) OVER w AS nb_text_1,
+             lead(doc_id, 2) OVER w AS nb_id_2,
+             lead(norm_text, 2) OVER w AS nb_text_2
+      FROM keyed
+      WINDOW w AS (PARTITION BY substr(snm_key, 1, 4) ORDER BY snm_key, doc_id)
+    ), pairs AS (
+      SELECT doc_a, nb_id_1 AS doc_b, text_a, nb_text_1 AS text_b
+      FROM nb WHERE nb_id_1 IS NOT NULL
+      UNION ALL
+      SELECT doc_a, nb_id_2 AS doc_b, text_a, nb_text_2 AS text_b
+      FROM nb WHERE nb_id_2 IS NOT NULL
+    ), v AS (
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(text_a, text_b) AS BIGINT) AS edit_distance,
+             greatest(len(text_a), len(text_b)) AS ml
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, edit_distance,
+           ((10000 * (ml - edit_distance)) // ml) / 10000.0 AS sim
+    FROM v WHERE edit_distance <= 40
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact dedup verify tier
+    (operators/dedup.py:edit_distance_pairs): sorted-neighborhood
+    blocking, then BANDED Levenshtein — Spark's 3-arg
+    ``levenshtein(l, r, threshold)`` costs O(threshold * n) per pair
+    and early-exits at the band, vs the O(n*m) full matrix the
+    2-arg form (and the oracle) pays. Join-free: the neighbor's text
+    rides the same ``lead`` window as its id, so the whole tier is
+    one Exchange on the 4-char bucket prefix plus map-side verify.
+    The tier catches single-character edits that token-set Jaccard
+    scores as identical — the precision complement to the
+    shingle/MinHash recall tiers."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.edit_distance_pairs(
+        docs, "text", "doc_id", key_len=24, bucket_len=4, window=2, max_distance=40
+    )

@@ -6,6 +6,8 @@ catalog.register_views.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from real_time_ride_hailing_data_pipeline_spark import catalog
@@ -371,3 +373,32 @@ def test_bloom_filter_join_injects_might_contain(spark):
             else:
                 spark.conf.set(k, v)
     assert "might_contain" in plan.lower()
+
+
+def test_edit_distance_tier_is_join_free(spark):
+    """dedup_edit_distance_pairs carries the neighbor's text on the
+    same lead() window as its id, so the verify tier must plan with
+    NO join operator and exactly one Exchange+Window (the neighbor
+    slots explode out of one array-of-structs window pass; a per-slot
+    union would re-plan the scan+shuffle chain per branch)."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q.all_queries()["dedup_edit_distance_pairs"](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("(1) Scan parquet") == 1 or plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_collation_group_is_plain_hash_aggregate(spark):
+    """Collation changes the grouping comparator, not the distribution
+    strategy: with no binary-stable key to hash, the UTF8_LCASE
+    groupBy falls back to a partial+final SortAggregate pair — still
+    exactly one Exchange, still map-side partial aggregation."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q.all_queries()["collation_caseinsensitive_group"](spark, SF))
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) == 2, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
