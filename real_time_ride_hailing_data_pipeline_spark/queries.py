@@ -6411,3 +6411,112 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.edit_distance_pairs(
         docs, "text", "doc_id", key_len=24, bucket_len=4, window=2, max_distance=40
     )
+
+
+_PY_EVENTS_ORACLE_CTE = """
+    WITH g AS (
+      SELECT id,
+             ['New York','Los Angeles','Chicago','Houston','Phoenix',
+              'Philadelphia','San Antonio','San Diego','Dallas','San Jose']
+               [CAST(id % 10 AS INT) + 1] AS city,
+             500 + CAST(list_sum(list_transform(generate_series(1, 12),
+                     j -> (instr('0123456789abcdef',
+                             substr(md5(CAST(id AS VARCHAR)), CAST(j AS INT), 1))
+                           - 1)::BIGINT << CAST(4 * (12 - j) AS INT)))
+                   AS BIGINT) % 14500 AS fare_cents
+      FROM range(5000) t(id)
+    )
+    SELECT city,
+           count(*) AS n_trips,
+           sum(fare_cents) / 100.0 AS total_fares
+    FROM g GROUP BY city
+"""
+
+
+def _city_fares_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+
+    files = pdk.committed_files(path)
+    df = spark.read.schema(
+        "event_id bigint, city string, fare_cents bigint"
+    ).json(files)
+    return df.groupBy("city").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        (F.sum("fare_cents") / 100.0).alias("total_fares"),
+    )
+
+
+@query("python_datasink_city_fares", oracle=_PY_EVENTS_ORACLE_CTE)
+def python_datasink_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource WRITER executed
+    (sources/python_datasink.py, the ``DataSourceArrowWriter`` API —
+    executors hand the sink Arrow RecordBatches): the deterministic
+    md5 event space flows batch-reader -> manifest-committed JSONL
+    sink -> read-back of exactly the manifest-named files ->
+    aggregation, so the DuckDB generate_series oracle value-hashes a
+    full custom-connector WRITE round trip. Two-phase commit: task
+    temp files become visible only through the driver's atomic
+    manifest publish (orphans are structurally unreadable — pinned in
+    tests/test_sources.py)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasource as pds,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    pds.register(spark)
+    pdk.register(spark)
+    out = _os.path.join(_workdir("rtrh_pysink_"), "out")
+    src = spark.read.format("ride_events_py").option("n", 5_000).load()
+    src.write.format("jsonl_commit").option("path", out).mode("append").save()
+    return _city_fares_from_jsonl(spark, out)
+
+
+@query("python_stream_sink_city_fares", oracle=_PY_EVENTS_ORACLE_CTE)
+def python_stream_sink_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 STREAMING Python DataSource writer executed
+    (``DataSourceStreamWriter``): a real StreamingQuery pulls
+    micro-batches from the Python stream reader and lands them in the
+    manifest-committed JSONL sink — per-epoch deterministic file names
+    + per-epoch manifests make a replayed micro-batch overwrite itself
+    (the exactly-once contract, replay-tested in test_sources.py).
+    Drained to the source's 5,000-row cap, the committed files
+    reproduce the md5 event space exactly for the same DuckDB
+    oracle."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasource as pds,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    pds.register(spark)
+    pdk.register(spark)
+    workdir = _workdir("rtrh_pystreamsink_")
+    out = _os.path.join(workdir, "out")
+    stream = (
+        spark.readStream.format("ride_events_py")
+        .option("n", 5_000)
+        .option("rows_per_batch", 1_000)
+        .load()
+    )
+    q_ = (
+        stream.writeStream.format("jsonl_commit")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q_.processAllAvailable()
+    finally:
+        q_.stop()
+    return _city_fares_from_jsonl(spark, out)

@@ -90,3 +90,83 @@ def test_python_stream_reader_offsets_and_replay():
     # replay of the middle committed range is byte-identical
     replay = list(r.readBetweenOffsets({"offset": 10}, {"offset": 20}))
     assert replay == batches[1]
+
+
+def test_python_datasink_commit_protocol(spark, tmp_path):
+    """The manifest-committed JSONL sink's two-phase commit
+    (sources/python_datasink.py): task output is invisible until the
+    driver publishes a manifest — orphan temp files (a crashed
+    attempt) never surface; abort removes an attempt's files."""
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+        python_datasource as pds,
+    )
+
+    pds.register(spark)
+    pdk.register(spark)
+    out = str(tmp_path / "out")
+    src = spark.read.format("ride_events_py").option("n", 500).load()
+    src.write.format("jsonl_commit").option("path", out).mode("append").save()
+
+    # a crashed attempt's orphan: present in the dir, absent from reads
+    orphan = os.path.join(out, ".tmp-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": 999999, "city": "Nowhere", "fare_cents": 1}\n')
+    files = pdk.committed_files(out)
+    assert orphan not in files
+    rows = spark.read.schema(
+        "event_id bigint, city string, fare_cents bigint"
+    ).json(files)
+    assert rows.count() == 500
+    assert rows.filter(F.col("city") == "Nowhere").count() == 0
+
+    # abort removes an attempt's temp files (None slots tolerated)
+    tmp = os.path.join(out, ".tmp-abortme.jsonl")
+    with open(tmp, "w") as f:
+        f.write("{}\n")
+    pdk._abort([None, pdk.JsonlCommitMessage(files=[tmp], rows=1)])
+    assert not os.path.exists(tmp)
+
+    # overwrite mode clears previously committed parts AND manifests
+    src.limit(100).write.format("jsonl_commit").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert (
+        spark.read.schema("event_id bigint, city string, fare_cents bigint")
+        .json(pdk.committed_files(out))
+        .count()
+        == 100
+    )
+
+
+def test_python_datasink_epoch_replay_is_exactly_once(tmp_path):
+    """A replayed micro-batch (same epoch id after a crash between
+    sink commit and checkpoint commit) must overwrite itself, not
+    append: deterministic per-epoch names + an atomic per-epoch
+    manifest replace."""
+    import json as _json
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def attempt(payload: str) -> pdk.JsonlCommitMessage:
+        tmp = pdk._task_file(out)
+        with open(tmp, "w") as f:
+            f.write(payload)
+        return pdk.JsonlCommitMessage(files=[tmp], rows=1)
+
+    w = pdk.JsonlStreamWriter(out)
+    w.commit([attempt('{"v": "first-attempt"}\n')], batchId=7)
+    w.commit([attempt('{"v": "replay-attempt"}\n')], batchId=7)
+
+    files = pdk.committed_files(out)
+    assert len(files) == 1, files
+    with open(files[0]) as f:
+        assert _json.load(f) == {"v": "replay-attempt"}
+    # exactly one manifest for the epoch, naming exactly one file
+    manifests = [n for n in os.listdir(out) if n.startswith("_manifest-")]
+    assert manifests == ["_manifest-7.json"]
