@@ -6520,3 +6520,153 @@ def python_stream_sink_city_fares(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q_.stop()
     return _city_fares_from_jsonl(spark, out)
+
+
+@query(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_viewed,
+           (SELECT count(*) FROM s2) AS n_clicked,
+           (SELECT count(*) FROM s3) AS n_purchased,
+           ((SELECT count(*) FROM s3) * 10000
+             // (SELECT count(*) FROM s1)) / 10000.0 AS conversion
+    """,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase, each stage
+    STRICTLY after the previous one for the same user — the ordering
+    constraint is what separates a funnel from three independent
+    counts). Expressed as a chain of per-user min-timestamp
+    aggregations joined forward: every stage is one hash aggregate +
+    one equi-join on user_id, so all three stages shuffle on the SAME
+    key and AQE/Catalyst reuse the partitioning — at 100 TB this is
+    k sequential co-partitioned passes, never a per-user sort of the
+    whole event log. Conversion is integer fixed-point (1e-4) for
+    cross-engine hashing."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        f = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            prev_t = prev.columns[-1]
+            f = f.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return f.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("view", None, "t1")
+    s2 = stage("click", s1, "t2")
+    s3 = stage("purchase", s2, "t3")
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.expr(
+            "cast((n_purchased * 10000 DIV n_viewed) / 10000.0 as double)"
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', CAST(f.first_ts AS DATE)) AS DATE)
+             AS cohort_week,
+           CAST(datediff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE))
+                // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users are bucketed by the ISO week
+    of their FIRST event (the cohort), then counted per
+    (cohort_week, weeks-since-first-event) cell — the classic
+    retention triangle. One per-user min aggregation broadcast back
+    onto the event log (the firsts side is |users| rows — broadcast
+    at any realistic user cardinality), then a single groupBy over
+    derived columns: two shuffles total, no windows over the raw
+    log. Week offset is day-difference DIV 7 — engine-agnostic
+    integer arithmetic rather than engine week-truncation of
+    arbitrary timestamps."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.join(F.broadcast(firsts), "user_id")
+    return (
+        joined.select(
+            F.date_trunc("week", F.to_date("first_ts")).cast("date").alias(
+                "cohort_week"
+            ),
+            (
+                F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+                .cast("long")
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    )
+    SELECT src, dst, count(*) AS n_transitions
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path transition matrix (the Markov-chain /
+    clickstream path-analysis primitive): consecutive event pairs via
+    lead() over (user, event-time) order, counted per (src, dst).
+    One shuffle to co-locate each user's history, per-user sort
+    inside the partition, then an ordinary two-phase count — the
+    event-sequence shape that generalizes to next-event prediction
+    features and anomalous-path detection. The tie-break on event_id
+    makes the sequence (and so the hash) deterministic when two
+    events share a timestamp."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
