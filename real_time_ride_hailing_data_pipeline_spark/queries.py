@@ -6670,3 +6670,51 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "window_range_trailing_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_trailing_1h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS value_cents_1h
+    FROM events
+    WHERE user_id % 50 = 0
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(epoch(ts) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-one-hour event
+    count and value sum at EVERY event — the per-row moving aggregate
+    that tumbling/sliding groupBy windows cannot express (those
+    quantize to window boundaries; this frame is anchored at each
+    row's own timestamp). The frame bound operates on epoch seconds —
+    a RANGE frame needs a single ordering column with numeric
+    distance, the documented Spark constraint. One shuffle on
+    user_id, one sorted frame scan within each partition; the frame's
+    sliding lower bound advances monotonically, so the scan is O(n)
+    per user, not O(n * frame).  Ties on the ordering value are PEER
+    ROWS — both engines include all peers in RANGE frames, which is
+    what keeps the result deterministic (and hashable) even with
+    duplicate timestamps."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .alias("value_cents_1h"),
+    )
