@@ -165,13 +165,29 @@ def make_duration_listener():
     return _DurationListener()
 
 
+# Streaming registry entries whose names contain no 'stream' substring
+# — the drain shortcut below must not misclassify them as batch, or
+# their late-arriving progress events land in the NEXT query's window
+# and corrupt the machinery/operator split.
+_STREAMING_ODD_NAMES = {
+    "stateful_sessionizer_closed_sessions",
+    "statestore_open_windows",
+    "transform_with_state_running_totals",
+}
+
+
 def drain_listener(listener, baseline_events: int, name: str) -> None:
     """Listener delivery is asynchronous: after a streaming query's
     callable returns, poll briefly until the event count is stable so
     the per-query delta attributes every progress event to the right
-    query. Skipped entirely for batch queries (no new events and no
-    'stream' in the name) — zero overhead on the non-streaming 130."""
-    if listener.events == baseline_events and "stream" not in name:
+    query. Skipped entirely for batch queries (no new events, no
+    'stream' in the name, and not one of the known odd-named streaming
+    entries) — zero overhead on the non-streaming majority."""
+    if (
+        listener.events == baseline_events
+        and "stream" not in name
+        and name not in _STREAMING_ODD_NAMES
+    ):
         return
     deadline = time.monotonic() + 2.0
     last = -1

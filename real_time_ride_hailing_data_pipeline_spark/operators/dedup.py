@@ -843,8 +843,13 @@ def edit_distance_pairs(
             "doc_a",
             "doc_b",
             F.col("edit_distance").cast("long").alias("edit_distance"),
+            # _ml = 0 means BOTH texts normalized to empty (distance 0,
+            # identical): sim is 1.0 by definition — without the guard
+            # the DIV raises DIVIDE_BY_ZERO under Spark 4's ANSI mode
             F.expr(
-                "cast(((10000 * (_ml - edit_distance)) DIV _ml) / 10000.0 as double)"
+                "cast(CASE WHEN _ml = 0 THEN 1.0 ELSE "
+                "((10000 * (_ml - edit_distance)) DIV _ml) / 10000.0 END "
+                "as double)"
             ).alias("sim"),
         )
     )

@@ -6364,7 +6364,9 @@ def collation_caseinsensitive_group(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=r"""
     WITH base AS (
       SELECT doc_id,
-             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+             regexp_replace(trim(lower(
+               regexp_replace(text, '[^\x09-\x0D\x20-\x7E]', '?', 'g'))),
+               '\s+', ' ', 'g') AS norm_text
       FROM documents
     ), keyed AS (
       SELECT doc_id, norm_text,
@@ -6391,7 +6393,9 @@ def collation_caseinsensitive_group(spark: SparkSession, sf_dir: str) -> DataFra
       FROM pairs
     )
     SELECT doc_a, doc_b, edit_distance,
-           ((10000 * (ml - edit_distance)) // ml) / 10000.0 AS sim
+           CASE WHEN ml = 0 THEN 1.0
+                ELSE ((10000 * (ml - edit_distance)) // ml) / 10000.0
+           END AS sim
     FROM v WHERE edit_distance <= 40
     """,
 )
@@ -6406,8 +6410,19 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Exchange on the 4-char bucket prefix plus map-side verify.
     The tier catches single-character edits that token-set Jaccard
     scores as identical — the precision complement to the
-    shingle/MinHash recall tiers."""
-    docs = _t(spark, sf_dir, "documents")
+    shingle/MinHash recall tiers.
+
+    Oracle parity: both sides project the text to printable ASCII
+    first ('?' placeholder) because DuckDB's ``levenshtein`` counts
+    BYTES while Spark's counts CHARACTERS — on the projection the two
+    agree exactly, so the value hash is robust to non-ASCII fixtures.
+    The operator itself stays character-correct on raw text (the
+    projection is this query's input choice, not operator behavior)."""
+    # ASCII whitespace (\x09-\x0D) is excluded from the projection so
+    # the operator's whitespace normalization still sees it as such
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"[^\x09-\x0D\x20-\x7E]", "?")
+    )
     return dd.edit_distance_pairs(
         docs, "text", "doc_id", key_len=24, bucket_len=4, window=2, max_distance=40
     )
@@ -6683,7 +6698,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE user_id % 50 = 0
     WINDOW w AS (
       PARTITION BY user_id
-      ORDER BY CAST(epoch(ts) AS BIGINT)
+      -- floor(), NOT a bare CAST: DuckDB CAST(DOUBLE AS BIGINT) ROUNDS
+      -- fractional seconds while Spark's unix_timestamp floors — an
+      -- unfloored oracle shifts frame boundaries for every event whose
+      -- fraction is >= .5
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,

@@ -612,6 +612,23 @@ class PostgresUpsertSink:
             self._client = self.server.connect()
         return self._client
 
+    def _query(self, sql: str, copy_data=None):
+        """Run one query, invalidating the cached connection on ANY
+        failure: a send that dies mid-COPY-frame (server restart,
+        EPIPE) leaves the wire protocol desynced, so a retry that
+        reuses the same socket fails identically — with_retries only
+        helps if each attempt dials fresh after an error."""
+        try:
+            return self._connect().query(sql, copy_data=copy_data)
+        except Exception:
+            client, self._client = self._client, None
+            if client is not None:
+                try:
+                    client.close()
+                except Exception:  # noqa: BLE001 — already torn down
+                    pass
+            raise
+
     def _ddl(self, schema) -> tuple[str, str]:
         cols = ", ".join(
             f"{f.name} {self._PG_TYPES.get(f.dataType.typeName(), 'TEXT')}"
@@ -669,7 +686,7 @@ class PostgresUpsertSink:
         # one Query message = one implicit transaction (atomic commit);
         # copy_rows re-encodes lazily, so retries stream fresh chunks
         with_retries(
-            lambda: self._connect().query(
+            lambda: self._query(
                 ";\n".join(statements),
                 copy_data=copy_rows(rows, names) if rows else None,
             )
@@ -685,9 +702,7 @@ class PostgresUpsertSink:
         import pandas as pd
 
         names = [f.name for f in self._schema.fields]
-        _, rows = self._connect().query(
-            f"SELECT {', '.join(names)} FROM {self.table}"
-        )
+        _, rows = self._query(f"SELECT {', '.join(names)} FROM {self.table}")
         pdf = pd.DataFrame(rows, columns=names)
         for f in self._schema.fields:
             t = f.dataType.typeName()

@@ -572,3 +572,35 @@ def test_copy_text_roundtrip_property():
     finally:
         client.query("DROP TABLE IF EXISTS copy_prop")
         client.close()
+
+
+@needs_pg
+def test_sink_drops_cached_connection_on_query_failure():
+    """with_retries only helps if each attempt dials fresh: a failure
+    mid-COPY leaves the wire desynced, so _query must close and drop
+    the cached client before re-raising — the retry's _connect() then
+    opens a new socket instead of reusing the broken one."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        PostgresUpsertSink,
+    )
+
+    sink = PostgresUpsertSink(table="conn_drop_t", key_cols=["k"])
+
+    class _BrokenClient:
+        closed = False
+
+        def query(self, *_a, **_k):
+            raise ConnectionError("mid-frame send failure")
+
+        def close(self):
+            self.closed = True
+
+    broken = _BrokenClient()
+    sink._client = broken
+    with pytest.raises(ConnectionError):
+        sink._query("SELECT 1")
+    assert broken.closed
+    assert sink._client is None
+    # and the next _query dials a REAL fresh connection and succeeds
+    cols, rows = sink._query("SELECT 41 + 1 AS v")
+    assert rows == [(42,)]

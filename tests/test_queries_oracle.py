@@ -136,3 +136,101 @@ def test_collect_sorted_arrays_raw_form(spark, sf_dir):
         GROUP BY 1 ORDER BY 1
         """,
     )
+
+
+def test_edit_distance_pairs_survive_unicode_and_empty_docs(spark, tmp_path):
+    """Adversarial fixture for the two latent divergences in the
+    edit-distance tier: (a) DuckDB levenshtein counts BYTES, Spark
+    counts CHARACTERS — the registry pair projects to printable ASCII
+    on both sides so they agree on any corpus; (b) two documents that
+    normalize to empty text hit _ml = 0 — sim is defined as 1.0
+    instead of DIVIDE_BY_ZERO under ANSI mode."""
+    docs = [
+        (0, "héllo wörld the quick brown fox"),   # multi-byte chars
+        (1, "hello world the quick brown fox"),
+        (2, "  "),                                 # normalizes to ""...
+        (3, "    "),                               # ...as does this: ml = 0
+        (4, "café au lait • menu"),
+        (5, "cafe au lait ? menu"),
+        # ASCII control whitespace survives the projection as
+        # whitespace (norm " "), it must NOT become '?'
+        (6, "\t \n"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os as _os
+
+    _os.makedirs(sf)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": [i for i, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["xx"] * len(docs),
+                "source": ["unit"] * len(docs),
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ),
+        _os.path.join(sf, "documents.parquet"),
+    )
+    compare_query(
+        spark,
+        sf,
+        q.all_queries()["dedup_edit_distance_pairs"],
+        q.all_oracles()["dedup_edit_distance_pairs"],
+    )
+    # the empty-pair row exists and carries the defined sim
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["edit_distance"], r["sim"])
+        for r in q.all_queries()["dedup_edit_distance_pairs"](spark, sf).collect()
+    }
+    assert rows[(2, 3)] == (0, 1.0)
+
+
+def test_range_frame_oracle_floors_fractional_seconds(spark, tmp_path):
+    """Adversarial fixture for the epoch-rounding divergence: two
+    events ~3600 s apart whose sub-second fractions straddle .5 — a
+    rounding oracle (bare CAST(epoch() AS BIGINT)) puts the second
+    event's trailing frame on the wrong side of the hour; the floor()
+    oracle must agree with Spark's unix_timestamp."""
+    import datetime as _dt
+    import os as _os
+
+    base = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = [
+        # (event_id, ts, user_id): frame of e2 = [t2-3600, t2];
+        # floor(t1)=0 (frac .4), floor(t2)=3600 (frac .6) -> IN frame;
+        # rounding would give t1=0? no: round(.4)=0, round(3600.6)=3601
+        # -> t1 OUT of frame -> n_trailing differs
+        (1, base + _dt.timedelta(seconds=0, microseconds=400_000), 0),
+        (2, base + _dt.timedelta(seconds=3600, microseconds=600_000), 0),
+        # a second user with the mirrored straddle
+        (3, base + _dt.timedelta(seconds=0, microseconds=600_000), 50),
+        (4, base + _dt.timedelta(seconds=3601, microseconds=400_000), 50),
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array([e[0] for e in events], _pa.int64()),
+                "ts": _pa.array([e[1] for e in events], _pa.timestamp("us")),
+                "user_id": _pa.array([e[2] for e in events], _pa.int64()),
+                "event_type": ["click"] * len(events),
+                "value": _pa.array([1.0] * len(events), _pa.float64()),
+                "props": ["{}"] * len(events),
+            }
+        ),
+        _os.path.join(sf, "events.parquet"),
+    )
+    compare_query(
+        spark,
+        sf,
+        q.all_queries()["window_range_trailing_stats"],
+        q.all_oracles()["window_range_trailing_stats"],
+    )

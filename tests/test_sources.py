@@ -127,7 +127,19 @@ def test_python_datasink_commit_protocol(spark, tmp_path):
     pdk._abort([None, pdk.JsonlCommitMessage(files=[tmp], rows=1)])
     assert not os.path.exists(tmp)
 
-    # overwrite mode clears previously committed parts AND manifests
+    # append mode APPENDS: a second batch write allocates the next
+    # generation instead of colliding with (and replacing) the first
+    src.limit(200).write.format("jsonl_commit").option("path", out).mode(
+        "append"
+    ).save()
+    assert (
+        spark.read.schema("event_id bigint, city string, fare_cents bigint")
+        .json(pdk.committed_files(out))
+        .count()
+        == 700
+    )
+
+    # overwrite mode replaces previously committed generations
     src.limit(100).write.format("jsonl_commit").option("path", out).mode(
         "overwrite"
     ).save()
@@ -137,6 +149,8 @@ def test_python_datasink_commit_protocol(spark, tmp_path):
         .count()
         == 100
     )
+    # ... and its GC ran: exactly one manifest generation remains
+    assert len(pdk._manifests(out)) == 1
 
 
 def test_python_datasink_epoch_replay_is_exactly_once(tmp_path):
@@ -169,4 +183,72 @@ def test_python_datasink_epoch_replay_is_exactly_once(tmp_path):
         assert _json.load(f) == {"v": "replay-attempt"}
     # exactly one manifest for the epoch, naming exactly one file
     manifests = [n for n in os.listdir(out) if n.startswith("_manifest-")]
-    assert manifests == ["_manifest-7.json"]
+    assert manifests == ["_manifest-0000000007.json"]
+
+
+def test_python_datasink_overwrite_publish_precedes_gc(tmp_path):
+    """Overwrite atomicity: the replace manifest is the commit point —
+    a reader that races the post-publish GC (or a crash before it)
+    still resolves exactly the new snapshot, because committed_files
+    discards every generation before the newest replace manifest."""
+    import json as _json
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def gen_files(gen: int, replace: bool, payload: str) -> None:
+        part = f"part-{gen:010d}-00000.jsonl"
+        with open(os.path.join(out, part), "w") as f:
+            f.write(payload + "\n")
+        with open(os.path.join(out, pdk._manifest_name(gen)), "w") as f:
+            _json.dump({"files": [part], "rows": 1, "replace": replace}, f)
+
+    # crash-before-GC state: old generation's manifest+part still on
+    # disk next to a newer replace manifest
+    gen_files(0, replace=False, payload='{"v": "old"}')
+    gen_files(1, replace=True, payload='{"v": "new"}')
+    files = pdk.committed_files(out)
+    assert [os.path.basename(f) for f in files] == ["part-0000000001-00000.jsonl"]
+
+
+def test_python_datasink_encodes_non_json_native_types(spark, tmp_path):
+    """The sink must survive real Spark column types, not just the
+    demo bigint/string schema: timestamps, dates, decimals and binary
+    all encode (isoformat / string / base64) instead of raising
+    TypeError in every task."""
+    import datetime as _dt
+    from decimal import Decimal as _D
+
+    from real_time_ride_hailing_data_pipeline_spark.sources import (
+        python_datasink as pdk,
+    )
+
+    pdk.register(spark)
+    out = str(tmp_path / "typed")
+    df = spark.createDataFrame(
+        [
+            (
+                _dt.datetime(2024, 3, 1, 12, 30, 45),
+                _dt.date(2024, 3, 1),
+                _D("12.34"),
+                bytearray(b"\x00\xff"),
+            )
+        ],
+        "ts timestamp, d date, dec decimal(10,2), b binary",
+    )
+    df.write.format("jsonl_commit").option("path", out).mode("append").save()
+    files = pdk.committed_files(out)
+    assert len(files) == 1
+    import base64 as _b64
+    import json as _json
+
+    with open(files[0]) as f:
+        rec = _json.loads(f.read())
+    assert rec["ts"].startswith("2024-03-01T12:30:45")
+    assert rec["d"] == "2024-03-01"
+    assert rec["dec"] == "12.34"
+    assert _b64.b64decode(rec["b"]) == b"\x00\xff"
