@@ -162,10 +162,20 @@ _VERIFY_SPARES: list[str] = [
 ]
 
 # r7 completes the rotation program: once this window's rows land,
-# every oracle-backed registry entry has at least one driver-green
-# row across rounds 2-7 (rotation log in COVERAGE.md).  Future
-# windows are free to re-verify regressions-risk areas (streaming
-# sinks, new entries) instead of chasing coverage.
+# every oracle-backed entry that existed at the r7 freeze has at
+# least one driver-green row across rounds 2-7 (rotation log in
+# COVERAGE.md).  Thirteen oracle-backed entries were born during r7
+# itself and are the natural r8 rotation:
+# sql_scalar_udf_value_bands, sql_table_udf_band_summary,
+# sql_pipe_syntax_agg, dpp_partition_pruned_join,
+# runtime_bloom_filter_join, collation_caseinsensitive_group,
+# dedup_edit_distance_pairs, python_datasink_city_fares,
+# python_stream_sink_city_fares, funnel_conversion_steps,
+# cohort_weekly_retention, event_transition_matrix,
+# window_range_trailing_stats — plus re-verifying any entry the r7
+# window had to drop.  Beyond that, windows are free to re-verify
+# regression-risk areas (streaming sinks, new entries) instead of
+# chasing coverage.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
