@@ -6747,3 +6747,41 @@ def window_range_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("value_cents_1h"),
     )
+
+
+@query(
+    "agg_regression_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept
+    / regr_r2 + corr / covar_samp, per group): the in-engine
+    least-squares fit — one pass, map-side partial moments (sums of
+    x, y, xy, x², y²) merged associatively, so it scales exactly like
+    sum(). The feature-analysis staple (is price linear in quantity?)
+    without exporting data to a stats runtime. Outputs are rounded
+    (4-6 dp) on both sides: the moment sums are order-sensitive in
+    the last float bits, and the rounding absorbs ~1e-9 relative
+    noise just like the engine's money aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(
+            F.covar_samp("l_extendedprice", "l_quantity"), 2
+        ).alias("covar_pq"),
+    )
