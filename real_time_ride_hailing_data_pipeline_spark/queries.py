@@ -6785,3 +6785,65 @@ def agg_regression_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.covar_samp("l_extendedprice", "l_quantity"), 2
         ).alias("covar_pq"),
     )
+
+
+@query(
+    "expectations_event_quality",
+    oracle="""
+    SELECT r.rule,
+           CASE r.rule
+             WHEN 'value_non_negative'
+               THEN count(*) FILTER ((value >= 0) IS NOT TRUE)
+             WHEN 'known_event_type'
+               THEN count(*) FILTER ((event_type IN
+                      ('click','view','purchase','signup','error'))
+                      IS NOT TRUE)
+             WHEN 'ts_in_range'
+               THEN count(*) FILTER ((ts >= TIMESTAMP '2020-01-01'
+                                     AND ts < TIMESTAMP '2030-01-01')
+                                     IS NOT TRUE)
+             WHEN 'props_is_json'
+               THEN count(*) FILTER (json_valid(props) IS NOT TRUE)
+           END AS n_violations,
+           count(*) AS n_rows
+    FROM events
+    CROSS JOIN (VALUES ('value_non_negative'), ('known_event_type'),
+                       ('ts_in_range'), ('props_is_json')) r(rule)
+    GROUP BY r.rule
+    """,
+)
+def expectations_event_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the DLT-expectations /
+    write-audit-publish audit shape): every rule is a boolean column
+    expression evaluated in ONE scan pass — per-rule violation counts
+    come from conditional aggregation over the same flags a quarantine
+    split would branch on, so auditing adds zero extra scans at any
+    size. NULL predicate results count as violations on BOTH sides
+    (eqNullSafe here, IS NOT TRUE in the oracle) — a NULL value is a
+    failed expectation, not a pass. The oracle cross-joins a rule
+    table to produce the identical long-form (rule, n_violations,
+    n_rows) relation."""
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_non_negative": F.col("value") >= 0,
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "ts_in_range": (F.col("ts") >= F.lit("2020-01-01"))
+        & (F.col("ts") < F.lit("2030-01-01")),
+        "props_is_json": F.try_parse_json("props").isNotNull(),
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(~pred.eqNullSafe(True), 1).otherwise(0)).alias(name)
+            for name, pred in rules.items()
+        ],
+    )
+    long_form = agg.selectExpr(
+        "stack(4, "
+        + ", ".join(f"'{n}', {n}" for n in rules)
+        + ") as (rule, n_violations)",
+        "n_rows",
+    )
+    return long_form

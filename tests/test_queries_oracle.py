@@ -234,3 +234,57 @@ def test_range_frame_oracle_floors_fractional_seconds(spark, tmp_path):
         q.all_queries()["window_range_trailing_stats"],
         q.all_oracles()["window_range_trailing_stats"],
     )
+
+
+def test_expectations_flag_dirty_rows_including_nulls(spark, tmp_path):
+    """Adversarial fixture for the expectations audit: one violation
+    per rule plus NULL-valued rows — NULL predicate results must count
+    as violations on BOTH engines (Spark eqNullSafe vs DuckDB IS NOT
+    TRUE; a bare FILTER(NOT pred) would silently pass NULLs)."""
+    import datetime as _dt
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    good_ts = _dt.datetime(2024, 1, 1)
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (1, good_ts, 1, "click", 1.0, "{}"),              # clean
+        (2, good_ts, 1, "click", -5.0, "{}"),             # value rule
+        (3, good_ts, 1, "teleport", 1.0, "{}"),           # type rule
+        (4, _dt.datetime(1999, 1, 1), 1, "view", 1.0, "{}"),  # ts rule
+        (5, good_ts, 1, "view", 1.0, "not json"),         # props rule
+        (6, good_ts, 1, None, None, None),                # NULLs: 3 rules
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf)
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+                "user_id": _pa.array([r[2] for r in rows], _pa.int64()),
+                "event_type": _pa.array([r[3] for r in rows], _pa.string()),
+                "value": _pa.array([r[4] for r in rows], _pa.float64()),
+                "props": _pa.array([r[5] for r in rows], _pa.string()),
+            }
+        ),
+        _os.path.join(sf, "events.parquet"),
+    )
+    compare_query(
+        spark,
+        sf,
+        q.all_queries()["expectations_event_quality"],
+        q.all_oracles()["expectations_event_quality"],
+    )
+    counts = {
+        r["rule"]: r["n_violations"]
+        for r in q.all_queries()["expectations_event_quality"](spark, sf).collect()
+    }
+    assert counts == {
+        "value_non_negative": 2,   # -5.0 and the NULL value
+        "known_event_type": 2,     # 'teleport' and the NULL type
+        "ts_in_range": 1,
+        "props_is_json": 2,        # 'not json' and the NULL props
+    }
