@@ -164,7 +164,7 @@ _VERIFY_SPARES: list[str] = [
 # r7 completes the rotation program: once this window's rows land,
 # every oracle-backed entry that existed at the r7 freeze has at
 # least one driver-green row across rounds 2-7 (rotation log in
-# COVERAGE.md).  Thirteen oracle-backed entries were born during r7
+# COVERAGE.md).  Nineteen oracle-backed entries were born during r7
 # itself and are the natural r8 rotation:
 # sql_scalar_udf_value_bands, sql_table_udf_band_summary,
 # sql_pipe_syntax_agg, dpp_partition_pruned_join,
@@ -172,7 +172,10 @@ _VERIFY_SPARES: list[str] = [
 # dedup_edit_distance_pairs, python_datasink_city_fares,
 # python_stream_sink_city_fares, funnel_conversion_steps,
 # cohort_weekly_retention, event_transition_matrix,
-# window_range_trailing_stats — plus re-verifying any entry the r7
+# window_range_trailing_stats, agg_regression_price_quantity,
+# expectations_event_quality, window_percentile_analytics,
+# agg_time_decay_weighted, lateral_topk_orders_per_customer,
+# recursive_cte_year_spine — plus re-verifying any entry the r7
 # window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -6847,3 +6850,224 @@ def expectations_event_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return long_form
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (cont.): analytic-SQL breadth — the remaining ranked-window
+# family, fixed-reference time-decay weighting, LATERAL correlated
+# top-k, and the Spark 4 recursive CTE. Each pins a surface users of
+# an analytics engine reach for that no earlier registry entry covers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_percentile_analytics",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             percent_rank() OVER w AS pr,
+             cume_dist()   OVER w AS cd,
+             nth_value(value, 3) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS third_v
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           round(max(third_v), 2) AS third_smallest,
+           count(*) FILTER (WHERE pr >= 0.9) AS n_top_decile,
+           round(min(CASE WHEN cd >= 0.5 THEN value END), 2)
+               AS median_by_cd
+    FROM ranked GROUP BY event_type
+    """,
+)
+def window_percentile_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked-window family the registry didn't yet pin:
+    percent_rank / cume_dist / nth_value. The event_id tie-break makes
+    every rank position (and so pr/cd, which are exact integer ratios
+    computed identically by both engines) deterministic. nth_value
+    needs the explicit UNBOUNDED..UNBOUNDED ROWS frame — its default
+    frame stops at CURRENT ROW, which would yield NULL for the first
+    two rows of each partition. One shuffle on event_type, one sorted
+    scan; the outer per-type rollup (top-decile membership count, the
+    median read off cume_dist) reuses the same partitioning, so the
+    whole query is a single Exchange at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("third_v"), 2).alias("third_smallest"),
+        F.count(F.when(F.col("pr") >= 0.9, 1)).alias("n_top_decile"),
+        F.round(
+            F.min(F.when(F.col("cd") >= 0.5, F.col("value"))), 2
+        ).alias("median_by_cd"),
+    )
+
+
+@query(
+    "agg_time_decay_weighted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value * exp(-((1706745600
+                 - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0))), 4)
+               AS decayed_sum,
+           round(sum(value * exp(-((1706745600
+                 - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0)))
+               / sum(exp(-((1706745600
+                 - CAST(floor(epoch(ts)) AS BIGINT)) / 604800.0))), 4)
+               AS decayed_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_time_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-reference exponential time-decay weighting (the freshness
+    prior used when sampling training corpora and ranking feeds): each
+    event contributes exp(-age/τ) of itself, τ = 7 days, anchored at a
+    constant reference instant (2024-02-01 UTC, epoch 1706745600) just
+    past the fixture's range. Anchoring at a CONSTANT is what makes
+    this a plain one-pass aggregate — the weight is row-local, so the
+    decayed sum is associative and scales exactly like sum(); an EWMA
+    anchored at each row's own time is NOT expressible this way (the
+    weight would depend on the output row) and is the stateful-
+    recurrence shape covered by the streaming sessionizer instead.
+    Both sides floor ts to whole epoch seconds first (the established
+    cross-engine idiom — DuckDB CAST rounds where Spark floors), and
+    both subtract from the same integer constant, so the exp()
+    arguments are bit-identical; the 4-dp rounding absorbs summation-
+    order noise exactly as the engine's money aggregates do."""
+    ev = _t(spark, sf_dir, "events")
+    weight = F.exp(
+        -((F.lit(1706745600) - F.unix_timestamp("ts")) / F.lit(604800.0))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * weight), 4).alias("decayed_sum"),
+        F.round(
+            F.sum(F.col("value") * weight) / F.sum(weight), 4
+        ).alias("decayed_avg"),
+    )
+
+
+@query(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING') c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+)
+def lateral_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY .. LIMIT (the
+    per-row top-k join, SQL:2003 / Spark 4): for each BUILDING-segment
+    customer, its two largest orders. The surface matters because of
+    what Catalyst does with it — the correlated LIMIT is decorrelated
+    into a rank-over-partition and planned as WindowGroupLimit
+    (per-partition top-k pushed BELOW the window sort, so each shuffle
+    partition retains at most k rows per key before the full sort) +
+    BroadcastHashJoin against the filtered customer side. That is
+    exactly the hand-written top-k-per-group plan — no per-customer
+    re-execution, no nested loop, no CartesianProduct (plan-asserted)
+    — so the construct is safe to hand to users at 100 TB. Customers
+    with no orders drop out (inner lateral), identically on both
+    engines; the o_orderkey tie-break makes the k-th row
+    deterministic."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM (SELECT c_custkey FROM _lat_customer
+              WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        """
+    )
+
+
+@query(
+    "recursive_cte_year_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(min(year(o_orderdate)) AS INT) AS lo,
+             CAST(max(year(o_orderdate)) AS INT) AS hi
+      FROM orders
+    ),
+    spine(yr) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT yr + 1 FROM spine
+      WHERE yr < (SELECT hi FROM bounds)
+    ),
+    yearly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT s.yr,
+           coalesce(y.n_orders, 0) AS n_orders,
+           coalesce(y.revenue_cents, 0) AS revenue_cents
+    FROM spine s LEFT JOIN yearly y ON y.yr = s.yr
+    """,
+)
+def recursive_cte_year_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4) put to its standard
+    data-engineering use: a complete calendar spine between
+    data-driven bounds, so periods with ZERO activity still appear as
+    explicit zero rows (a bare GROUP BY year silently drops them —
+    the gap a trend report or YoY window calc then misreads; the
+    dedicated fixture test proves the gap year shows up as a zero
+    row). The recursion is anchored by one row (the min year) and
+    bounded by a scalar subquery on the max year, so its depth is
+    O(calendar span) — a handful of iterations regardless of data
+    size, each a trivial one-row step — while the heavy input is
+    reduced FIRST by an ordinary year-grouped aggregate and only then
+    left-joined to the tiny spine (broadcast). The same statement runs
+    verbatim on DuckDB; both engines terminate on the same bound."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(min(year(o_orderdate)) AS INT) AS lo,
+                 CAST(max(year(o_orderdate)) AS INT) AS hi
+          FROM _rec_orders
+        ),
+        spine(yr) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT yr + 1 FROM spine
+          WHERE yr < (SELECT hi FROM bounds)
+        ),
+        yearly AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+          FROM _rec_orders GROUP BY 1
+        )
+        SELECT s.yr,
+               coalesce(y.n_orders, 0) AS n_orders,
+               coalesce(y.revenue_cents, 0) AS revenue_cents
+        FROM spine s LEFT JOIN yearly y ON y.yr = s.yr
+        """
+    )

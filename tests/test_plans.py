@@ -402,3 +402,30 @@ def test_collation_group_is_plain_hash_aggregate(spark):
     assert "partial_count" in plan and "partial_sum" in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY..LIMIT subquery must decorrelate into the
+    hand-written top-k-per-group shape: WindowGroupLimit below the
+    window sort plus a hash join — never a per-row nested loop."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        q.all_queries()["lateral_topk_orders_per_customer"](spark, SF)
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_recursive_spine_joins_aggregated_side_not_raw_rows(spark):
+    """The spine left-joins the YEAR-GROUPED aggregate, not raw
+    orders — the recursion (O(calendar span) one-row steps) must not
+    drag the fact table through per-iteration work, and the final join
+    must stay nested-loop-free."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(
+        q.all_queries()["recursive_cte_year_spine"](spark, SF)
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan

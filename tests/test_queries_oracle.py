@@ -288,3 +288,48 @@ def test_expectations_flag_dirty_rows_including_nulls(spark, tmp_path):
         "ts_in_range": 1,
         "props_is_json": 2,        # 'not json' and the NULL props
     }
+
+
+def test_year_spine_fills_gap_years_with_zero_rows(spark, tmp_path):
+    """The point of the recursive-CTE spine: a year with NO orders
+    must still appear, as an explicit zero row, on BOTH engines — a
+    bare GROUP BY year would silently drop it."""
+    import datetime as _dt
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    rows = [  # years 2000 and 2003 only — 2001/2002 are the gap
+        (1, _dt.date(2000, 3, 1), 100.0),
+        (2, _dt.date(2000, 9, 1), 50.0),
+        (3, _dt.date(2003, 6, 1), 25.0),
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf)
+    _pq.write_table(
+        _pa.table(
+            {
+                "o_orderkey": _pa.array([r[0] for r in rows], _pa.int64()),
+                "o_orderdate": _pa.array([r[1] for r in rows], _pa.date32()),
+                "o_totalprice": _pa.array([r[2] for r in rows], _pa.float64()),
+            }
+        ),
+        _os.path.join(sf, "orders.parquet"),
+    )
+    compare_query(
+        spark,
+        sf,
+        q.all_queries()["recursive_cte_year_spine"],
+        q.all_oracles()["recursive_cte_year_spine"],
+    )
+    got = {
+        r["yr"]: (r["n_orders"], r["revenue_cents"])
+        for r in q.all_queries()["recursive_cte_year_spine"](spark, sf).collect()
+    }
+    assert got == {
+        2000: (2, 15000),
+        2001: (0, 0),
+        2002: (0, 0),
+        2003: (1, 2500),
+    }
