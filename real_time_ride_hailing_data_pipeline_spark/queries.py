@@ -164,7 +164,7 @@ _VERIFY_SPARES: list[str] = [
 # r7 completes the rotation program: once this window's rows land,
 # every oracle-backed entry that existed at the r7 freeze has at
 # least one driver-green row across rounds 2-7 (rotation log in
-# COVERAGE.md).  Nineteen oracle-backed entries were born during r7
+# COVERAGE.md).  Twenty-one oracle-backed entries were born during r7
 # itself and are the natural r8 rotation:
 # sql_scalar_udf_value_bands, sql_table_udf_band_summary,
 # sql_pipe_syntax_agg, dpp_partition_pruned_join,
@@ -175,7 +175,8 @@ _VERIFY_SPARES: list[str] = [
 # window_range_trailing_stats, agg_regression_price_quantity,
 # expectations_event_quality, window_percentile_analytics,
 # agg_time_decay_weighted, lateral_topk_orders_per_customer,
-# recursive_cte_year_spine — plus re-verifying any entry the r7
+# recursive_cte_year_spine, observe_scan_audit,
+# streaming_rate_source_buckets — plus re-verifying any entry the r7
 # window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7071,3 +7072,70 @@ def recursive_cte_year_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN yearly y ON y.yr = s.yr
         """
     )
+
+
+@query(
+    "observe_scan_audit",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    """,
+)
+def observe_scan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch Observation API (``df.observe``): audit metrics
+    collected ON the production scan itself — Spark accumulates them
+    inside the job that does the real work, so at 100 TB the audit
+    costs zero extra scans and zero extra shuffles (vs re-aggregating
+    the table, which doubles the read). This is the engine-native
+    channel for the row counts / violation counters a pipeline
+    publishes to monitoring; the expectations query covers the
+    same audit SEMANTICS as a relational result, while this entry
+    pins the observation CHANNEL — metrics ride the action, are read
+    from the Observation handle after it completes, and are surfaced
+    here as a one-row DataFrame so the oracle can hash them. A fresh
+    anonymous Observation per invocation keeps the query re-entrant
+    (an Observation instance is single-use by contract)."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation()
+    audited = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.sum(
+            F.when(F.col("event_type").isNull(), 1).otherwise(0)
+        ).alias("n_null_type"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    audited.count()  # the "real work" action the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_negative"], m["n_null_type"], m["value_cents"])],
+        schema="n_rows long, n_negative long, n_null_type long, value_cents long",
+    )
+
+
+@query(
+    "streaming_rate_source_buckets",
+    oracle="""
+    SELECT CAST(v % 10 AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(v) AS BIGINT) AS value_total
+    FROM range(500) t(v) GROUP BY 1
+    """,
+)
+def streaming_rate_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See streaming/job.py:streaming_rate_source_buckets — the
+    deterministic ``rate-micro-batch`` source run as a real
+    StreamingQuery under availableNow, checked against a range()
+    oracle."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_rate_source_buckets(spark, sf_dir)

@@ -1099,3 +1099,51 @@ def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read(spark)
+
+
+def streaming_rate_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``rate-micro-batch`` source executed under
+    Trigger.AvailableNow (S-family: the deterministic generated
+    stream Spark ships for load tests and pipeline scaffolding,
+    complementing the file, Python-DataSource, and JDBC sources
+    already replayed). With a pinned ``startTimestamp`` the source is
+    fully deterministic — availableNow latches the offset at exactly
+    one micro-batch, so every replay yields values 0..rowsPerBatch-1
+    with a constant event time — which is what earns an otherwise
+    synthetic source a full value-hash oracle (``range()`` on the
+    oracle side), unlike the random-payload generator. The stream is
+    shaped map-side (bucket = value % 10) and appended to a parquet
+    sink; the read-back aggregate is the checked surface. ``sf_dir``
+    is unused: the source generates its own rows.
+
+    Scale: rate-micro-batch is partition-parallel (numPartitions
+    splits each batch's range) and the sink append is map-only, so
+    the replay's cost is O(rows/partitions) per trigger with no
+    shuffle before the sink."""
+    workdir = _workdir("rtrh_rate_")
+    out = os.path.join(workdir, "out")
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 500)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60000)
+        .load()
+    )
+    shaped = src.select((F.col("value") % 10).alias("bucket"), "value")
+    query = (
+        shaped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("value_total"),
+        )
+    )
