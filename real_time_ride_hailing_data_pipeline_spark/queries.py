@@ -7139,3 +7139,73 @@ def streaming_rate_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_rate_source_buckets(spark, sf_dir)
+
+
+@query(
+    "approx_topk_event_types",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: Spark 4's ``approx_top_k`` — the
+    scale path for "most frequent keys" over a column whose distinct
+    cardinality is too large for an exact groupBy-then-sort. The
+    aggregate keeps a fixed-size frequency sketch per task, merges
+    the sketches map-side (partial aggregation), and only the k
+    (item, count) survivors reach the driver — at 100 TB that is one
+    scan, no shuffle of the raw key space, and O(k) output, where the
+    exact plan shuffles every distinct key before the global sort.
+    Here k (5) and maxItemsTracked (64) exceed the column's true
+    cardinality, so the sketch is deterministically in its exact
+    regime and the counts hash-match a plain GROUP BY oracle — same
+    exact-regime trick as sketch_hll_distinct_users. The struct-array
+    result is exploded to scalar rows so the driver's pandas canon
+    can factorize it (the collect_sorted_event_types lesson)."""
+    events = _t(spark, sf_dir, "events")
+    topk = events.select(
+        F.expr("approx_top_k(event_type, 5, 64)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return topk.select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "parameterized_sql_priority_bands",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice < 150000.0
+    GROUP BY 1
+    """,
+)
+def parameterized_sql_priority_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(..., args={...})``):
+    the injection-safe templating surface a production pipeline uses
+    for user-supplied thresholds — parameter markers (:start, :cap)
+    are bound as typed literals by the parser, never string-spliced,
+    so Catalyst still constant-folds them and pushes the resulting
+    predicates into the parquet scan exactly as if they were inline
+    literals (same PushedFilters; no plan-cache poisoning, no quoting
+    bugs). The oracle inlines the identical constants."""
+    import datetime as _dt
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM _param_orders
+        WHERE o_orderdate >= :start AND o_totalprice < :cap
+        GROUP BY 1
+        """,
+        args={"start": _dt.date(1995, 1, 1), "cap": 150000.0},
+    )

@@ -429,3 +429,24 @@ def test_recursive_spine_joins_aggregated_side_not_raw_rows(spark):
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_parameterized_sql_binds_as_pushable_literals(spark):
+    """Named-parameter binding must behave exactly like inline
+    literals: the bound :start / :cap predicates reach the parquet
+    scan as PushedFilters (no post-scan Filter-only plan, no
+    plan-breaking placeholder nodes)."""
+    df = q.all_queries()["parameterized_sql_priority_bands"](spark, SF)
+    assert_pushed_filters(df, "o_orderdate", "o_totalprice")
+    assert_no_python_udf(df)
+
+
+def test_approx_topk_is_single_pass_partial_agg(spark):
+    """approx_top_k must plan as a two-phase (partial -> final)
+    aggregate over ONE scan of events: sketches merge map-side, so
+    no raw-key shuffle and no second pass."""
+    df = q.all_queries()["approx_topk_event_types"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("filescan") <= 1 or plan.count("Scan parquet") <= 1
+    assert "approx_top_k" in plan or "ApproxTopK" in plan
+    assert_no_python_udf(df)
