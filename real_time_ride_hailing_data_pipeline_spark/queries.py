@@ -164,7 +164,7 @@ _VERIFY_SPARES: list[str] = [
 # r7 completes the rotation program: once this window's rows land,
 # every oracle-backed entry that existed at the r7 freeze has at
 # least one driver-green row across rounds 2-7 (rotation log in
-# COVERAGE.md).  Twenty-one oracle-backed entries were born during r7
+# COVERAGE.md).  Twenty-five oracle-backed entries were born during r7
 # itself and are the natural r8 rotation:
 # sql_scalar_udf_value_bands, sql_table_udf_band_summary,
 # sql_pipe_syntax_agg, dpp_partition_pruned_join,
@@ -176,7 +176,9 @@ _VERIFY_SPARES: list[str] = [
 # expectations_event_quality, window_percentile_analytics,
 # agg_time_decay_weighted, lateral_topk_orders_per_customer,
 # recursive_cte_year_spine, observe_scan_audit,
-# streaming_rate_source_buckets — plus re-verifying any entry the r7
+# streaming_rate_source_buckets, approx_topk_event_types,
+# parameterized_sql_priority_bands, agg_median_mode_per_type,
+# global_row_index — plus re-verifying any entry the r7
 # window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7208,4 +7210,122 @@ def parameterized_sql_priority_bands(spark: SparkSession, sf_dir: str) -> DataFr
         GROUP BY 1
         """,
         args={"start": _dt.date(1995, 1, 1), "cap": 150000.0},
+    )
+
+
+@query(
+    "agg_median_mode_per_type",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(round(value) AS BIGINT) AS vint, value
+      FROM events
+    ), freq AS (
+      SELECT event_type, vint, count(*) AS n FROM vals GROUP BY 1, 2
+    ), best AS (
+      SELECT event_type, vint,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY n DESC, vint ASC
+             ) AS rk
+      FROM freq
+    )
+    SELECT v.event_type,
+           count(*) AS n_events,
+           round(median(v.value), 6) AS median_value,
+           min(b.vint) AS mode_value_int
+    FROM vals v JOIN best b
+      ON b.event_type = v.event_type AND b.rk = 1
+    GROUP BY 1
+    """,
+)
+def agg_median_mode_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact ``median`` and deterministic ``mode`` aggregates
+    (Spark 3.4/4.x): median is the interpolated exact 50th percentile
+    — a sort-based aggregate whose partial state is bounded per group,
+    not a full global sort — and ``mode(x, deterministic=true)``
+    resolves count ties to the LOWEST value, which is what makes the
+    result oracle-hashable at all (an arbitrary-tie mode can
+    legitimately differ between engines). The mode input is the
+    value rounded to an integer so real ties exist and the tie-break
+    path is actually exercised; the oracle reconstructs the same
+    semantics with an explicit (count DESC, value ASC) ranking."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("vint", F.round("value").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("median(value)"), 6).alias("median_value"),
+            F.expr("mode(vint, true)").alias("mode_value_int"),
+        )
+    )
+
+
+@query(
+    "global_row_index",
+    oracle="""
+    WITH idx AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY event_id) AS global_idx
+      FROM events
+    )
+    SELECT event_id, CAST(global_idx AS BIGINT) AS global_idx
+    FROM idx WHERE (global_idx - 1) % 97 = 0
+    """,
+)
+def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbering WITHOUT the classic anti-pattern —
+    ``row_number() OVER (ORDER BY key)`` with no PARTITION BY plans
+    as a single-partition Exchange that funnels the whole table
+    through one task (at 100 TB: one executor sorts everything).
+    The scale path is a bucketed prefix-sum, all JVM-side:
+
+      1. one tiny agg computes max(key); broadcast it and derive an
+         ORDER-PRESERVING bucket id, floor(key * P / (max+1)) — rows
+         in bucket b all sort before bucket b+1;
+      2. per-bucket counts (a P-row aggregate) come back to the
+         driver — O(P) rows by construction, the same driver-sized
+         contract as the sink's touched-partition lists — and the
+         running offsets are a P-step prefix sum in plain Python;
+      3. the literal offsets broadcast back and a per-bucket local
+         row_number adds them — each bucket sorts independently in
+         parallel; no step anywhere funnels table-sized data.
+
+    global_idx = bucket offset + local rank reproduces the exact
+    global ordering; the oracle is the naive global row_number. The
+    result is thinned to every 97th index so the checked output stays
+    driver-sized while every row participates in the numbering."""
+    from pyspark.sql import Window
+
+    n_buckets = 16
+    events = _t(spark, sf_dir, "events").select("event_id")
+    mx = events.agg(F.max("event_id").alias("_mx"))
+    bucketed = events.crossJoin(F.broadcast(mx)).withColumn(
+        "_bucket",
+        F.floor(F.col("event_id") * n_buckets / (F.col("_mx") + F.lit(1))),
+    )
+    counts = sorted(
+        (r["_bucket"], r["_n"])
+        for r in bucketed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # O(P) rows by construction
+    )
+    running = 0
+    offset_rows = []
+    for bucket, n in counts:
+        offset_rows.append((bucket, running))
+        running += n
+    offsets = spark.createDataFrame(
+        offset_rows, schema="_bucket long, _offset long"
+    )
+    indexed = bucketed.join(F.broadcast(offsets), "_bucket").withColumn(
+        "global_idx",
+        (
+            F.row_number().over(
+                Window.partitionBy("_bucket").orderBy("event_id")
+            )
+            + F.col("_offset")
+        ).cast("long"),
+    )
+    return indexed.filter((F.col("global_idx") - 1) % 97 == 0).select(
+        "event_id", "global_idx"
     )

@@ -450,3 +450,20 @@ def test_approx_topk_is_single_pass_partial_agg(spark):
     assert plan.lower().count("filescan") <= 1 or plan.count("Scan parquet") <= 1
     assert "approx_top_k" in plan or "ApproxTopK" in plan
     assert_no_python_udf(df)
+
+
+def test_global_row_index_avoids_single_partition_table_sort(spark):
+    """Global row numbering must NOT plan the classic anti-pattern —
+    an empty-partition row_number() that funnels the whole table
+    through one task. The big-side Window must be partitioned by the
+    derived bucket; the only unpartitioned/constant-partitioned step
+    is the P-row offsets prefix sum."""
+    df = q.all_queries()["global_row_index"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    # Every row_number window spec over event_id must carry the bucket
+    # partition key (the offsets window is a sum over _bucket, not a
+    # row_number over event_id).
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bucket" in m.group(1), m.group(0)
+    assert_no_python_udf(df)
