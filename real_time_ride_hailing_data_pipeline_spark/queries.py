@@ -6828,7 +6828,15 @@ def expectations_event_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eqNullSafe here, IS NOT TRUE in the oracle) — a NULL value is a
     failed expectation, not a pass. The oracle cross-joins a rule
     table to produce the identical long-form (rule, n_violations,
-    n_rows) relation."""
+    n_rows) relation.
+
+    Parser-agreement contract for the JSON rule: Spark's
+    try_parse_json (variant, strict RFC 8259) and DuckDB's json_valid
+    (yyjson, lenient) agree on clean JSON, NULLs, and plain garbage,
+    but DISAGREE on duplicate object keys and bare NaN/Infinity
+    literals (Spark rejects, DuckDB accepts). Adversarial fixtures
+    for this query (test_expectations_flag_dirty_rows_including_
+    nulls) must keep props inside the agreed subset."""
     ev = _t(spark, sf_dir, "events")
     rules = {
         "value_non_negative": F.col("value") >= 0,
@@ -7147,7 +7155,7 @@ def streaming_rate_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     "approx_topk_event_types",
     oracle="""
     SELECT event_type, count(*) AS n_events
-    FROM events GROUP BY 1
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
     """,
 )
 def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7159,15 +7167,23 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     (item, count) survivors reach the driver — at 100 TB that is one
     scan, no shuffle of the raw key space, and O(k) output, where the
     exact plan shuffles every distinct key before the global sort.
-    Here k (5) and maxItemsTracked (64) exceed the column's true
-    cardinality, so the sketch is deterministically in its exact
-    regime and the counts hash-match a plain GROUP BY oracle — same
-    exact-regime trick as sketch_hll_distinct_users. The struct-array
-    result is exploded to scalar rows so the driver's pandas canon
-    can factorize it (the collect_sorted_event_types lesson)."""
-    events = _t(spark, sf_dir, "events")
+    Here k (8) and maxItemsTracked (64) both STRICTLY exceed the
+    column's true cardinality (5 event types), so the sketch is
+    deterministically in its exact regime, returns every group, and
+    the counts hash-match a plain GROUP BY oracle — same exact-regime
+    trick as sketch_hll_distinct_users (k must exceed, not merely
+    equal, the cardinality, or a 6th type in a future fixture would
+    silently truncate the Spark side only). approx_top_k TRACKS NULL
+    as an item (unlike most aggregates — pinned by the NULL-fixture
+    test), so both sides filter NULL event_type explicitly; the
+    IsNotNull predicate pushes into the scan. The struct-array result
+    is exploded to scalar rows so the driver's pandas canon can
+    factorize it (the collect_sorted_event_types lesson)."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     topk = events.select(
-        F.expr("approx_top_k(event_type, 5, 64)").alias("tk")
+        F.expr("approx_top_k(event_type, 8, 64)").alias("tk")
     ).select(F.explode("tk").alias("e"))
     return topk.select(
         F.col("e.item").alias("event_type"),
@@ -7220,7 +7236,11 @@ def parameterized_sql_priority_bands(spark: SparkSession, sf_dir: str) -> DataFr
       SELECT event_type, CAST(round(value) AS BIGINT) AS vint, value
       FROM events
     ), freq AS (
-      SELECT event_type, vint, count(*) AS n FROM vals GROUP BY 1, 2
+      -- mirror Spark's aggregate NULL handling: mode() skips NULL
+      -- inputs, so a NULL-majority group must NOT elect NULL as its
+      -- mode (and an all-NULL group has mode NULL via the LEFT JOIN)
+      SELECT event_type, vint, count(*) AS n FROM vals
+      WHERE vint IS NOT NULL GROUP BY 1, 2
     ), best AS (
       SELECT event_type, vint,
              row_number() OVER (
@@ -7232,8 +7252,10 @@ def parameterized_sql_priority_bands(spark: SparkSession, sf_dir: str) -> DataFr
            count(*) AS n_events,
            round(median(v.value), 6) AS median_value,
            min(b.vint) AS mode_value_int
-    FROM vals v JOIN best b
-      ON b.event_type = v.event_type AND b.rk = 1
+    FROM vals v LEFT JOIN best b
+      -- NULL-safe: a NULL event_type is a real group key in GROUP BY
+      -- semantics, but 'NULL = NULL' would never join it to its mode
+      ON b.event_type IS NOT DISTINCT FROM v.event_type AND b.rk = 1
     GROUP BY 1
     """,
 )
@@ -7279,9 +7301,12 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task (at 100 TB: one executor sorts everything).
     The scale path is a bucketed prefix-sum, all JVM-side:
 
-      1. one tiny agg computes max(key); broadcast it and derive an
-         ORDER-PRESERVING bucket id, floor(key * P / (max+1)) — rows
-         in bucket b all sort before bucket b+1;
+      1. one tiny agg computes max(key) — a single row collected to
+         the driver — and an ORDER-PRESERVING bucket id is derived
+         from it as a LITERAL, floor(key * P / (max+1)): rows in
+         bucket b all sort before bucket b+1 (a literal, not an
+         in-plan broadcast, so each downstream job scans the table
+         once instead of twice);
       2. per-bucket counts (a P-row aggregate) come back to the
          driver — O(P) rows by construction, the same driver-sized
          contract as the sink's touched-partition lists — and the
@@ -7298,10 +7323,12 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_buckets = 16
     events = _t(spark, sf_dir, "events").select("event_id")
-    mx = events.agg(F.max("event_id").alias("_mx"))
-    bucketed = events.crossJoin(F.broadcast(mx)).withColumn(
+    max_id = events.agg(F.max("event_id")).collect()[0][0]  # 1 row
+    if max_id is None:
+        max_id = 0  # empty table: every (zero) row lands in bucket 0
+    bucketed = events.withColumn(
         "_bucket",
-        F.floor(F.col("event_id") * n_buckets / (F.col("_mx") + F.lit(1))),
+        F.floor(F.col("event_id") * n_buckets / F.lit(int(max_id) + 1)),
     )
     counts = sorted(
         (r["_bucket"], r["_n"])

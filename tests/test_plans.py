@@ -428,7 +428,16 @@ def test_recursive_spine_joins_aggregated_side_not_raw_rows(spark):
         q.all_queries()["recursive_cte_year_spine"](spark, SF)
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
-    assert "HashAggregate" in plan, plan
+    # The join's BUILD side must be the year-grouped aggregate — i.e.
+    # the HashAggregate sits directly under the BroadcastExchange,
+    # BELOW the join. A regressed plan that joins raw orders to the
+    # spine and aggregates afterwards also contains a HashAggregate,
+    # so "HashAggregate in plan" alone would not catch it.
+    import re
+
+    assert re.search(
+        r"BroadcastExchange \(\d+\)\n\s*\+- HashAggregate", plan
+    ), plan
 
 
 def test_parameterized_sql_binds_as_pushable_literals(spark):
@@ -447,8 +456,12 @@ def test_approx_topk_is_single_pass_partial_agg(spark):
     no raw-key shuffle and no second pass."""
     df = q.all_queries()["approx_topk_event_types"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.lower().count("filescan") <= 1 or plan.count("Scan parquet") <= 1
-    assert "approx_top_k" in plan or "ApproxTopK" in plan
+    # exactly ONE scan of events feeds the aggregate
+    assert plan.count("FileScan parquet") == 1, plan
+    # two-phase sketch aggregate: a partial_approx_top_k below the
+    # (single, sketch-sized) Exchange, the final merge above it
+    assert "partial_approx_top_k" in plan, plan
+    assert plan.count("Exchange") == 1, plan
     assert_no_python_udf(df)
 
 
@@ -463,7 +476,17 @@ def test_global_row_index_avoids_single_partition_table_sort(spark):
     import re
     # Every row_number window spec over event_id must carry the bucket
     # partition key (the offsets window is a sum over _bucket, not a
-    # row_number over event_id).
-    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+    # row_number over event_id) — and the regex must actually MATCH,
+    # or a plan-string format change would green-light the exact
+    # anti-pattern this test exists to block.
+    matches = list(
+        re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan)
+    )
+    assert matches, plan
+    for m in matches:
         assert "_bucket" in m.group(1), m.group(0)
+    # the bucket id is a driver-side literal, not an in-plan broadcast:
+    # one scan, no nested-loop join anywhere
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
     assert_no_python_udf(df)

@@ -333,3 +333,54 @@ def test_year_spine_fills_gap_years_with_zero_rows(spark, tmp_path):
         2002: (0, 0),
         2003: (1, 2500),
     }
+
+
+def test_median_mode_null_semantics(spark, tmp_path):
+    """Adversarial fixture for agg_median_mode_per_type: Spark's
+    mode()/median() SKIP NULL inputs, so (a) a NULL-majority group
+    must elect the most frequent NON-NULL value, not NULL, and (b) an
+    all-NULL group has mode NULL (via the oracle's LEFT JOIN) — the
+    two shapes a naive oracle ranking (which lets the NULL group win
+    on count) gets wrong. Also exercises the deterministic lowest-
+    value tie-break, and gives approx_topk_event_types a NULL
+    event_type row (the sketch skips NULLs; the oracle filters them)."""
+    import datetime as _dt
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from tests.oracle_utils import compare_query as _cmp
+
+    ts = _dt.datetime(2024, 1, 1)
+    rows = [
+        # event_id, event_type, value
+        (1, "a", None), (2, "a", None), (3, "a", 5.0),   # NULL-majority
+        (4, "b", None), (5, "b", None),                   # all-NULL
+        (6, "c", 1.0), (7, "c", 1.0), (8, "c", 2.0), (9, "c", 2.0),  # tie
+        (10, None, 7.0),                                  # NULL type
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf)
+    _pq.write_table(
+        _pa.table(
+            {
+                "event_id": _pa.array([r[0] for r in rows], _pa.int64()),
+                "ts": _pa.array([ts] * len(rows), _pa.timestamp("us")),
+                "user_id": _pa.array([1] * len(rows), _pa.int64()),
+                "event_type": _pa.array([r[1] for r in rows], _pa.string()),
+                "value": _pa.array([r[2] for r in rows], _pa.float64()),
+                "props": _pa.array(["{}"] * len(rows), _pa.string()),
+            }
+        ),
+        _os.path.join(sf, "events.parquet"),
+    )
+    for name in ("agg_median_mode_per_type", "approx_topk_event_types"):
+        _cmp(spark, sf, q.all_queries()[name], q.all_oracles()[name])
+    got = {
+        r["event_type"]: (r["median_value"], r["mode_value_int"])
+        for r in q.all_queries()["agg_median_mode_per_type"](spark, sf).collect()
+    }
+    assert got["a"] == (5.0, 5)      # NULLs skipped, not elected
+    assert got["b"] == (None, None)  # all-NULL group
+    assert got["c"] == (1.5, 1)      # tie breaks to the lowest value
