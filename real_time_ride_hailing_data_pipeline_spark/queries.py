@@ -164,7 +164,7 @@ _VERIFY_SPARES: list[str] = [
 # r7 completes the rotation program: once this window's rows land,
 # every oracle-backed entry that existed at the r7 freeze has at
 # least one driver-green row across rounds 2-7 (rotation log in
-# COVERAGE.md).  Twenty-five oracle-backed entries were born during r7
+# COVERAGE.md).  Twenty-six oracle-backed entries were born during r7
 # itself and are the natural r8 rotation:
 # sql_scalar_udf_value_bands, sql_table_udf_band_summary,
 # sql_pipe_syntax_agg, dpp_partition_pruned_join,
@@ -178,7 +178,7 @@ _VERIFY_SPARES: list[str] = [
 # recursive_cte_year_spine, observe_scan_audit,
 # streaming_rate_source_buckets, approx_topk_event_types,
 # parameterized_sql_priority_bands, agg_median_mode_per_type,
-# global_row_index — plus re-verifying any entry the r7
+# global_row_index, cbo_stats_join_reorder — plus re-verifying any entry the r7
 # window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7356,3 +7356,84 @@ def global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed.filter((F.col("global_idx") - 1) % 97 == 0).select(
         "event_id", "global_idx"
     )
+
+
+@query(
+    "cbo_stats_join_reorder",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def cbo_stats_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization over ANALYZE'd catalog statistics — the
+    statistics pipeline a 100 TB warehouse plans with. File-backed
+    relations only expose sizeInBytes (from the files); ``ANALYZE
+    TABLE .. COMPUTE STATISTICS FOR COLUMNS`` persists rowCount plus
+    per-column min/max/null/NDV into the metastore, and with
+    ``spark.sql.cbo.enabled`` + ``joinReorder.enabled`` Catalyst
+    costs join orders from CARDINALITY estimates instead of raw byte
+    sizes (selective filters shrink estimated fan-out, which byte
+    sizing cannot see). The query runs the full path — managed-table
+    write, ANALYZE, CBO-enabled planning of a 3-table star join — and
+    the physical plan is FORCED inside the conf window (executedPlan
+    is memoized on the QueryExecution) so the CBO flags never leak
+    into other registry entries' planning; the stats themselves are
+    value-asserted against the data in tests/test_plans.py. Tables
+    are overwrite-reused via _scratch_dir, so repeated driver/bench
+    invocations don't accumulate copies."""
+    base = _scratch_dir("rtrh_cbo")
+    for name, cols in (
+        ("orders", "o_custkey, o_totalprice"),
+        ("customer", "c_custkey, c_nationkey"),
+        ("nation", "n_nationkey, n_name"),
+    ):
+        tbl = f"rtrh_cbo_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            _t(spark, sf_dir, name)
+            .write.option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out = (
+            spark.table("rtrh_cbo_orders")
+            .join(
+                spark.table("rtrh_cbo_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                spark.table("rtrh_cbo_nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()  # memoize under CBO confs
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -490,3 +490,45 @@ def test_global_row_index_avoids_single_partition_table_sort(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
     assert_no_python_udf(df)
+
+
+def test_cbo_stats_are_exact_and_reach_the_planner(spark):
+    """ANALYZE TABLE .. FOR COLUMNS must persist EXACT statistics
+    (row count, min/max, null count — value-asserted against the
+    data, not just present), and with spark.sql.cbo.enabled the
+    optimizer's relation stats must expose the analyzed rowCount —
+    the input the cost-based join reorder prices plans with."""
+    q.all_queries()["cbo_stats_join_reorder"](spark, SF)
+    # table-level: "N bytes, M rows"
+    tbl_stats = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED rtrh_cbo_nation").collect()
+    }
+    assert tbl_stats["Statistics"].endswith("25 rows"), tbl_stats["Statistics"]
+    # column-level: exact min/max/null_count for nation keys 0..24
+    col_stats = {
+        r[0]: r[1]
+        for r in spark.sql(
+            "DESCRIBE EXTENDED rtrh_cbo_nation n_nationkey"
+        ).collect()
+    }
+    assert col_stats["min"] == "0", col_stats
+    assert col_stats["max"] == "24", col_stats
+    assert col_stats["num_nulls"] == "0", col_stats
+    # the stats reach the optimizer under the CBO flag
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        rc = (
+            spark.table("rtrh_cbo_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .rowCount()
+        )
+        assert rc.isDefined() and int(str(rc.get())) == 25
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
