@@ -491,3 +491,57 @@ def test_containment_prefix_filter_is_exact_on_any_corpus(spark, data):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_row_index_matches_enumerate_sorted(spark, tmp_path_factory, ids):
+    """Property: for ANY unique key set — dense, sparse, adversarially
+    clustered (hypothesis shrinks toward clusters in one bucket) — the
+    bucketed prefix-sum global index equals enumerate(sorted(keys)),
+    i.e. exactly what the single-partition row_number anti-pattern
+    would compute, and the %97 thinning keeps precisely the expected
+    sample of it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_ride_hailing_data_pipeline_spark import queries as q
+
+    sf = str(tmp_path_factory.mktemp("gri"))
+    n = len(ids)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {
+        r["event_id"]: r["global_idx"]
+        for r in q.all_queries()["global_row_index"](spark, sf).collect()
+    }
+    expected = {
+        key: pos + 1
+        for pos, key in enumerate(sorted(ids))
+        if pos % 97 == 0
+    }
+    assert got == expected
