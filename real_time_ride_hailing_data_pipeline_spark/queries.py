@@ -178,8 +178,11 @@ _VERIFY_SPARES: list[str] = [
 # recursive_cte_year_spine, observe_scan_audit,
 # streaming_rate_source_buckets, approx_topk_event_types,
 # parameterized_sql_priority_bands, agg_median_mode_per_type,
-# global_row_index, cbo_stats_join_reorder — plus re-verifying any entry the r7
-# window had to drop.  Beyond that, windows are free to re-verify
+# global_row_index, cbo_stats_join_reorder — plus the five born in
+# the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
+# session_variable_threshold_bands, transpose_event_type_metrics,
+# streaming_schema_evolution_replay — plus re-verifying any entry the
+# r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
 
@@ -7437,3 +7440,304 @@ def cbo_stats_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+@query(
+    "map_event_type_shares",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 5 AS bucket, event_type, count(*) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.bucket,
+           string_agg(
+             CASE WHEN c.n * 10 >= t.total
+                  THEN c.event_type || ':' || c.n END,
+             '|' ORDER BY c.event_type)                      AS heavy_types,
+           t.total                                           AS total_events,
+           string_agg(CAST(c.n * 1000 // t.total AS VARCHAR),
+                      ',' ORDER BY c.event_type)             AS permille
+    FROM counts c JOIN tot t USING (bucket)
+    GROUP BY c.bucket, t.total
+    """,
+)
+def map_event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType analytics — the one Spark container type the registry
+    had not yet exercised end-to-end: build a per-bucket
+    ``map<string,bigint>`` of event-type counts with
+    ``map_from_entries``, then run the map higher-order functions over
+    it JVM-side (``map_filter`` keeps types holding >= 10% share,
+    ``transform_values`` rescales counts to integer per-mille,
+    ``map_entries``/``map_values`` + ``aggregate`` fold it back to
+    scalars).  The map is built AFTER the groupBy shuffle from an
+    ``array_sort``ed entry list, so entry order — and therefore every
+    serialized output — is deterministic, and its size is bounded by
+    the event-type cardinality (5), never by the row count: at 100 TB
+    the shuffle carries (bucket, type, partial count) rows and each
+    reducer materializes one tiny map.  All lambdas are Catalyst
+    expressions (whole-stage codegen), no Python boundary.  Map keys
+    cannot be NULL in Spark (``map_from_entries`` raises), so NULL
+    event types are filtered on both sides; outputs are flattened to
+    scalar strings because a raw MAP column cannot be hash-compared by
+    the driver's pandas canon (the collect_sorted_event_types lesson).
+    Integer per-mille uses DIV (exact int64) — no float division
+    anywhere."""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    counts = (
+        events.groupBy(
+            (F.col("user_id") % 5).alias("bucket"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = counts.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
+            )
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    return maps.select(
+        F.col("bucket"),
+        F.array_join(
+            F.transform(
+                F.map_entries(
+                    F.expr("map_filter(m, (k, v) -> v * 10 >= total)")
+                ),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            ),
+            "|",
+        ).alias("heavy_types"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.array_join(
+            F.map_values(
+                F.expr("transform_values(m, (k, v) -> v * 1000 DIV total)")
+            ).cast("array<string>"),
+            ",",
+        ).alias("permille"),
+    )
+
+
+@query(
+    "sql_scripting_p90_search",
+    oracle="""
+    WITH hist AS (
+      SELECT greatest(CAST(ceil(value / 5) AS BIGINT), 0) * 5 AS bucket_cap,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT bucket_cap,
+             sum(n) OVER (ORDER BY bucket_cap) AS covered,
+             sum(n) OVER ()                    AS total
+      FROM hist
+    )
+    SELECT CAST(min(bucket_cap) AS BIGINT) AS p90_cap,
+           CAST(min(total) AS BIGINT)      AS n_values
+    FROM cum WHERE covered * 100 >= total * 90
+    """,
+)
+def sql_scripting_p90_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN..END control flow): an iterative
+    threshold search — the smallest multiple of 5 covering >= 90% of
+    event values — written as DECLARE / SET / WHILE procedural SQL.
+    The script is scale-shaped the way a 100 TB procedure must be: ONE
+    pass over the table materializes a value histogram into a cached
+    temp view (5-unit buckets — driver-tiny regardless of table size),
+    and the loop's per-iteration queries touch only that cached
+    aggregate, so N loop iterations cost N tiny local scans, not N
+    table scans.  The loop variable advances deterministically from 0,
+    so the first cap satisfying coverage is exactly the oracle's
+    min-over-cumulative-histogram; coverage counts only non-NULL
+    values on both sides (a NULL-heavy table must not hang the loop).
+    The scripting conf is save/restored so the flag never leaks into
+    other registry entries."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_script_events")
+    conf = spark.conf
+    saved = conf.get("spark.sql.scripting.enabled", None)
+    try:
+        conf.set("spark.sql.scripting.enabled", "true")
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT;
+              DECLARE cap BIGINT DEFAULT 0;
+              DECLARE covered BIGINT DEFAULT 0;
+              CREATE OR REPLACE TEMPORARY VIEW _script_hist AS
+                SELECT greatest(CAST(ceil(value / 5) AS BIGINT), 0) * 5
+                         AS bucket_cap,
+                       count(*) AS n
+                FROM _script_events WHERE value IS NOT NULL GROUP BY 1;
+              CACHE TABLE _script_hist;
+              SET total = (SELECT sum(n) FROM _script_hist);
+              SET covered = (SELECT coalesce(sum(n), 0) FROM _script_hist
+                             WHERE bucket_cap <= cap);
+              WHILE covered * 100 < total * 90 DO
+                SET cap = cap + 5;
+                SET covered = (SELECT coalesce(sum(n), 0) FROM _script_hist
+                               WHERE bucket_cap <= cap);
+              END WHILE;
+              UNCACHE TABLE _script_hist;
+              SELECT cap AS p90_cap, total AS n_values;
+            END
+            """
+        )
+        # force execution inside the conf window (collect happens later
+        # in the driver; the script itself already ran eagerly, but the
+        # returned relation must not depend on the flag)
+        return out
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.scripting.enabled")
+        else:
+            conf.set("spark.sql.scripting.enabled", saved)
+
+
+@query(
+    "session_variable_threshold_bands",
+    oracle="""
+    WITH thr AS (
+      SELECT (2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value)) AS floor_cents
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_above,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_above
+    FROM events, thr
+    WHERE CAST(round(value * 100) AS BIGINT) > thr.floor_cents
+      AND event_type IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def session_variable_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables + the IDENTIFIER() clause (Spark 4): a
+    data-derived threshold is computed once into a typed session
+    variable (``DECLARE`` / ``SET VAR``), and the consuming query
+    references both the variable AND its source table through
+    ``IDENTIFIER(tbl)`` — the injection-safe templating pair a
+    production job uses where string-spliced SQL would be a quoting
+    bug factory.  The variable is bound as a LITERAL at parse time, so
+    Catalyst constant-folds the predicate and pushes it into the scan
+    exactly as an inline constant; planning still sees one table scan
+    per statement (the threshold subquery ran separately at SET time —
+    two scans total, same as the oracle's CTE).  The threshold is the
+    half-up average of exact cents via the pure-int64 DIV identity
+    (functions/exact.py rule 1), so both engines agree bit-for-bit —
+    no float avg anywhere near the comparison."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_sessvar_events")
+    spark.sql("DECLARE OR REPLACE VARIABLE _sessvar_tbl STRING")
+    spark.sql("SET VAR _sessvar_tbl = '_sessvar_events'")
+    spark.sql("DECLARE OR REPLACE VARIABLE _sessvar_floor_cents BIGINT")
+    spark.sql(
+        """
+        SET VAR _sessvar_floor_cents =
+          (SELECT (2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+                    DIV (2 * count(value))
+           FROM IDENTIFIER(_sessvar_tbl))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n_above,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_above
+        FROM IDENTIFIER(_sessvar_tbl)
+        WHERE CAST(round(value * 100) AS BIGINT) > _sessvar_floor_cents
+          AND event_type IS NOT NULL
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "transpose_event_type_metrics",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)                                AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT)                 AS n_users
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ), u AS (
+      SELECT event_type, 'n_events' AS key, n_events AS v FROM s
+      UNION ALL SELECT event_type, 'value_cents', value_cents FROM s
+      UNION ALL SELECT event_type, 'n_users', n_users FROM s
+    )
+    SELECT key,
+           min(CASE WHEN event_type = 'click'    THEN v END) AS click,
+           min(CASE WHEN event_type = 'error'    THEN v END) AS error,
+           min(CASE WHEN event_type = 'purchase' THEN v END) AS purchase,
+           min(CASE WHEN event_type = 'signup'   THEN v END) AS signup,
+           min(CASE WHEN event_type = 'view'     THEN v END) AS view
+    FROM u GROUP BY 1
+    """,
+)
+def transpose_event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): flip a per-key metrics table
+    so metrics become rows and keys become columns — the
+    report-matrix shape.  Transpose is BY DESIGN a driver-scale
+    operator (the key column's values become column names, so the
+    input must already be an aggregate whose row count is a sane
+    column count); the scale discipline is that the big scan/shuffle
+    happens in the groupBy BEFORE transpose ever sees data — here it
+    receives 5 rows x 3 metrics.  All metric columns are BIGINT so
+    the least-common-type coercion is the identity.  The oracle
+    reproduces the pivot with explicit CASE columns over the fixture's
+    five event types — the same fixed-cardinality contract
+    approx_topk_event_types and the pivot queries already rely on
+    (a 6th type would fail rows_match loudly, not silently)."""
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    return s.transpose("event_type")
+
+
+@query(
+    "streaming_schema_evolution_replay",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             date_trunc('minute', ts)                    AS window_start,
+             date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+             count(event_id)                             AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0            AS average_fare
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, window_start, last_updated, total_trips, average_fare,
+           CASE WHEN window_start >= TIMESTAMP '2024-01-16'
+                THEN CAST(round(average_fare * 100) AS BIGINT) END AS fare_cents
+    FROM agg
+    """,
+)
+def streaming_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the streaming upsert sink
+    (streaming/job.py:streaming_schema_evolution_replay): a two-batch
+    replay where the second batch's producer adds a ``fare_cents``
+    column mid-stream; the sink widens the table (Delta
+    ``mergeSchema`` semantics, opt-in) and the log-recorded
+    authoritative schema NULL-fills every pre-evolution row — no
+    footer sweep, no rewrite of untouched partitions. The oracle is
+    the full batch aggregation with fare_cents populated exactly for
+    post-cutoff windows (no 1-minute window straddles the midnight
+    cutoff, so pre-cutoff windows were never touched by the upgraded
+    era and must read NULL). fare_cents derives from average_fare by
+    a *100-and-round that both engines compute on identical doubles
+    (the true value is the integer cent count, 1 ulp away at most —
+    never near a rounding boundary)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_schema_evolution_replay(spark, sf_dir)

@@ -932,17 +932,16 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(out_path)
 
 
-def _two_batch_snapshot_replay(
-    spark: SparkSession, sf_dir: str, snapshots: bool = True
-) -> ParquetUpsertSink:
-    """Shared harness for the snapshot/compaction queries: split
-    `events` into two time-ordered files at a fixed cutoff, replay
-    them as two micro-batches (``maxFilesPerTrigger=1``) — with
-    per-epoch snapshot retention when ``snapshots`` — and return the
-    sink (epoch 0 = first half committed, epoch 1 = full state)."""
+def _split_events_two_files(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> str:
+    """Write `events` as two time-ordered source files split at the
+    fixed 2024-01-16 cutoff (mtimes staggered so the file stream
+    triggers them in order); returns the source dir. No 1-minute
+    window straddles the midnight cutoff, so each window's rows live
+    entirely in one file."""
     import time as _time
 
-    workdir = _workdir("rtrh_tt_")
     src_dir = os.path.join(workdir, "src")
     os.makedirs(src_dir)
     events = catalog.load_table(spark, sf_dir, "events")
@@ -958,6 +957,19 @@ def _two_batch_snapshot_replay(
     now = _time.time()
     for i, f in enumerate(sorted(os.listdir(src_dir))):
         os.utime(os.path.join(src_dir, f), (now + i, now + i))
+    return src_dir
+
+
+def _two_batch_snapshot_replay(
+    spark: SparkSession, sf_dir: str, snapshots: bool = True
+) -> ParquetUpsertSink:
+    """Shared harness for the snapshot/compaction queries: split
+    `events` into two time-ordered files at a fixed cutoff, replay
+    them as two micro-batches (``maxFilesPerTrigger=1``) — with
+    per-epoch snapshot retention when ``snapshots`` — and return the
+    sink (epoch 0 = first half committed, epoch 1 = full state)."""
+    workdir = _workdir("rtrh_tt_")
+    src_dir = _split_events_two_files(spark, sf_dir, workdir)
 
     return run_city_metrics_replay(
         spark,
@@ -1055,6 +1067,61 @@ def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
     return sink.read_changes(spark, e[0], e[1]).withColumn(
         "change_type", F.lit("update_postimage")
     )
+
+
+def streaming_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution executed through a real streaming
+    replay (the Delta ``mergeSchema`` scenario: a producer upgrade
+    adds a column mid-stream): the two-batch time-ordered replay, but
+    the first micro-batch writes the v1 columns and every later batch
+    carries an extra ``fare_cents`` column. The sink (constructed
+    with ``schema_evolution=True``) widens the table schema at the
+    epoch-1 commit; pre-existing rows read NULL in the new column via
+    the log-recorded authoritative schema — no parquet footer sweep,
+    no rewrite of untouched partitions (sinks.py:_evolved_columns).
+    The returned live table has windows before the cutoff with
+    fare_cents NULL and windows after it populated — which is exactly
+    the oracle's CASE. tests/test_streaming.py covers the sink-level
+    contract (as-of-schema time travel, CDF across the boundary,
+    compaction homogenization, strict-mode and type-change
+    rejection)."""
+    workdir = _workdir("rtrh_evo_")
+    src_dir = _split_events_two_files(spark, sf_dir, workdir)
+    events = events_parquet_stream(
+        spark,
+        src_dir,
+        max_files_per_trigger=1,
+        wrapper_dir=os.path.join(workdir, "ckpt__srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    sink = ParquetUpsertSink(
+        os.path.join(workdir, "city_metrics"),
+        key_cols=("event_type", "window_start"),
+        schema_evolution=True,
+    )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df
+        if epoch_id >= 1:  # the "upgraded producer" era
+            out = out.withColumn(
+                "fare_cents", F.round(F.col("average_fare") * 100).cast("long")
+            )
+        sink.write_batch(out, epoch_id)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.read(spark)
 
 
 def streaming_postgres_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

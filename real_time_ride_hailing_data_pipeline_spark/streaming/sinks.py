@@ -84,6 +84,7 @@ class ParquetUpsertSink:
         retry_delay_s: float = 0.1,
         snapshot_dir: str | None = None,
         max_snapshots: int | None = None,
+        schema_evolution: bool = False,
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
@@ -115,6 +116,23 @@ class ParquetUpsertSink:
         if max_snapshots is not None and max_snapshots < 1:
             raise ValueError("max_snapshots must be >= 1 (or None)")
         self.max_snapshots = max_snapshots
+        # Additive schema evolution (the Delta ``mergeSchema`` /
+        # ``autoMerge`` behavior, opt-in exactly like Delta's): a batch
+        # may ADD columns (existing rows read NULL) or OMIT non-key
+        # columns (the batch's rows land with NULL there — a batch row
+        # is the full new aggregate for its key). Type changes on a
+        # shared column always raise — silent coercion corrupts at
+        # scale. Off (default): any column-set difference raises
+        # loudly; note the pre-evolution code SILENTLY DROPPED columns
+        # a batch omitted from every touched partition, which is the
+        # worse failure. The table's authoritative schema lives in
+        # ``<path>/_schema.json`` (committed before each destructive
+        # overwrite) so reads never depend on which parquet footer the
+        # scan samples first — footer-merge (``mergeSchema=true``)
+        # reads every file footer, which is exactly what a 100 TB
+        # table cannot afford; a log-recorded schema is how
+        # Delta/Iceberg solve it and how this sink does too.
+        self.schema_evolution = schema_evolution
 
     # -- the foreachBatch hook -------------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -178,6 +196,7 @@ class ParquetUpsertSink:
             # no staging needed). touched=None: snapshot every table
             # partition (the full first baseline).
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
+            self._write_schema_file(batch.schema)
             self._snapshot(spark, epoch_id, touched=None)
             return
 
@@ -203,6 +222,22 @@ class ParquetUpsertSink:
 
     def _manifest_path(self, epoch_id: int) -> str:
         return os.path.join(self.snapshot_dir, "manifest", f"epoch={epoch_id}.json")
+
+    def _epoch_schema_path(self, epoch_id: int) -> str:
+        # separate dir from manifest/: snapshots() globs manifest/ by
+        # 'epoch=*.json' and must not parse a schema sidecar's name
+        return os.path.join(self.snapshot_dir, "schemas", f"epoch={epoch_id}.json")
+
+    def _epoch_schema(self, epoch_id: int):
+        """Schema of a committed version, or None for snapshots written
+        before sidecars existed (homogeneous by construction)."""
+        from pyspark.sql.types import StructType
+
+        try:
+            with open(self._epoch_schema_path(epoch_id)) as fh:
+                return StructType.fromJson(json.load(fh))
+        except FileNotFoundError:
+            return None
 
     def _load_manifest(self, epoch_id: int) -> dict[str, int]:
         with open(self._manifest_path(epoch_id)) as fh:
@@ -242,6 +277,18 @@ class ParquetUpsertSink:
             shutil.rmtree(dst, ignore_errors=True)  # replayed epoch
             shutil.copytree(src, dst)
         manifest = {**prev, **{d: epoch_id for d in touched}}
+        # schema sidecar first: the manifest publish is the commit
+        # point, and a committed version must know its schema AS OF
+        # that commit (time travel across an evolution boundary shows
+        # each version under its own columns, the Delta behavior)
+        schema = self._stored_schema()
+        if schema is None:
+            schema = spark.read.parquet(self.path).schema
+        os.makedirs(os.path.dirname(self._epoch_schema_path(epoch_id)), exist_ok=True)
+        tmp = self._epoch_schema_path(epoch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, self._epoch_schema_path(epoch_id))
         os.makedirs(os.path.dirname(self._manifest_path(epoch_id)), exist_ok=True)
         tmp = self._manifest_path(epoch_id) + ".tmp"
         with open(tmp, "w") as fh:
@@ -260,6 +307,10 @@ class ParquetUpsertSink:
         for epoch in self.snapshots():
             if epoch not in retained:
                 os.remove(self._manifest_path(epoch))
+                try:
+                    os.remove(self._epoch_schema_path(epoch))
+                except FileNotFoundError:
+                    pass  # pre-sidecar snapshot
         referenced = {
             (e, d)
             for epoch in retained
@@ -319,7 +370,26 @@ class ParquetUpsertSink:
             os.path.join(self.snapshot_dir, "files", f"epoch={e}", d)
             for d, e in sorted(manifest.items())
         ]
-        return spark.read.parquet(*paths)
+        return self._read_snapshot_paths(spark, paths, eligible[-1])
+
+    def _read_snapshot_paths(
+        self, spark: SparkSession, paths: list[str], schema_epoch: int
+    ) -> DataFrame:
+        """Read snapshot partition copies under the schema AS OF
+        ``schema_epoch``: partition copies referenced across an
+        evolution boundary may physically predate a column the chosen
+        version already had — the sidecar schema NULL-fills them,
+        exactly what a live read at that commit returned. part_date is
+        a directory-encoded partition column, physically absent from
+        the copied files (and from what read_at has always returned),
+        so it is dropped from the applied schema."""
+        from pyspark.sql.types import StructType
+
+        schema = self._epoch_schema(schema_epoch)
+        if schema is None:  # pre-sidecar snapshot: homogeneous files
+            return spark.read.parquet(*paths)
+        schema = StructType([f for f in schema.fields if f.name != "part_date"])
+        return spark.read.schema(schema).parquet(*paths)
 
     def read_history(self, spark: SparkSession) -> DataFrame:
         """Every retained snapshot as one DataFrame with an ``epoch``
@@ -333,7 +403,12 @@ class ParquetUpsertSink:
             self.read_at(spark, e).withColumn("epoch", F.lit(e))
             for e in self.snapshots()
         ]
-        return reduce(DataFrame.unionByName, dfs)
+        # each version reads under its own as-of schema; across an
+        # evolution boundary the earlier versions NULL-fill the
+        # later-added columns in the stacked view
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
 
     def read_changes(
         self, spark: SparkSession, from_epoch: int, to_epoch: int
@@ -368,8 +443,14 @@ class ParquetUpsertSink:
         if not changed:  # identical versions (e.g. an empty commit)
             return self.read_at(spark, to_epoch).limit(0)
         files = os.path.join(self.snapshot_dir, "files")
-        new = spark.read.parquet(
-            *[os.path.join(files, f"epoch={m_to[d]}", d) for d in changed]
+        # both sides read under the TO version's schema so exceptAll
+        # compares aligned relations across an evolution boundary; a
+        # pre-evolution row then differs from its post-image exactly
+        # when the evolved column (NULL before) or any value changed
+        new = self._read_snapshot_paths(
+            spark,
+            [os.path.join(files, f"epoch={m_to[d]}", d) for d in changed],
+            to_epoch,
         )
         old_paths = [
             os.path.join(files, f"epoch={m_from[d]}", d)
@@ -378,7 +459,7 @@ class ParquetUpsertSink:
         ]
         if not old_paths:
             return new
-        return new.exceptAll(spark.read.parquet(*old_paths))
+        return new.exceptAll(self._read_snapshot_paths(spark, old_paths, to_epoch))
 
     def _stage_merge(
         self, spark: SparkSession, batch: DataFrame, epoch_id: int
@@ -386,14 +467,14 @@ class ParquetUpsertSink:
         """Compute keep ∪ batch for the touched partitions and persist
         it (with an epoch marker) WITHOUT touching the target. Returns
         the touched partition dir names (the snapshot delta)."""
-        out_cols = batch.columns
         # Stage the batch (the reference's S4 staging write, parquet
         # instead of JDBC): the merge must not read and overwrite the
         # same files, and retries re-read a stable input.
         batch.write.mode("overwrite").parquet(self.staging_path)
         staged = spark.read.parquet(self.staging_path)
 
-        existing = spark.read.parquet(self.path)
+        existing = self._read_table(spark)
+        out_cols = self._evolved_columns(existing, staged)
         # only partitions the batch touches participate in the merge
         touched = [r[0] for r in staged.select("part_date").distinct().collect()]
         existing = existing.filter(F.col("part_date").isin(touched))
@@ -403,7 +484,11 @@ class ParquetUpsertSink:
         keep = existing.join(
             F.broadcast(staged.select(*self.key_cols)), self.key_cols, "left_anti"
         )
-        merged = keep.select(*out_cols).unionByName(staged.select(*out_cols))
+        # allowMissingColumns covers both evolution directions (batch
+        # adds a column -> kept rows NULL-fill it; batch omits one ->
+        # batch rows NULL-fill); without evolution the column sets are
+        # already proven equal so it never fires
+        merged = keep.unionByName(staged, allowMissingColumns=True).select(*out_cols)
         merged.write.mode("overwrite").partitionBy("part_date").parquet(
             self.merged_path
         )
@@ -416,10 +501,18 @@ class ParquetUpsertSink:
 
     def _commit(self, spark: SparkSession) -> None:
         """Overwrite the touched partitions from the durable merged
-        copy, then drop the staging. Re-runnable as-is after a crash."""
+        copy, then drop the staging. Re-runnable as-is after a crash.
+
+        The authoritative schema publishes BEFORE the first target file
+        is replaced: a crash in between leaves a schema file ahead of
+        some partitions' physical files, which reads handle exactly
+        (missing columns NULL-fill); the reverse order could leave an
+        evolved table whose stale schema file silently drops the new
+        column from every read."""
+        merged = spark.read.parquet(self.merged_path)
+        self._write_schema_file(merged.schema)
         (
-            spark.read.parquet(self.merged_path)
-            .write.mode("overwrite")
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_date")
             .parquet(self.path)
@@ -445,6 +538,74 @@ class ParquetUpsertSink:
             for name in os.listdir(self.path)
         )
 
+    # -- authoritative table schema (see schema_evolution in __init__) ----
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _stored_schema(self):
+        """The log-recorded table schema, or None for tables written
+        before evolution support (those are homogeneous by
+        construction, so the footer the scan samples is correct)."""
+        from pyspark.sql.types import StructType
+
+        try:
+            with open(self._schema_file()) as fh:
+                return StructType.fromJson(json.load(fh))
+        except FileNotFoundError:
+            return None
+
+    def _write_schema_file(self, schema) -> None:
+        tmp = self._schema_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, self._schema_file())  # atomic publish
+
+    def _evolved_columns(self, existing: DataFrame, staged: DataFrame) -> list[str]:
+        """Validate the batch schema against the table and return the
+        merged output column order (table order, new columns appended).
+        Key and partition columns are required unconditionally; a type
+        change on a shared column always raises; any other column-set
+        difference raises unless ``schema_evolution`` is on."""
+        required = set(self.key_cols) | {"part_date"}
+        missing_required = required - set(staged.columns)
+        if missing_required:
+            raise ValueError(
+                f"batch is missing key/partition column(s) {sorted(missing_required)}"
+            )
+        existing_types = {f.name: f.dataType for f in existing.schema.fields}
+        conflicts = [
+            (f.name, str(existing_types[f.name]), str(f.dataType))
+            for f in staged.schema.fields
+            if f.name in existing_types and f.dataType != existing_types[f.name]
+        ]
+        if conflicts:
+            raise ValueError(
+                f"column type change(s) are never merged implicitly: {conflicts}"
+            )
+        if set(staged.columns) == set(existing.columns):
+            return staged.columns
+        if not self.schema_evolution:
+            added = sorted(set(staged.columns) - set(existing.columns))
+            dropped = sorted(set(existing.columns) - set(staged.columns))
+            raise ValueError(
+                f"batch schema differs from table (added={added}, "
+                f"omitted={dropped}); construct the sink with "
+                f"schema_evolution=True to merge additively"
+            )
+        return list(existing.columns) + [
+            c for c in staged.columns if c not in set(existing.columns)
+        ]
+
+    def _read_table(self, spark: SparkSession) -> DataFrame:
+        """Read the live table under the authoritative schema: after an
+        evolution commit only the touched partitions physically carry
+        the new column, and a footer-sampled read could silently drop
+        it; the explicit schema makes every file NULL-fill what it
+        lacks (one tiny JSON read — never a footer sweep)."""
+        schema = self._stored_schema()
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(self.path)
+
     def _compact_staging(self) -> str:
         return self.path.rstrip("/") + "__compact"
 
@@ -453,7 +614,7 @@ class ParquetUpsertSink:
         Finishes any pending compaction swap first — a crash mid-swap
         must never serve (or let a writer extend) a torn table."""
         self._finish_compact(self._compact_staging())
-        return spark.read.parquet(self.path).drop("part_date")
+        return self._read_table(spark).drop("part_date")
 
     def compact(self, spark: SparkSession, files_per_partition: int = 1) -> None:
         """Small-file compaction: rewrite the table so each date
@@ -483,7 +644,11 @@ class ParquetUpsertSink:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
         self._finish_compact(staging)
-        current = spark.read.parquet(self.path)
+        # schema-aware read: after an evolution commit the untouched
+        # partitions physically lack the new column; compacting through
+        # the authoritative schema NULL-fills and rewrites them, so
+        # compaction doubles as physical schema homogenization
+        current = self._read_table(spark)
         data_cols = list(current.columns)
         (
             current.withColumn(

@@ -728,3 +728,123 @@ def test_snapshot_write_amplification_is_per_touched_partition(spark, tmp_path):
         for r in sink.read_at(spark, 1).collect()
     }
     assert got == {(d, d) for d in range(1, 11) if d != 5} | {(5, 99)}
+
+
+# -- additive schema evolution (sinks.py: schema_evolution) -----------------
+
+
+def _evo_sink(tmp_path, **kw):
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    return ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / "snap"),
+        **kw,
+    )
+
+
+def _evo_batches(spark):
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    v1 = spark.createDataFrame(
+        [("a", d1, 10), ("b", d2, 20)],
+        "k string, window_start timestamp, total bigint",
+    )
+    v2 = spark.createDataFrame(
+        [("b", d2, 25, 777), ("c", d2, 30, 888)],
+        "k string, window_start timestamp, total bigint, fare_cents bigint",
+    )
+    return d1, d2, v1, v2
+
+
+def test_schema_evolution_add_column_merge_and_compact(spark, tmp_path):
+    """A later batch ADDS a column: existing rows NULL-fill through the
+    log-recorded schema (never a footer sweep); a still-later batch
+    OMITTING the column NULL-fills its own rows without dropping the
+    column from the table (the silent-column-loss defect the strict
+    path now rejects loudly); compaction physically homogenizes."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2, v1, v2 = _evo_batches(spark)
+    sink.write_batch(v1, 0)
+    sink.write_batch(v2, 1)
+    live = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
+    assert live == {"a": (10, None), "b": (25, 777), "c": (30, 888)}
+
+    # projection drift BACK (batch without the evolved column)
+    v1b = spark.createDataFrame(
+        [("a", d1, 11)], "k string, window_start timestamp, total bigint"
+    )
+    sink.write_batch(v1b, 2)
+    live = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
+    assert live == {"a": (11, None), "b": (25, 777), "c": (30, 888)}
+
+    sink.compact(spark, files_per_partition=1)
+    # after compaction every physical file carries the union schema:
+    # a plain footer-sampled read (no stored schema) must now agree
+    plain = {
+        r["k"]: (r["total"], r["fare_cents"])
+        for r in spark.read.parquet(sink.path).drop("part_date").collect()
+    }
+    assert plain == live
+
+
+def test_schema_evolution_time_travel_cdf_history(spark, tmp_path):
+    """Time travel shows each version under its as-of schema (epoch 0
+    has no fare_cents column at all); the change feed across the
+    evolution boundary aligns both sides to the TO-version schema and
+    reports exactly the second batch's post-images; the history view
+    stacks versions with NULL-fill."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    _, _, v1, v2 = _evo_batches(spark)
+    sink.write_batch(v1, 0)
+    sink.write_batch(v2, 1)
+
+    at0 = sink.read_at(spark, 0)
+    assert "fare_cents" not in at0.columns
+    assert {r["k"]: r["total"] for r in at0.collect()} == {"a": 10, "b": 20}
+
+    at1 = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read_at(spark, 1).collect()}
+    assert at1 == {"a": (10, None), "b": (25, 777), "c": (30, 888)}
+
+    cdf = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read_changes(spark, 0, 1).collect()}
+    assert cdf == {"b": (25, 777), "c": (30, 888)}
+
+    hist = {
+        (r["epoch"], r["k"]): r["fare_cents"]
+        for r in sink.read_history(spark).collect()
+    }
+    assert set(hist) == {(0, "a"), (0, "b"), (1, "a"), (1, "b"), (1, "c")}
+    assert hist[(1, "b")] == 777 and hist[(0, "b")] is None
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    """Without the opt-in, ANY column-set drift raises loudly (the
+    pre-evolution code silently dropped omitted columns from touched
+    partitions); a type change on a shared column raises even WITH
+    the opt-in; a batch missing a key column always raises."""
+    d1, d2, v1, v2 = _evo_batches(spark)
+
+    strict = _evo_sink(tmp_path / "strict", schema_evolution=False)
+    strict.write_batch(v1, 0)
+    with pytest.raises(Exception, match="schema_evolution=True"):
+        strict.write_batch(v2, 1)
+    v1_narrow = spark.createDataFrame(
+        [("a", d1)], "k string, window_start timestamp"
+    )
+    with pytest.raises(Exception, match="omitted"):
+        strict.write_batch(v1_narrow, 1)
+
+    evo = _evo_sink(tmp_path / "evo", schema_evolution=True)
+    evo.write_batch(v1, 0)
+    v_typed = spark.createDataFrame(
+        [("a", d1, 1.5)], "k string, window_start timestamp, total double"
+    )
+    with pytest.raises(Exception, match="type change"):
+        evo.write_batch(v_typed, 1)
+    v_nokey = spark.createDataFrame(
+        [(d2, 1)], "window_start timestamp, total bigint"
+    )
+    with pytest.raises(Exception, match="key/partition"):
+        evo.write_batch(v_nokey, 1)
