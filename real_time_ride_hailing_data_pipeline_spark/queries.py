@@ -181,7 +181,8 @@ _VERIFY_SPARES: list[str] = [
 # global_row_index, cbo_stats_join_reorder — plus the five born in
 # the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
-# streaming_schema_evolution_replay — plus re-verifying any entry the
+# streaming_schema_evolution_replay, streaming_foreach_row_sink —
+# plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7741,3 +7742,31 @@ def streaming_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataF
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_schema_evolution_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_foreach_row_sink",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``writeStream.foreach(ForeachWriter)`` executed as a
+    real StreamingQuery (streaming/job.py:streaming_foreach_row_sink)
+    — the second S6 sink API next to foreachBatch: open() per
+    (partition, epoch), process() per row, close() committing each
+    task's output by atomic rename, so at-least-once callbacks
+    collapse to exactly-once files. Latest-epoch-wins compaction of
+    the emitted rows must hash-equal the batch tumbling aggregation —
+    proving both delivery (every window emitted) and the writer's
+    idempotence (no duplicate task attempt survives)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_foreach_row_sink(spark, sf_dir)

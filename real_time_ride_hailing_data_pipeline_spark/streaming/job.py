@@ -1069,6 +1069,110 @@ def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level ``writeStream.foreach(writer)`` sink executed
+    end-to-end (S6's second API shape; foreachBatch is the first).
+    The update-mode city-metrics stream drives a ForeachWriter whose
+    task-atomic (epoch, partition)-keyed files make the at-least-once
+    callback contract effectively exactly-once; update-mode
+    re-emissions of a still-open window land in later epochs, so the
+    read-back applies latest-epoch-wins per key (the same compaction
+    streaming_fanout_replay uses for its change log) and must equal
+    the batch aggregation — that equality is the oracle. Scale: a
+    ForeachWriter is the right sink when the target is a per-row API
+    (queue producer, key-value store) — per-partition connections via
+    ``open``, never per row; for bulk storage foreachBatch's
+    DataFrame write stays strictly better, which is why the engine's
+    real sinks all use it."""
+    from pyspark.sql import Window
+
+    workdir = _workdir("rtrh_foreach_")
+    out_dir = os.path.join(workdir, "rows")
+
+    class RowFileForeachWriter:
+        """ForeachWriter protocol (open/process/close): Spark pickles
+        this object to every executor task, calls ``open`` once per
+        (partition, epoch), ``process`` per row, ``close`` at task end.
+        Exactly-once is the WRITER's job here (unlike foreachBatch,
+        which gets a whole DataFrame to write transactionally): each
+        task writes a private tmp file and atomically renames it to a
+        name keyed by (epoch, partition) in ``close`` — a retried or
+        replayed task overwrites the same file with identical content,
+        so duplicate attempts and epoch replays collapse to one copy.
+        Doubles round-trip exactly through Python float repr. Nested
+        (not module-level) so cloudpickle ships it BY VALUE — workers
+        under a bare driver session cannot import the engine package
+        (same constraint as streaming/stateful.py)."""
+
+        def __init__(self, target: str) -> None:
+            self.target = target
+
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            import os as _os
+
+            _os.makedirs(self.target, exist_ok=True)
+            base = _os.path.join(
+                self.target, f"e{epoch_id}_p{partition_id}.jsonl"
+            )
+            self._tmp, self._final, self._epoch = base + ".tmp", base, epoch_id
+            self._fh = open(self._tmp, "w")
+            return True
+
+        def process(self, row) -> None:
+            import json as _json
+
+            d = row.asDict()
+            for ts_col in ("window_start", "last_updated"):
+                d[ts_col] = d[ts_col].isoformat(sep=" ")
+            d["epoch"] = self._epoch
+            self._fh.write(_json.dumps(d) + "\n")
+
+        def close(self, error) -> None:
+            import os as _os
+
+            self._fh.close()
+            if error is None:
+                _os.replace(self._tmp, self._final)  # atomic task commit
+            else:
+                _os.remove(self._tmp)  # failed attempt leaves nothing
+
+    events = events_parquet_stream(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        wrapper_dir=os.path.join(workdir, "srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreach(RowFileForeachWriter(out_dir))
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    log = spark.read.schema(
+        "event_type string, window_start string, last_updated string, "
+        "total_trips long, average_fare double, epoch long"
+    ).json(os.path.join(out_dir, "*.jsonl"))
+    w = Window.partitionBy("event_type", "window_start").orderBy(F.desc("epoch"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            F.col("last_updated").cast("timestamp").alias("last_updated"),
+            "total_trips",
+            "average_fare",
+        )
+    )
+
+
 def streaming_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution executed through a real streaming
     replay (the Delta ``mergeSchema`` scenario: a producer upgrade

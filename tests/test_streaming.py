@@ -848,3 +848,33 @@ def test_schema_evolution_guards(spark, tmp_path):
     )
     with pytest.raises(Exception, match="key/partition"):
         evo.write_batch(v_nokey, 1)
+
+
+def test_schema_evolution_crash_between_schema_publish_and_overwrite(spark, tmp_path):
+    """The schema file publishes BEFORE the destructive overwrite
+    (sinks.py:_commit). A crash in that window leaves the schema file
+    ahead of the physical files: reads must NULL-fill the not-yet-
+    written column (never error, never drop data), and the streaming
+    restart's epoch replay completes the evolution from the durable
+    staging."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    _, _, v1, v2 = _evo_batches(spark)
+    sink.write_batch(v1, 0)
+
+    # stage the evolving batch and publish the schema, but "crash"
+    # before the overwrite touches the table (exactly _commit's
+    # schema-first window)
+    batch = v2.withColumn("part_date", F.to_date("window_start"))
+    sink._stage_merge(spark, batch, 1)
+    merged = spark.read.parquet(sink.merged_path)
+    sink._write_schema_file(merged.schema)
+
+    # torn state: schema knows fare_cents, no file carries it yet
+    torn = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
+    assert torn == {"a": (10, None), "b": (20, None)}
+
+    # restart replays epoch 1 from the durable staging
+    sink.write_batch(v2, 1)
+    live = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
+    assert live == {"a": (10, None), "b": (25, 777), "c": (30, 888)}
+    assert not os.path.exists(sink.merged_path)
