@@ -181,8 +181,8 @@ _VERIFY_SPARES: list[str] = [
 # global_row_index, cbo_stats_join_reorder — plus the five born in
 # the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
-# streaming_schema_evolution_replay, streaming_foreach_row_sink —
-# plus re-verifying any entry the
+# streaming_schema_evolution_replay, streaming_foreach_row_sink,
+# streaming_delete_change_feed — plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7770,3 +7770,35 @@ def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_foreach_row_sink(spark, sf_dir)
+
+
+@query(
+    "streaming_delete_change_feed",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare,
+           'delete'                                    AS change_type
+    FROM events WHERE event_type = 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_delete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + delete-aware CDF on the upsert sink
+    (streaming/job.py:streaming_delete_change_feed): after the
+    replay, every 'error' window is deleted via
+    ``ParquetUpsertSink.delete_keys`` (MERGE WHEN MATCHED DELETE /
+    GDPR erasure: broadcast key-semi-join -> rewrite only touched
+    partitions -> crash-safe staged commit; fully-emptied partitions
+    drop from the table AND the snapshot manifest), and
+    ``read_changes_typed`` between the pre/post versions is returned.
+    The oracle is the deleted keys' full pre-image aggregation
+    labeled 'delete' — hash equality proves the feed reports exactly
+    the erased rows with their last-known values, and no surviving
+    row appears as a phantom change."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_delete_change_feed(spark, sf_dir)

@@ -1069,6 +1069,30 @@ def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def streaming_delete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the streaming sink, observed through the
+    delete-aware change feed (the Delta ``MERGE .. WHEN MATCHED THEN
+    DELETE`` + CDF ``_change_type='delete'`` shape): after the
+    two-batch replay commits, every key of one event type is deleted
+    (``ParquetUpsertSink.delete_keys`` — the GDPR-erasure path:
+    key-semi-join finds the touched partitions, survivors re-stage
+    crash-safely, emptied partitions drop from the manifest), and the
+    feed between the pre- and post-delete versions is returned. It
+    must contain exactly the deleted keys' pre-images labeled
+    'delete' and nothing else — proving both the delete (those rows
+    left the table) and the feed's precision (no surviving row leaks
+    in as a phantom change)."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    pre = sink.snapshots()[-1]
+    doomed = (
+        sink.read(spark)
+        .filter(F.col("event_type") == "error")
+        .select("event_type", "window_start")
+    )
+    sink.delete_keys(doomed, pre + 1)
+    return sink.read_changes_typed(spark, pre, pre + 1)
+
+
 def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The row-level ``writeStream.foreach(writer)`` sink executed
     end-to-end (S6's second API shape; foreachBatch is the first).

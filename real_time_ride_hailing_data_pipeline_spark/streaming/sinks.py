@@ -204,6 +204,79 @@ class ParquetUpsertSink:
         self._commit(spark)
         self._snapshot(spark, epoch_id, touched)
 
+    # -- row-level DELETE --------------------------------------------------
+    def delete_keys(self, keys_df: DataFrame, epoch_id: int) -> None:
+        """Row-level DELETE by key — the ``MERGE .. WHEN MATCHED THEN
+        DELETE`` / GDPR-erasure half of the lakehouse write surface.
+        Rows whose key appears in ``keys_df`` (key columns only) are
+        removed; everything else is untouched.
+
+        Same three-step crash-safe machinery as the merge: only
+        partitions CONTAINING a doomed key are rewritten (a key-semi-
+        join finds them — O(touched partitions) work at any table
+        size, with the keys broadcast), the survivors are durably
+        staged with the epoch marker before the first target file is
+        replaced, and a replayed epoch recovers from the staging. A
+        partition whose every row is deleted is DROPPED: removed from
+        the table directory explicitly (dynamic overwrite cannot
+        replace a partition with nothing) and removed from the
+        snapshot manifest, so ``read_at`` at this version composes
+        without it and ``read_changes_typed`` reports its rows as
+        deletes. Idempotent: re-deleting absent keys touches nothing.
+        Assumes a row's key determines its partition (true whenever
+        ``partition_source`` is a key column, as the streaming sink
+        keys are) — the same locality the merge's per-partition
+        anti-join already relies on."""
+        with_retries(
+            lambda: self._delete(keys_df, epoch_id),
+            self.retries,
+            self.retry_delay_s,
+        )
+
+    def _delete(self, keys_df: DataFrame, epoch_id: int) -> None:
+        spark = keys_df.sparkSession
+        self._finish_compact(self._compact_staging())
+        if self._merge_staged_for(epoch_id):
+            touched = (
+                self._staged_touched(spark) if self.snapshot_dir else None
+            )
+            self._commit(spark)
+            self._snapshot(spark, epoch_id, touched)
+            return
+        if not self._table_exists():
+            return  # nothing to delete from; no commit to record
+        keys = keys_df.select(*self.key_cols)
+        keys.write.mode("overwrite").parquet(self.staging_path)
+        staged_keys = spark.read.parquet(self.staging_path)
+        existing = self._read_table(spark)
+        touched_vals = [
+            r[0]
+            for r in existing.join(
+                F.broadcast(staged_keys), self.key_cols, "semi"
+            )
+            .select("part_date")
+            .distinct()
+            .collect()
+        ]
+        if not touched_vals:
+            # no key present: an empty commit, but still a committed
+            # version (mirrors the empty-micro-batch snapshot path)
+            self._snapshot(spark, epoch_id, touched=[])
+            return
+        survivors = existing.filter(
+            F.col("part_date").isin(touched_vals)
+        ).join(F.broadcast(staged_keys), self.key_cols, "left_anti")
+        survivors.write.mode("overwrite").partitionBy("part_date").parquet(
+            self.merged_path
+        )
+        touched_dirs = [self._part_dirname(v) for v in touched_vals]
+        with open(self._touched_file(), "w") as fh:
+            json.dump(touched_dirs, fh)
+        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
+            fh.write(str(epoch_id))
+        self._commit(spark)
+        self._snapshot(spark, epoch_id, touched_dirs)
+
     # -- snapshot transaction log -----------------------------------------
     @staticmethod
     def _part_dirname(value) -> str:
@@ -212,13 +285,25 @@ class ParquetUpsertSink:
             return "part_date=__HIVE_DEFAULT_PARTITION__"
         return f"part_date={value.isoformat() if hasattr(value, 'isoformat') else value}"
 
+    def _touched_file(self) -> str:
+        return os.path.join(self.merged_path, "_TOUCHED")
+
     def _staged_touched(self, spark: SparkSession) -> list[str]:
-        """Partition dirs the durable merged staging rewrites."""
-        staged = spark.read.parquet(self.merged_path)
-        return [
-            self._part_dirname(r[0])
-            for r in staged.select("part_date").distinct().collect()
-        ]
+        """Partition dirs the durable staging rewrites. The explicit
+        ``_TOUCHED`` list (written by every stage step) is
+        authoritative: for a DELETE staging it includes partitions the
+        delete EMPTIED, which have no rows in the staged content and
+        would be invisible to a content scan. Fallback to the scan for
+        stagings written before the list existed."""
+        try:
+            with open(self._touched_file()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            staged = spark.read.parquet(self.merged_path)
+            return [
+                self._part_dirname(r[0])
+                for r in staged.select("part_date").distinct().collect()
+            ]
 
     def _manifest_path(self, epoch_id: int) -> str:
         return os.path.join(self.snapshot_dir, "manifest", f"epoch={epoch_id}.json")
@@ -269,14 +354,20 @@ class ParquetUpsertSink:
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             ]
         epoch_files = os.path.join(self.snapshot_dir, "files", f"epoch={epoch_id}")
+        manifest = dict(prev)
         for d in touched:
             src = os.path.join(self.path, d)
-            if not os.path.isdir(src):  # defensive: vanished partition
+            if not os.path.isdir(src):
+                # a DELETE emptied this partition: it is DROPPED at
+                # this version — no entry, so read_at composes without
+                # it and the typed change feed reports its old rows as
+                # deletes
+                manifest.pop(d, None)
                 continue
             dst = os.path.join(epoch_files, d)
             shutil.rmtree(dst, ignore_errors=True)  # replayed epoch
             shutil.copytree(src, dst)
-        manifest = {**prev, **{d: epoch_id for d in touched}}
+            manifest[d] = epoch_id
         # schema sidecar first: the manifest publish is the commit
         # point, and a committed version must know its schema AS OF
         # that commit (time travel across an evolution boundary shows
@@ -435,11 +526,17 @@ class ParquetUpsertSink:
         m_from = self._load_manifest(from_epoch)
         m_to = self._load_manifest(to_epoch)
         changed = sorted(d for d, e in m_to.items() if m_from.get(d) != e)
-        # deleted partitions cannot occur (the merge never drops keys),
-        # but guard so a future delete-capable merge fails loudly here
+        # a delete_keys() commit can DROP partitions; their rows (and
+        # any row-level deletes inside surviving partitions) are only
+        # visible through the typed feed, so the post-image-only
+        # contract here must fail loudly rather than under-report
         dropped = [d for d in m_from if d not in m_to]
         if dropped:
-            raise ValueError(f"partitions dropped between versions: {dropped}")
+            raise ValueError(
+                f"partitions dropped between versions: {dropped} — a "
+                f"delete_keys() commit lies in this range; use "
+                f"read_changes_typed() for the delete-aware feed"
+            )
         if not changed:  # identical versions (e.g. an empty commit)
             return self.read_at(spark, to_epoch).limit(0)
         files = os.path.join(self.snapshot_dir, "files")
@@ -460,6 +557,79 @@ class ParquetUpsertSink:
         if not old_paths:
             return new
         return new.exceptAll(self._read_snapshot_paths(spark, old_paths, to_epoch))
+
+    def read_changes_typed(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int
+    ) -> DataFrame:
+        """Delete-aware change-data-feed between two committed
+        versions: every row with a ``change_type`` column —
+        ``'upsert'`` post-images (inserted or overwritten rows, the
+        ``read_changes`` relation) and ``'delete'`` pre-images (rows
+        whose KEY exists at ``from_epoch`` but not at ``to_epoch``,
+        with their last-known values). Same manifest pruning: only
+        pointer-changed and dropped partitions are scanned — a
+        ``delete_keys`` commit changes exactly the partitions holding
+        doomed keys, so the feed stays O(changed partitions). Relies
+        on the same key→partition locality as the merge (a key never
+        migrates partitions), which is what makes the per-partition
+        key anti-join exact."""
+        retained = self.snapshots()
+        for epoch in (from_epoch, to_epoch):
+            if epoch not in retained:
+                raise ValueError(
+                    f"epoch {epoch} is not a retained snapshot "
+                    f"(retained: {retained}, max_snapshots="
+                    f"{self.max_snapshots}) — expired or never committed"
+                )
+        m_from = self._load_manifest(from_epoch)
+        m_to = self._load_manifest(to_epoch)
+        changed = sorted(d for d, e in m_to.items() if m_from.get(d) != e)
+        dropped = sorted(d for d in m_from if d not in m_to)
+        files = os.path.join(self.snapshot_dir, "files")
+        empty = (
+            self.read_at(spark, to_epoch)
+            .limit(0)
+            .withColumn("change_type", F.lit(""))
+        )
+        new = (
+            self._read_snapshot_paths(
+                spark,
+                [os.path.join(files, f"epoch={m_to[d]}", d) for d in changed],
+                to_epoch,
+            )
+            if changed
+            else None
+        )
+        old_paths = [
+            os.path.join(files, f"epoch={m_from[d]}", d)
+            for d in changed
+            if d in m_from
+        ] + [os.path.join(files, f"epoch={m_from[d]}", d) for d in dropped]
+        old = (
+            self._read_snapshot_paths(spark, old_paths, to_epoch)
+            if old_paths
+            else None
+        )
+        if new is None and old is None:  # identical versions
+            return empty
+        upserts = (
+            (new.exceptAll(old) if old is not None else new).withColumn(
+                "change_type", F.lit("upsert")
+            )
+            if new is not None
+            else empty
+        )
+        if old is None:
+            return upserts
+        new_keys = (
+            new.select(*self.key_cols)
+            if new is not None
+            else old.select(*self.key_cols).limit(0)
+        )
+        deletes = old.join(
+            F.broadcast(new_keys), self.key_cols, "left_anti"
+        ).withColumn("change_type", F.lit("delete"))
+        return upserts.unionByName(deletes)
 
     def _stage_merge(
         self, spark: SparkSession, batch: DataFrame, epoch_id: int
@@ -492,12 +662,15 @@ class ParquetUpsertSink:
         merged.write.mode("overwrite").partitionBy("part_date").parquet(
             self.merged_path
         )
+        touched_dirs = [self._part_dirname(v) for v in touched]
+        with open(self._touched_file(), "w") as fh:
+            json.dump(touched_dirs, fh)
         # marker written last: its presence (with Spark's _SUCCESS)
         # certifies a COMPLETE staging for exactly this epoch. Local-FS
         # file here; on an object store this becomes a marker object.
         with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
             fh.write(str(epoch_id))
-        return [self._part_dirname(v) for v in touched]
+        return touched_dirs
 
     def _commit(self, spark: SparkSession) -> None:
         """Overwrite the touched partitions from the durable merged
@@ -509,14 +682,31 @@ class ParquetUpsertSink:
         (missing columns NULL-fill); the reverse order could leave an
         evolved table whose stale schema file silently drops the new
         column from every read."""
-        merged = spark.read.parquet(self.merged_path)
-        self._write_schema_file(merged.schema)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part_date")
-            .parquet(self.path)
-        )
+        staged_dirs = {
+            d for d in os.listdir(self.merged_path) if d.startswith("part_date=")
+        }
+        if staged_dirs:
+            merged = spark.read.parquet(self.merged_path)
+            self._write_schema_file(merged.schema)
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_date")
+                .parquet(self.path)
+            )
+        # a DELETE that empties a partition leaves it in _TOUCHED but
+        # not in the staged content — dynamic overwrite only replaces
+        # partitions PRESENT in the written data, so the emptied dirs
+        # must be dropped explicitly (re-runnable: rmtree of a missing
+        # dir is a no-op)
+        try:
+            with open(self._touched_file()) as fh:
+                touched = json.load(fh)
+        except FileNotFoundError:
+            touched = []
+        for d in touched:
+            if d not in staged_dirs:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         shutil.rmtree(self.merged_path, ignore_errors=True)
 
     def _merge_staged_for(self, epoch_id: int) -> bool:

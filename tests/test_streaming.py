@@ -878,3 +878,100 @@ def test_schema_evolution_crash_between_schema_publish_and_overwrite(spark, tmp_
     live = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
     assert live == {"a": (10, None), "b": (25, 777), "c": (30, 888)}
     assert not os.path.exists(sink.merged_path)
+
+
+# -- row-level DELETE (sinks.py: delete_keys + read_changes_typed) ----------
+
+
+def test_delete_keys_removes_rows_and_time_travel_keeps_them(spark, tmp_path):
+    """delete_keys removes exactly the keyed rows from the live table;
+    the pre-delete snapshot still serves them (erasure of the LIVE
+    table, versioned history governed by retention — set
+    max_snapshots=1 for hard erasure); the typed feed reports the
+    deleted pre-images and nothing else; the post-image-only
+    read_changes stays exact when no partition dropped."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    b0 = spark.createDataFrame(
+        [("a", d1, 10), ("b", d2, 20), ("c", d2, 30)],
+        "k string, window_start timestamp, total bigint",
+    )
+    sink.write_batch(b0, 0)
+    sink.delete_keys(
+        spark.createDataFrame([("b", d2)], "k string, window_start timestamp"), 1
+    )
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "c"]
+    assert sorted(r["k"] for r in sink.read_at(spark, 0).collect()) == ["a", "b", "c"]
+    typed = sorted(
+        (r["change_type"], r["k"], r["total"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    )
+    assert typed == [("delete", "b", 20)]
+    # partition d2 survived (c remains) so the post-image feed works
+    # and is empty (no upserts between the versions)
+    assert sink.read_changes(spark, 0, 1).count() == 0
+
+
+def test_delete_keys_drops_emptied_partition(spark, tmp_path):
+    """Deleting every key of a partition drops the directory from the
+    table and the entry from the manifest: read_at composes without
+    it, the typed feed labels its rows deletes, and the post-image
+    read_changes refuses (it cannot represent deletes)."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"), 1
+    )
+    assert sorted(
+        d for d in os.listdir(sink.path) if d.startswith("part_date=")
+    ) == ["part_date=2024-01-16"]
+    assert [r["k"] for r in sink.read_at(spark, 1).collect()] == ["c"]
+    typed = [
+        (r["change_type"], r["k"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    ]
+    assert typed == [("delete", "a")]
+    with pytest.raises(ValueError, match="read_changes_typed"):
+        sink.read_changes(spark, 0, 1)
+
+
+def test_delete_keys_idempotent_and_upsert_after_delete(spark, tmp_path):
+    """Deleting absent keys is an empty commit (a committed version,
+    no data change); a later upsert may re-insert a deleted key; the
+    typed feed across the re-insert labels it an upsert."""
+    sink = _evo_sink(tmp_path)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("b", d2, 20), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    keys = spark.createDataFrame([("b", d2)], "k string, window_start timestamp")
+    sink.delete_keys(keys, 1)
+    sink.delete_keys(keys, 2)  # replay/absent: empty commit
+    assert sink.snapshots() == [0, 1, 2]
+    assert [r["k"] for r in sink.read(spark).collect()] == ["c"]
+    sink.write_batch(
+        spark.createDataFrame(
+            [("b", d2, 99)], "k string, window_start timestamp, total bigint"
+        ),
+        3,
+    )
+    assert sorted((r["k"], r["total"]) for r in sink.read(spark).collect()) == [
+        ("b", 99),
+        ("c", 30),
+    ]
+    typed = sorted(
+        (r["change_type"], r["k"], r["total"])
+        for r in sink.read_changes_typed(spark, 2, 3).collect()
+    )
+    assert typed == [("upsert", "b", 99)]
