@@ -1119,10 +1119,13 @@ def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         (partition, epoch), ``process`` per row, ``close`` at task end.
         Exactly-once is the WRITER's job here (unlike foreachBatch,
         which gets a whole DataFrame to write transactionally): each
-        task writes a private tmp file and atomically renames it to a
-        name keyed by (epoch, partition) in ``close`` — a retried or
-        replayed task overwrites the same file with identical content,
-        so duplicate attempts and epoch replays collapse to one copy.
+        ATTEMPT writes a private uniquely-named tmp file (two live
+        attempts of one task — speculation, or a zombie racing its
+        relaunch — must never interleave into a shared buffer) and
+        atomically renames it to a name keyed by (epoch, partition)
+        in ``close`` — whichever attempt commits last installs a
+        complete identical copy, so duplicate attempts and epoch
+        replays collapse to one file.
         Doubles round-trip exactly through Python float repr. Nested
         (not module-level) so cloudpickle ships it BY VALUE — workers
         under a bare driver session cannot import the engine package
@@ -1133,12 +1136,14 @@ def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def open(self, partition_id: int, epoch_id: int) -> bool:
             import os as _os
+            import uuid as _uuid
 
             _os.makedirs(self.target, exist_ok=True)
             base = _os.path.join(
                 self.target, f"e{epoch_id}_p{partition_id}.jsonl"
             )
-            self._tmp, self._final, self._epoch = base + ".tmp", base, epoch_id
+            self._tmp = f"{base}.tmp-{_uuid.uuid4().hex}"
+            self._final, self._epoch = base, epoch_id
             self._fh = open(self._tmp, "w")
             return True
 
@@ -1152,13 +1157,18 @@ def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._fh.write(_json.dumps(d) + "\n")
 
         def close(self, error) -> None:
+            import contextlib as _contextlib
             import os as _os
 
             self._fh.close()
             if error is None:
                 _os.replace(self._tmp, self._final)  # atomic task commit
             else:
-                _os.remove(self._tmp)  # failed attempt leaves nothing
+                # failed attempt leaves nothing (suppress: a zombie's
+                # cleanup racing the relaunched attempt is harmless —
+                # tmp names are attempt-unique, .jsonl glob skips them)
+                with _contextlib.suppress(FileNotFoundError):
+                    _os.remove(self._tmp)
 
     events = events_parquet_stream(
         spark,

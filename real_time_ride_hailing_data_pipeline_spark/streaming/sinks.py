@@ -237,11 +237,18 @@ class ParquetUpsertSink:
         spark = keys_df.sparkSession
         self._finish_compact(self._compact_staging())
         if self._merge_staged_for(epoch_id):
+            # crashed delete commit: unlike write_batch's recovery, the
+            # staging must OUTLIVE the snapshot publish — after _commit
+            # the doomed keys are gone from the live table, so a replay
+            # that found no staging would take the empty-commit branch
+            # and publish a manifest still pointing at pre-delete
+            # copies (resurrecting erased rows in the versioned view)
             touched = (
                 self._staged_touched(spark) if self.snapshot_dir else None
             )
-            self._commit(spark)
+            self._commit(spark, drop_staging=False)
             self._snapshot(spark, epoch_id, touched)
+            shutil.rmtree(self.merged_path, ignore_errors=True)
             return
         if not self._table_exists():
             return  # nothing to delete from; no commit to record
@@ -274,8 +281,13 @@ class ParquetUpsertSink:
             json.dump(touched_dirs, fh)
         with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
             fh.write(str(epoch_id))
-        self._commit(spark)
+        # staging dropped only AFTER the snapshot publishes: a crash
+        # between commit and snapshot must leave the epoch-marked
+        # staging so the replay re-enters the recovery branch above
+        # instead of the (manifest-diverging) empty-commit path
+        self._commit(spark, drop_staging=False)
         self._snapshot(spark, epoch_id, touched_dirs)
+        shutil.rmtree(self.merged_path, ignore_errors=True)
 
     # -- snapshot transaction log -----------------------------------------
     @staticmethod
@@ -316,13 +328,7 @@ class ParquetUpsertSink:
     def _epoch_schema(self, epoch_id: int):
         """Schema of a committed version, or None for snapshots written
         before sidecars existed (homogeneous by construction)."""
-        from pyspark.sql.types import StructType
-
-        try:
-            with open(self._epoch_schema_path(epoch_id)) as fh:
-                return StructType.fromJson(json.load(fh))
-        except FileNotFoundError:
-            return None
+        return self._load_schema(self._epoch_schema_path(epoch_id))
 
     def _load_manifest(self, epoch_id: int) -> dict[str, int]:
         with open(self._manifest_path(epoch_id)) as fh:
@@ -375,16 +381,11 @@ class ParquetUpsertSink:
         schema = self._stored_schema()
         if schema is None:
             schema = spark.read.parquet(self.path).schema
-        os.makedirs(os.path.dirname(self._epoch_schema_path(epoch_id)), exist_ok=True)
-        tmp = self._epoch_schema_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(schema.jsonValue(), fh)
-        os.replace(tmp, self._epoch_schema_path(epoch_id))
-        os.makedirs(os.path.dirname(self._manifest_path(epoch_id)), exist_ok=True)
-        tmp = self._manifest_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, self._manifest_path(epoch_id))  # atomic publish
+        self._atomic_json_write(
+            self._epoch_schema_path(epoch_id), schema.jsonValue()
+        )
+        # the manifest publish (last) is the commit point
+        self._atomic_json_write(self._manifest_path(epoch_id), manifest)
         self._expire_snapshots()
 
     def _expire_snapshots(self) -> None:
@@ -586,11 +587,14 @@ class ParquetUpsertSink:
         changed = sorted(d for d, e in m_to.items() if m_from.get(d) != e)
         dropped = sorted(d for d in m_from if d not in m_to)
         files = os.path.join(self.snapshot_dir, "files")
-        empty = (
-            self.read_at(spark, to_epoch)
-            .limit(0)
-            .withColumn("change_type", F.lit(""))
-        )
+
+        def empty() -> DataFrame:  # degenerate branches only — lazy
+            return (
+                self.read_at(spark, to_epoch)
+                .limit(0)
+                .withColumn("change_type", F.lit(""))
+            )
+
         new = (
             self._read_snapshot_paths(
                 spark,
@@ -611,13 +615,13 @@ class ParquetUpsertSink:
             else None
         )
         if new is None and old is None:  # identical versions
-            return empty
+            return empty()
         upserts = (
             (new.exceptAll(old) if old is not None else new).withColumn(
                 "change_type", F.lit("upsert")
             )
             if new is not None
-            else empty
+            else empty()
         )
         if old is None:
             return upserts
@@ -672,7 +676,7 @@ class ParquetUpsertSink:
             fh.write(str(epoch_id))
         return touched_dirs
 
-    def _commit(self, spark: SparkSession) -> None:
+    def _commit(self, spark: SparkSession, drop_staging: bool = True) -> None:
         """Overwrite the touched partitions from the durable merged
         copy, then drop the staging. Re-runnable as-is after a crash.
 
@@ -707,7 +711,8 @@ class ParquetUpsertSink:
         for d in touched:
             if d not in staged_dirs:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        shutil.rmtree(self.merged_path, ignore_errors=True)
+        if drop_staging:
+            shutil.rmtree(self.merged_path, ignore_errors=True)
 
     def _merge_staged_for(self, epoch_id: int) -> bool:
         """True iff a COMPLETE merged staging for this epoch survives a
@@ -732,23 +737,34 @@ class ParquetUpsertSink:
     def _schema_file(self) -> str:
         return os.path.join(self.path, "_schema.json")
 
-    def _stored_schema(self):
-        """The log-recorded table schema, or None for tables written
-        before evolution support (those are homogeneous by
-        construction, so the footer the scan samples is correct)."""
+    @staticmethod
+    def _atomic_json_write(path: str, obj) -> None:
+        """tmp-write + rename: every log artifact (table schema, epoch
+        schema sidecar, manifest) publishes atomically through here."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_schema(path: str):
         from pyspark.sql.types import StructType
 
         try:
-            with open(self._schema_file()) as fh:
+            with open(path) as fh:
                 return StructType.fromJson(json.load(fh))
         except FileNotFoundError:
             return None
 
+    def _stored_schema(self):
+        """The log-recorded table schema, or None for tables written
+        before evolution support (those are homogeneous by
+        construction, so the footer the scan samples is correct)."""
+        return self._load_schema(self._schema_file())
+
     def _write_schema_file(self, schema) -> None:
-        tmp = self._schema_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(schema.jsonValue(), fh)
-        os.replace(tmp, self._schema_file())  # atomic publish
+        self._atomic_json_write(self._schema_file(), schema.jsonValue())
 
     def _evolved_columns(self, existing: DataFrame, staged: DataFrame) -> list[str]:
         """Validate the batch schema against the table and return the

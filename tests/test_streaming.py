@@ -975,3 +975,42 @@ def test_delete_keys_idempotent_and_upsert_after_delete(spark, tmp_path):
         for r in sink.read_changes_typed(spark, 2, 3).collect()
     )
     assert typed == [("upsert", "b", 99)]
+
+
+def test_delete_crash_between_commit_and_snapshot_recovers(spark, tmp_path):
+    """A delete that dies after the table commit but before the
+    snapshot publish must NOT diverge the version log on replay: the
+    epoch-marked staging outlives the commit, so the replay re-enters
+    the staged-recovery branch (re-commit + snapshot) instead of the
+    empty-commit path that would republish pre-delete partition
+    pointers — resurrecting erased rows in the versioned view."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    keys = spark.createDataFrame([("b", d2)], "k string, window_start timestamp")
+
+    orig_snapshot = sink._snapshot
+    sink._snapshot = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        sink.delete_keys(keys, 1)
+    # torn state: live table post-delete, no epoch-1 snapshot, staging kept
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "c"]
+    assert sink.snapshots() == [0]
+    assert os.path.exists(os.path.join(sink.merged_path, "_EPOCH"))
+
+    sink._snapshot = orig_snapshot
+    sink.delete_keys(keys, 1)  # the streaming restart's replay
+    assert sink.snapshots() == [0, 1]
+    assert sorted(r["k"] for r in sink.read_at(spark, 1).collect()) == ["a", "c"]
+    typed = [
+        (r["change_type"], r["k"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    ]
+    assert typed == [("delete", "b")]
+    assert not os.path.exists(sink.merged_path)
