@@ -870,9 +870,22 @@ class ParquetUpsertSink:
         self._finish_compact(self._compact_staging())
         return self._read_table(spark).drop("part_date")
 
-    def compact(self, spark: SparkSession, files_per_partition: int = 1) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        files_per_partition: int = 1,
+        target_file_bytes: int | None = None,
+    ) -> None:
         """Small-file compaction: rewrite the table so each date
-        partition holds ``files_per_partition`` files.
+        partition holds ``files_per_partition`` files — or, with
+        ``target_file_bytes``, a PER-PARTITION count sized from the
+        partition's current bytes (``ceil(bytes / target)``, the real
+        OPTIMIZE contract: a fat partition keeps enough files to stay
+        parallel and near the ~128 MB sweet spot while a thin one
+        collapses to a single file; one fixed count cannot do both).
+        The byte census is a driver-side listing of O(partitions)
+        directory sizes, and the per-date counts enter the plan as a
+        literal lookup map — no extra scan, same single rewrite.
 
         Streaming upserts inevitably accrete small files (every
         micro-batch rewrites its touched partitions with
@@ -904,17 +917,69 @@ class ParquetUpsertSink:
         # compaction doubles as physical schema homogenization
         current = self._read_table(spark)
         data_cols = list(current.columns)
-        (
-            current.withColumn(
-                "__bucket",
-                F.pmod(F.xxhash64(*self.key_cols), F.lit(files_per_partition)),
+        writer_opts: dict[str, str] = {}
+        if target_file_bytes is None:
+            n_files = F.lit(files_per_partition)
+        else:
+            sizes: dict[str, int] = {}
+            for d in os.listdir(self.path):
+                if not d.startswith("part_date="):
+                    continue
+                pdir = os.path.join(self.path, d)
+                sizes[d.split("=", 1)[1]] = sum(
+                    os.path.getsize(os.path.join(pdir, f))
+                    for f in os.listdir(pdir)
+                    if not f.startswith(("_", "."))
+                )
+            counts = {
+                k: max(1, -(-b // target_file_bytes)) for k, b in sizes.items()
+            }
+            # per-date parallelism from a literal (date -> count) map;
+            # NULL partition keys land under the hive default dirname
+            entries: list = []
+            for k, v in sorted(counts.items()):
+                entries.extend([F.lit(k), F.lit(v)])
+            n_files = F.element_at(
+                F.create_map(*entries),
+                F.coalesce(
+                    F.col("part_date").cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ),
             )
-            .repartition("part_date", "__bucket")
-            .select(*data_cols)
-            .write.mode("overwrite")
-            .partitionBy("part_date")
-            .parquet(staging)
+            # the SIZE guarantee: hash buckets give parallelism but two
+            # (date, bucket) groups can collide into one task, so the
+            # writer additionally splits any oversized task output at
+            # ~target bytes via a row-count cap from the measured mean
+            # encoded row size (a count() over column stats, no scan of
+            # values). Belt and braces: buckets parallelize, the cap
+            # bounds every file.
+            total_bytes = sum(sizes.values())
+            total_rows = current.count() or 1
+            avg_row = max(1, total_bytes // total_rows)
+            writer_opts["maxRecordsPerFile"] = str(
+                max(1, target_file_bytes // avg_row)
+            )
+        bucketed = current.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*self.key_cols), n_files)
         )
+        if target_file_bytes is None:
+            # column-only repartition: AQE may coalesce the tiny
+            # shuffle, which can only MERGE buckets (fewer, larger
+            # files) — fine under the "at most N files" contract
+            shuffled = bucketed.repartition("part_date", "__bucket")
+        else:
+            # explicit partition count: AQE coalescing would defeat
+            # the per-date counts (it merges everything small into one
+            # task); over-provision so distinct (date,bucket) groups
+            # rarely collide, and the writer cap handles those that do
+            total = sum(counts.values())
+            shuffled = bucketed.repartition(
+                max(4 * total, 1), "part_date", "__bucket"
+            )
+        writer = shuffled.select(*data_cols).write.mode("overwrite")
+        for k, v in writer_opts.items():
+            writer = writer.option(k, v)
+        writer.partitionBy("part_date").parquet(staging)
         self._finish_compact(staging)
 
     def _finish_compact(self, staging: str) -> None:
