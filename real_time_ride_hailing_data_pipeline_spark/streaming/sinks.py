@@ -85,6 +85,7 @@ class ParquetUpsertSink:
         snapshot_dir: str | None = None,
         max_snapshots: int | None = None,
         schema_evolution: bool = False,
+        auto_compact_files: int | None = None,
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
@@ -116,6 +117,13 @@ class ParquetUpsertSink:
         if max_snapshots is not None and max_snapshots < 1:
             raise ValueError("max_snapshots must be >= 1 (or None)")
         self.max_snapshots = max_snapshots
+        # Auto-compaction (the Databricks auto-optimize shape): after a
+        # merge commit, any TOUCHED partition holding more than this
+        # many data files is immediately re-compacted — scoped to just
+        # those partitions, so the cost is O(touched), amortized into
+        # the stream instead of a periodic full-table OPTIMIZE. None
+        # disables (explicit compact()/target_file_bytes still work).
+        self.auto_compact_files = auto_compact_files
         # Additive schema evolution (the Delta ``mergeSchema`` /
         # ``autoMerge`` behavior, opt-in exactly like Delta's): a batch
         # may ADD columns (existing rows read NULL) or OMIT non-key
@@ -198,11 +206,44 @@ class ParquetUpsertSink:
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
             self._write_schema_file(batch.schema)
             self._snapshot(spark, epoch_id, touched=None)
+            self._auto_compact(spark, touched=None)
             return
 
         touched = self._stage_merge(spark, batch, epoch_id)
         self._commit(spark)
         self._snapshot(spark, epoch_id, touched)
+        self._auto_compact(spark, touched)
+
+    def _auto_compact(self, spark: SparkSession, touched: list[str] | None) -> None:
+        """Scoped post-commit compaction of any touched partition whose
+        data-file count exceeds ``auto_compact_files`` (None = off).
+        The census is a driver-side listing of just the touched dirs;
+        the rewrite is partition-scoped, so the amortized cost per
+        micro-batch is O(fat touched partitions) — a hot partition
+        gets collapsed as it accretes instead of waiting for a
+        periodic table-wide OPTIMIZE."""
+        if self.auto_compact_files is None:
+            return
+        dirs = (
+            touched
+            if touched is not None
+            else [d for d in os.listdir(self.path) if d.startswith("part_date=")]
+        )
+        fat = []
+        for d in dirs:
+            p = os.path.join(self.path, d)
+            if not os.path.isdir(p):
+                continue
+            n = sum(
+                1
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+                and os.path.getsize(os.path.join(p, f)) > 0
+            )
+            if n > self.auto_compact_files:
+                fat.append(d)
+        if fat:
+            self.compact(spark, files_per_partition=1, only_partitions=fat)
 
     # -- row-level DELETE --------------------------------------------------
     def delete_keys(self, keys_df: DataFrame, epoch_id: int) -> None:
@@ -875,6 +916,7 @@ class ParquetUpsertSink:
         spark: SparkSession,
         files_per_partition: int = 1,
         target_file_bytes: int | None = None,
+        only_partitions: list[str] | None = None,
     ) -> None:
         """Small-file compaction: rewrite the table so each date
         partition holds ``files_per_partition`` files — or, with
@@ -916,6 +958,17 @@ class ParquetUpsertSink:
         # the authoritative schema NULL-fills and rewrites them, so
         # compaction doubles as physical schema homogenization
         current = self._read_table(spark)
+        if only_partitions is not None:
+            # partition-scoped rewrite: the staging then contains only
+            # these dirs and _finish_compact swaps only what is staged,
+            # so everything else is untouched by construction
+            vals = [d.split("=", 1)[1] for d in only_partitions]
+            cond = F.col("part_date").cast("string").isin(
+                [v for v in vals if v != "__HIVE_DEFAULT_PARTITION__"]
+            )
+            if "__HIVE_DEFAULT_PARTITION__" in vals:
+                cond = cond | F.col("part_date").isNull()
+            current = current.filter(cond)
         data_cols = list(current.columns)
         writer_opts: dict[str, str] = {}
         if target_file_bytes is None:
@@ -924,6 +977,8 @@ class ParquetUpsertSink:
             sizes: dict[str, int] = {}
             for d in os.listdir(self.path):
                 if not d.startswith("part_date="):
+                    continue
+                if only_partitions is not None and d not in only_partitions:
                     continue
                 pdir = os.path.join(self.path, d)
                 sizes[d.split("=", 1)[1]] = sum(

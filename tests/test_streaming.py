@@ -1063,3 +1063,62 @@ def test_compact_target_file_bytes_sizes_per_partition(spark, tmp_path):
     assert all(os.path.getsize(f) <= 2 * target for f in fat_files)
     assert len(files_in("part_date=2024-01-16")) == 1
     assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+
+
+def test_compact_scoped_to_partitions(spark, tmp_path):
+    """only_partitions rewrites exactly the named dirs: the other
+    partitions keep their physical files byte-for-byte (the staging
+    holds only the scoped dirs, and the swap installs only what is
+    staged)."""
+    import glob as _glob
+
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    rows = [(f"a{i}", d1, i) for i in range(50)] + [(f"b{i}", d2, i) for i in range(50)]
+    sink.write_batch(
+        spark.createDataFrame(rows, "k string, window_start timestamp, total bigint"), 0
+    )
+    untouched_before = sorted(
+        os.listdir(os.path.join(sink.path, "part_date=2024-01-16"))
+    )
+    before = sorted(tuple(r) for r in sink.read(spark).collect())
+    sink.compact(spark, files_per_partition=1, only_partitions=["part_date=2024-01-15"])
+    files_d1 = [
+        f
+        for f in _glob.glob(os.path.join(sink.path, "part_date=2024-01-15", "*.parquet"))
+        if os.path.getsize(f) > 0
+    ]
+    assert len(files_d1) == 1
+    assert (
+        sorted(os.listdir(os.path.join(sink.path, "part_date=2024-01-16")))
+        == untouched_before
+    )
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+
+
+def test_auto_compact_bounds_touched_partition_files(spark, tmp_path):
+    """auto_compact_files keeps every touched partition at or under
+    the file bound across a stream of merges — the amortized
+    auto-optimize path — without altering content."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"), key_cols=("k", "window_start"), auto_compact_files=3
+    )
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    for epoch in range(5):
+        batch = spark.createDataFrame(
+            [(f"k{epoch}_{i}", d, epoch * 100 + i) for i in range(8)],
+            "k string, window_start timestamp, total bigint",
+        )
+        sink.write_batch(batch, epoch)
+        pdir = os.path.join(sink.path, "part_date=2024-01-15")
+        n = sum(
+            1
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and os.path.getsize(os.path.join(pdir, f)) > 0
+        )
+        assert n <= 3, f"epoch {epoch}: {n} files"
+    assert sink.read(spark).count() == 40
