@@ -182,7 +182,8 @@ _VERIFY_SPARES: list[str] = [
 # the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
-# streaming_delete_change_feed — plus re-verifying any entry the
+# streaming_delete_change_feed, streaming_cdc_downstream_apply —
+# plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7824,3 +7825,34 @@ def streaming_delete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_delete_change_feed(spark, sf_dir)
+
+
+@query(
+    "streaming_cdc_downstream_apply",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC composition end-to-end
+    (streaming/job.py:streaming_cdc_downstream_apply): a downstream
+    replica reconstructed ONLY from the typed change feed — the e0
+    snapshot plus each version-to-version delta (upsert post-images
+    overwrite by key, delete pre-images remove by key) across both a
+    merge commit and a delete commit. The query itself asserts
+    replica == live table via exceptAll before returning; the oracle
+    (the raw-events aggregation minus the deleted type) then
+    value-hashes the replica. Together they prove the feed is
+    COMPLETE and APPLYABLE: nothing the table did is missing from the
+    deltas, nothing phantom is in them. Each application is O(churn),
+    so a 100 TB consumer tracks change volume, not table size."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_cdc_downstream_apply(spark, sf_dir)

@@ -1093,6 +1093,48 @@ def streaming_delete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_changes_typed(spark, pre, pre + 1)
 
 
+def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC composition — the reason a change feed exists: a DOWNSTREAM
+    replica is reconstructed purely from the typed feed, never
+    re-reading the source table. The two-batch replay commits epochs
+    (e0, e1), then a delete commits e2; the consumer starts from the
+    e0 snapshot and applies each successive version's
+    ``read_changes_typed`` delta: upsert post-images overwrite by key,
+    delete pre-images remove by key — exactly how an incremental ETL
+    or cache-invalidation consumer uses Delta CDF. The replica must
+    equal the live table; each application is O(changed rows), so at
+    100 TB the consumer's cost tracks churn, not table size. Returned
+    is the replica (the oracle aggregates the raw events minus the
+    deleted type)."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    epochs = sink.snapshots()
+    doomed = (
+        sink.read(spark)
+        .filter(F.col("event_type") == "error")
+        .select("event_type", "window_start")
+    )
+    delete_epoch = epochs[-1] + 1
+    sink.delete_keys(doomed, delete_epoch)
+    versions = [e for e in sink.snapshots() if e >= epochs[0]]
+
+    key_cols = ["event_type", "window_start"]
+    replica = sink.read_at(spark, versions[0])
+    for frm, to in zip(versions, versions[1:]):
+        delta = sink.read_changes_typed(spark, frm, to)
+        upserts = delta.filter(F.col("change_type") == "upsert").drop("change_type")
+        dels = delta.filter(F.col("change_type") == "delete").select(*key_cols)
+        changed_keys = upserts.select(*key_cols).unionByName(dels)
+        replica = (
+            replica.join(F.broadcast(changed_keys), key_cols, "left_anti")
+            .unionByName(upserts)
+        )
+    live = sink.read(spark)
+    # the composition proof: replica built ONLY from deltas == table
+    if replica.exceptAll(live).count() or live.exceptAll(replica).count():
+        raise RuntimeError("CDC replica diverged from the live table")
+    return replica
+
+
 def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The row-level ``writeStream.foreach(writer)`` sink executed
     end-to-end (S6's second API shape; foreachBatch is the first).

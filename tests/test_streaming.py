@@ -1122,3 +1122,35 @@ def test_auto_compact_bounds_touched_partition_files(spark, tmp_path):
         )
         assert n <= 3, f"epoch {epoch}: {n} files"
     assert sink.read(spark).count() == 40
+
+
+def test_delete_after_schema_evolution(spark, tmp_path):
+    """Interplay: deleting keys from an evolved table reads survivors
+    under the authoritative schema (pre-evolution partitions NULL-fill
+    the added column through the rewrite), and the typed feed across
+    the delete carries the evolved column."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2, v1, v2 = _evo_batches(spark)
+    sink.write_batch(v1, 0)
+    sink.write_batch(v2, 1)  # evolves: adds fare_cents
+    # delete 'a' — it lives in a PRE-evolution partition (d1)
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"), 2
+    )
+    live = {r["k"]: (r["total"], r["fare_cents"]) for r in sink.read(spark).collect()}
+    assert live == {"b": (25, 777), "c": (30, 888)}
+    typed = [
+        (r["change_type"], r["k"], r["fare_cents"])
+        for r in sink.read_changes_typed(spark, 1, 2).collect()
+    ]
+    assert typed == [("delete", "a", None)]
+    # and upserting into the surviving evolved table still works
+    sink.write_batch(
+        spark.createDataFrame(
+            [("d", d1, 5, 111)],
+            "k string, window_start timestamp, total bigint, fare_cents bigint",
+        ),
+        3,
+    )
+    live = {r["k"]: r["fare_cents"] for r in sink.read(spark).collect()}
+    assert live == {"b": 777, "c": 888, "d": 111}
