@@ -50,6 +50,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second live writer holds the table's writer lock. The sink is
+    single-writer by contract (one streaming query per checkpoint);
+    this guard turns an accidental second writer — which could
+    interleave staging/commit steps and tear the table — into a loud
+    error instead of silent corruption."""
+
+
 def with_retries(fn: Callable[[], None], retries: int = 2, delay_s: float = 1.0) -> None:
     """Retry wrapper (reference X1/X2: Prefect ``@task(retries=2,
     retry_delay_seconds=10)`` on the sink, streaming_job.py:8) —
@@ -142,6 +160,62 @@ class ParquetUpsertSink:
         # Delta/Iceberg solve it and how this sink does too.
         self.schema_evolution = schema_evolution
 
+    # -- single-writer guard ----------------------------------------------
+    def _lock_file(self) -> str:
+        return self.path.rstrip("/") + "__lock"
+
+    def _writer_lock(self):
+        """Process-scoped writer lock around every mutating entry point
+        (merge, delete, compact): an O_EXCL pid-file next to the table.
+        A dead holder's lock is broken automatically (pid liveness
+        probe); a LIVE second writer raises ConcurrentWriterError
+        rather than interleaving staging/commit steps. Re-entrant per
+        process (auto-compaction runs compact() inside the merge's
+        lock). This is the local/HDFS shape; on an object store the
+        same contract is a conditional-put on the lock object."""
+        import contextlib
+
+        sink = self
+
+        class _Lock:
+            def __enter__(self):
+                self.owned = False
+                lock = sink._lock_file()
+                os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+                for _ in range(2):
+                    try:
+                        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                        os.write(fd, str(os.getpid()).encode())
+                        os.close(fd)
+                        self.owned = True
+                        return self
+                    except FileExistsError:
+                        try:
+                            with open(lock) as fh:
+                                holder = int(fh.read().strip() or 0)
+                        except (ValueError, FileNotFoundError):
+                            holder = 0
+                        if holder == os.getpid():
+                            return self  # re-entrant: outer frame owns
+                        if holder and _pid_alive(holder):
+                            raise ConcurrentWriterError(
+                                f"writer pid {holder} holds {lock}; the "
+                                f"sink is single-writer (one streaming "
+                                f"query per checkpoint)"
+                            )
+                        # dead holder: break the stale lock and retry
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(lock)
+                raise ConcurrentWriterError(f"could not acquire {lock}")
+
+            def __exit__(self, *exc):
+                if self.owned:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(sink._lock_file())
+                return False
+
+        return _Lock()
+
     # -- the foreachBatch hook -------------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """MERGE one micro-batch: stage it, MATERIALIZE the merged
@@ -158,9 +232,12 @@ class ParquetUpsertSink:
         re-runs only the commit, restoring any partially-overwritten
         partition. Only after a successful commit is the staging removed.
         """
-        with_retries(
-            lambda: self._merge(batch_df, epoch_id), self.retries, self.retry_delay_s
-        )
+        with self._writer_lock():
+            with_retries(
+                lambda: self._merge(batch_df, epoch_id),
+                self.retries,
+                self.retry_delay_s,
+            )
 
     def _merge(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -268,11 +345,12 @@ class ParquetUpsertSink:
         ``partition_source`` is a key column, as the streaming sink
         keys are) — the same locality the merge's per-partition
         anti-join already relies on."""
-        with_retries(
-            lambda: self._delete(keys_df, epoch_id),
-            self.retries,
-            self.retry_delay_s,
-        )
+        with self._writer_lock():
+            with_retries(
+                lambda: self._delete(keys_df, epoch_id),
+                self.retries,
+                self.retry_delay_s,
+            )
 
     def _delete(self, keys_df: DataFrame, epoch_id: int) -> None:
         spark = keys_df.sparkSession
@@ -950,6 +1028,18 @@ class ParquetUpsertSink:
         a partition a stale staging is about to clobber. A partition
         is therefore always fully present in the target or pending in
         a complete staging — never lost."""
+        with self._writer_lock():
+            self._compact(
+                spark, files_per_partition, target_file_bytes, only_partitions
+            )
+
+    def _compact(
+        self,
+        spark: SparkSession,
+        files_per_partition: int,
+        target_file_bytes: int | None,
+        only_partitions: list[str] | None,
+    ) -> None:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
         self._finish_compact(staging)

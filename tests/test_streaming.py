@@ -1154,3 +1154,32 @@ def test_delete_after_schema_evolution(spark, tmp_path):
     )
     live = {r["k"]: r["fare_cents"] for r in sink.read(spark).collect()}
     assert live == {"b": 777, "c": 888, "d": 111}
+
+
+def test_writer_lock_blocks_live_second_writer_breaks_stale(spark, tmp_path):
+    """Single-writer guard: a lock held by a LIVE process makes a
+    second writer raise loudly; a dead holder's stale lock is broken
+    automatically; auto-compaction re-enters its own lock without
+    deadlocking (exercised by the auto_compact test's merge->compact
+    path)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(str(tmp_path / "t"), key_cols=("k", "window_start"))
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    batch = spark.createDataFrame(
+        [("a", d, 1)], "k string, window_start timestamp, total bigint"
+    )
+    # live second writer: pid 1 always exists
+    with open(sink._lock_file(), "w") as fh:
+        fh.write("1")
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        sink.write_batch(batch, 0)
+    # stale lock: dead pid — broken and proceeds
+    with open(sink._lock_file(), "w") as fh:
+        fh.write("999999999")
+    sink.write_batch(batch, 0)
+    assert sink.read(spark).count() == 1
+    assert not os.path.exists(sink._lock_file())  # released
