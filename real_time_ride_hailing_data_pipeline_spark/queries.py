@@ -7579,7 +7579,11 @@ def sql_scripting_p90_search(spark: SparkSession, sf_dir: str) -> DataFrame:
               SET total = (SELECT sum(n) FROM _script_hist);
               SET cov = (SELECT coalesce(sum(n), 0) FROM _script_hist
                          WHERE bucket_cap <= 0);
-              IF cov * 100 >= total * 90 THEN
+              -- empty histogram (all-NULL values): total is NULL and
+              -- every comparison would be NULL-false; answer 0, like
+              -- the linear search this replaced (a NULL-heavy table
+              -- must neither hang nor change the degenerate answer)
+              IF total IS NULL OR cov * 100 >= total * 90 THEN
                 UNCACHE TABLE _script_hist;
                 SELECT CAST(0 AS BIGINT) AS p90_cap, total AS n_values;
               ELSE

@@ -1115,7 +1115,7 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
     )
     delete_epoch = epochs[-1] + 1
     sink.delete_keys(doomed, delete_epoch)
-    versions = [e for e in sink.snapshots() if e >= epochs[0]]
+    versions = sink.snapshots()  # no retention bound: all versions live
 
     key_cols = ["event_type", "window_start"]
     replica = sink.read_at(spark, versions[0])

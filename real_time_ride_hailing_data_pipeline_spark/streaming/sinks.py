@@ -50,6 +50,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# lock paths this PROCESS currently holds (re-entrancy source of truth;
+# the pid inside a lock file can be spoofed by pid recycling)
+_HELD_LOCKS: set[str] = set()
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -166,14 +171,22 @@ class ParquetUpsertSink:
 
     def _writer_lock(self):
         """Process-scoped writer lock around every mutating entry point
-        (merge, delete, compact): an O_EXCL pid-file next to the table.
-        A dead holder's lock is broken automatically (pid liveness
-        probe); a LIVE second writer raises ConcurrentWriterError
-        rather than interleaving staging/commit steps. Re-entrant per
-        process (auto-compaction runs compact() inside the merge's
-        lock). This is the local/HDFS shape; on an object store the
-        same contract is a conditional-put on the lock object."""
+        (merge, delete, compact): a pid-file next to the table,
+        PUBLISHED ATOMICALLY by ``os.link`` from a fully-written
+        private file — a visible lock therefore always carries a
+        complete pid (no empty-read window for a second writer to
+        misread as stale). A dead holder's lock is broken by
+        ``os.rename`` to a unique name, so exactly ONE breaker wins
+        and the loser retries against the winner's fresh lock. A LIVE
+        second writer raises ConcurrentWriterError rather than
+        interleaving staging/commit steps. Re-entrancy is tracked in
+        the process-local ``_HELD_LOCKS`` set (auto-compaction runs
+        compact() inside the merge's lock) — NOT by comparing the
+        holder pid, which a recycled pid could spoof. This is the
+        local/HDFS shape; on an object store the same contract is a
+        conditional-put on the lock object."""
         import contextlib
+        import uuid
 
         sink = self
 
@@ -181,37 +194,58 @@ class ParquetUpsertSink:
             def __enter__(self):
                 self.owned = False
                 lock = sink._lock_file()
+                if lock in _HELD_LOCKS:
+                    return self  # re-entrant: the outer frame owns
                 os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-                for _ in range(2):
-                    try:
-                        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                        os.write(fd, str(os.getpid()).encode())
-                        os.close(fd)
-                        self.owned = True
-                        return self
-                    except FileExistsError:
+                tmp = f"{lock}.pid-{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    fh.write(str(os.getpid()))
+                try:
+                    for _ in range(4):
+                        try:
+                            os.link(tmp, lock)  # atomic, content complete
+                            _HELD_LOCKS.add(lock)
+                            self.owned = True
+                            return self
+                        except FileExistsError:
+                            pass
                         try:
                             with open(lock) as fh:
                                 holder = int(fh.read().strip() or 0)
-                        except (ValueError, FileNotFoundError):
-                            holder = 0
-                        if holder == os.getpid():
-                            return self  # re-entrant: outer frame owns
-                        if holder and _pid_alive(holder):
+                        except FileNotFoundError:
+                            continue  # a breaker just won; retry create
+                        except ValueError:
+                            holder = 0  # foreign artifact: break it
+                        # holder == our pid but not in _HELD_LOCKS: a
+                        # dead writer's pid recycled to us — stale too
+                        if (
+                            holder
+                            and holder != os.getpid()
+                            and _pid_alive(holder)
+                        ):
                             raise ConcurrentWriterError(
                                 f"writer pid {holder} holds {lock}; the "
                                 f"sink is single-writer (one streaming "
                                 f"query per checkpoint)"
                             )
-                        # dead holder: break the stale lock and retry
+                        stale = f"{lock}.stale-{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock, stale)  # one breaker wins
+                        except FileNotFoundError:
+                            continue  # another breaker won; retry
                         with contextlib.suppress(FileNotFoundError):
-                            os.remove(lock)
-                raise ConcurrentWriterError(f"could not acquire {lock}")
+                            os.remove(stale)
+                    raise ConcurrentWriterError(f"could not acquire {lock}")
+                finally:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(tmp)
 
             def __exit__(self, *exc):
                 if self.owned:
+                    lock = sink._lock_file()
+                    _HELD_LOCKS.discard(lock)
                     with contextlib.suppress(FileNotFoundError):
-                        os.remove(sink._lock_file())
+                        os.remove(lock)
                 return False
 
         return _Lock()
@@ -415,9 +449,9 @@ class ParquetUpsertSink:
             # version (mirrors the empty-micro-batch snapshot path)
             self._snapshot(spark, epoch_id, touched=[])
             return
-        survivors = existing.filter(
-            F.col("part_date").isin(touched_vals)
-        ).join(F.broadcast(staged_keys), self.key_cols, "left_anti")
+        survivors = self._anti_join_keys(
+            existing.filter(self._part_date_filter(touched_vals)), staged_keys
+        )
         survivors.write.mode("overwrite").partitionBy("part_date").parquet(
             self.merged_path
         )
@@ -443,6 +477,39 @@ class ParquetUpsertSink:
         self._snapshot(spark, epoch_id, touched_dirs)
         shutil.rmtree(self.merged_path, ignore_errors=True)
 
+    @staticmethod
+    def _part_date_filter(vals: list):
+        """NULL-safe ``part_date IN vals``: plain ``isin`` never
+        matches a NULL partition value (NULL IN (...) is NULL), which
+        would silently drop the hive-default partition's rows from a
+        merge's keep side or classify it 'emptied' in a delete."""
+        non_null = [v for v in vals if v is not None]
+        cond = (
+            F.col("part_date").isin(non_null) if non_null else F.lit(False)
+        )
+        if any(v is None for v in vals):
+            cond = cond | F.col("part_date").isNull()
+        return cond
+
+    def _anti_join_keys(self, left: DataFrame, keys: DataFrame) -> DataFrame:
+        """``left`` minus rows whose key appears in ``keys`` —
+        NULL-SAFE on every key column: a plain equi-anti-join's
+        ``NULL = NULL`` never matches, so a NULL-keyed row could
+        neither be overwritten by a merge nor removed by a delete
+        (it would silently duplicate instead). Broadcast + eqNullSafe
+        still plans as a BroadcastHashJoin."""
+        from functools import reduce
+
+        l, r = left.alias("__t"), F.broadcast(keys).alias("__b")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__t.{k}").eqNullSafe(F.col(f"__b.{k}"))
+                for k in self.key_cols
+            ],
+        )
+        return l.join(r, on=cond, how="left_anti")
+
     # -- snapshot transaction log -----------------------------------------
     @staticmethod
     def _part_dirname(value) -> str:
@@ -463,7 +530,10 @@ class ParquetUpsertSink:
         stagings written before the list existed."""
         try:
             with open(self._touched_file()) as fh:
-                return json.load(fh)["touched"]
+                data = json.load(fh)
+            # pre-dict-format stagings wrote a bare list (all touched,
+            # none emptied) — a crashed one must still recover
+            return data if isinstance(data, list) else data["touched"]
         except FileNotFoundError:
             staged = spark.read.parquet(self.merged_path)
             return [
@@ -784,9 +854,9 @@ class ParquetUpsertSink:
             if new is not None
             else old.select(*self.key_cols).limit(0)
         )
-        deletes = old.join(
-            F.broadcast(new_keys), self.key_cols, "left_anti"
-        ).withColumn("change_type", F.lit("delete"))
+        deletes = self._anti_join_keys(old, new_keys).withColumn(
+            "change_type", F.lit("delete")
+        )
         return upserts.unionByName(deletes)
 
     def _stage_merge(
@@ -805,13 +875,12 @@ class ParquetUpsertSink:
         out_cols = self._evolved_columns(existing, staged)
         # only partitions the batch touches participate in the merge
         touched = [r[0] for r in staged.select("part_date").distinct().collect()]
-        existing = existing.filter(F.col("part_date").isin(touched))
+        existing = existing.filter(self._part_date_filter(touched))
         # overwrite-per-key: drop existing rows for keys present in
         # the batch, keep the rest (broadcast: a micro-batch of
-        # aggregates is small)
-        keep = existing.join(
-            F.broadcast(staged.select(*self.key_cols)), self.key_cols, "left_anti"
-        )
+        # aggregates is small; NULL-safe so NULL-keyed rows overwrite
+        # instead of duplicating)
+        keep = self._anti_join_keys(existing, staged.select(*self.key_cols))
         # allowMissingColumns covers both evolution directions (batch
         # adds a column -> kept rows NULL-fill it; batch omits one ->
         # batch rows NULL-fill); without evolution the column sets are
@@ -873,7 +942,9 @@ class ParquetUpsertSink:
         # count already-moved partitions). rmtree is a no-op replay.
         try:
             with open(self._touched_file()) as fh:
-                emptied = json.load(fh)["emptied"]
+                data = json.load(fh)
+            # bare-list legacy stagings predate deletes: none emptied
+            emptied = [] if isinstance(data, list) else data["emptied"]
         except FileNotFoundError:
             emptied = []
         for d in emptied:
@@ -931,7 +1002,22 @@ class ParquetUpsertSink:
         return self._load_schema(self._schema_file())
 
     def _write_schema_file(self, schema) -> None:
-        self._atomic_json_write(self._schema_file(), schema.jsonValue())
+        from pyspark.sql.types import DateType, NullType, StructField, StructType
+
+        # partition-column type is INFERRED from directory names on the
+        # staging read; a commit touching only the hive-default (NULL)
+        # partition infers VOID, which would poison the authoritative
+        # schema (partitionBy refuses VOID; joins lose the date type).
+        # part_date is DATE by construction (to_date), so pin it.
+        fields = [
+            StructField(f.name, DateType(), True)
+            if f.name == "part_date" and isinstance(f.dataType, NullType)
+            else f
+            for f in schema.fields
+        ]
+        self._atomic_json_write(
+            self._schema_file(), StructType(fields).jsonValue()
+        )
 
     def _evolved_columns(self, existing: DataFrame, staged: DataFrame) -> list[str]:
         """Validate the batch schema against the table and return the
@@ -985,8 +1071,20 @@ class ParquetUpsertSink:
     def read(self, spark: SparkSession) -> DataFrame:
         """The materialized table (without the physical partition col).
         Finishes any pending compaction swap first — a crash mid-swap
-        must never serve (or let a writer extend) a torn table."""
-        self._finish_compact(self._compact_staging())
+        must never serve (or let a writer extend) a torn table.
+
+        The repair runs under the writer lock: an unlocked repair
+        could race a LIVE writer's own swap of the same staging
+        (reader rmtree-ing a partition the writer just installed —
+        permanent loss). If a live writer holds the lock, the repair
+        is ITS job — skip and read."""
+        staging = self._compact_staging()
+        if os.path.isdir(staging):
+            try:
+                with self._writer_lock():
+                    self._finish_compact(staging)
+            except ConcurrentWriterError:
+                pass  # the live writer owns (and will finish) the swap
         return self._read_table(spark).drop("part_date")
 
     def compact(

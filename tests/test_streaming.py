@@ -1183,3 +1183,35 @@ def test_writer_lock_blocks_live_second_writer_breaks_stale(spark, tmp_path):
     sink.write_batch(batch, 0)
     assert sink.read(spark).count() == 1
     assert not os.path.exists(sink._lock_file())  # released
+
+
+def test_null_partition_merge_and_delete(spark, tmp_path):
+    """NULL partition values (hive default dir): a merge into the NULL
+    partition keeps its pre-existing keys (plain isin would NULL-drop
+    the keep side), and deleting one NULL-partition key removes only
+    that key — never the whole hive-default partition."""
+    sink = _evo_sink(tmp_path)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    rows = [("a", None, 10), ("b", None, 20), ("c", d2, 30)]
+    sink.write_batch(
+        spark.createDataFrame(rows, "k string, window_start timestamp, total bigint"),
+        0,
+    )
+    # merge touching the NULL partition must keep 'b'
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", None, 11)], "k string, window_start timestamp, total bigint"
+        ),
+        1,
+    )
+    live = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert live == {"a": 11, "b": 20, "c": 30}
+    # delete ONE null-partition key: the other survives
+    sink.delete_keys(
+        spark.createDataFrame([("a", None)], "k string, window_start timestamp"), 2
+    )
+    live = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert live == {"b": 20, "c": 30}
+    assert os.path.isdir(
+        os.path.join(sink.path, "part_date=__HIVE_DEFAULT_PARTITION__")
+    )
