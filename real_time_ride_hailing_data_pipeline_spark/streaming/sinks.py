@@ -612,14 +612,38 @@ class ParquetUpsertSink:
         self._atomic_json_write(self._manifest_path(epoch_id), manifest)
         self._expire_snapshots()
 
-    def _expire_snapshots(self) -> None:
+    def vacuum(self, max_age_s: float | None = None) -> None:
+        """Manual VACUUM (the Delta ``VACUUM .. RETAIN`` shape): apply
+        the configured count bound AND, when ``max_age_s`` is given, a
+        TIME bound — every snapshot whose manifest published more than
+        ``max_age_s`` seconds ago expires (mtime of the atomic manifest
+        publish = commit time). The newest snapshot always survives
+        (the log must keep at least the current version). Runs the
+        same physical cleanup as the per-commit expiry."""
+        self._expire_snapshots(max_age_s=max_age_s)
+
+    def _expire_snapshots(self, max_age_s: float | None = None) -> None:
         """VACUUM: drop every manifest older than the newest
-        ``max_snapshots`` ones, then physically delete partition copies
-        no retained manifest references. Expired epochs become
-        unreadable by design — ``read_at`` below the horizon raises."""
-        if self.max_snapshots is None:
+        ``max_snapshots`` ones — and older than ``max_age_s`` when
+        given — then physically delete partition copies no retained
+        manifest references. Expired epochs become unreadable by
+        design — ``read_at`` below the horizon raises."""
+        if self.max_snapshots is None and max_age_s is None:
             return
-        retained = self.snapshots()[-self.max_snapshots :]
+        retained = (
+            self.snapshots()[-self.max_snapshots :]
+            if self.max_snapshots is not None
+            else self.snapshots()
+        )
+        if max_age_s is not None and retained:
+            horizon = time.time() - max_age_s
+            newest = retained[-1]  # current version always survives
+            retained = [
+                e
+                for e in retained
+                if e == newest
+                or os.path.getmtime(self._manifest_path(e)) >= horizon
+            ]
         for epoch in self.snapshots():
             if epoch not in retained:
                 os.remove(self._manifest_path(epoch))

@@ -1215,3 +1215,34 @@ def test_null_partition_merge_and_delete(spark, tmp_path):
     assert os.path.isdir(
         os.path.join(sink.path, "part_date=__HIVE_DEFAULT_PARTITION__")
     )
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """vacuum(max_age_s) expires snapshots older than the age bound
+    (manifest publish mtime = commit time) while always retaining the
+    newest version; read_at below the horizon raises, at/above it
+    still serves."""
+    sink = _evo_sink(tmp_path)
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    for epoch in range(3):
+        sink.write_batch(
+            spark.createDataFrame(
+                [(f"k{epoch}", d, epoch)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            epoch,
+        )
+    assert sink.snapshots() == [0, 1, 2]
+    # age epochs 0 and 1 artificially past the horizon
+    old = dt.datetime.now().timestamp() - 3600
+    for e in (0, 1):
+        os.utime(sink._manifest_path(e), (old, old))
+    sink.vacuum(max_age_s=600)
+    assert sink.snapshots() == [2]
+    with pytest.raises(ValueError, match="retention horizon"):
+        sink.read_at(spark, 1)
+    assert sink.read_at(spark, 2).count() == 3
+    # the newest survives even when itself past the age bound
+    os.utime(sink._manifest_path(2), (old, old))
+    sink.vacuum(max_age_s=600)
+    assert sink.snapshots() == [2]
