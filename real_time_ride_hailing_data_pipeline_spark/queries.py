@@ -182,8 +182,8 @@ _VERIFY_SPARES: list[str] = [
 # the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
-# streaming_delete_change_feed, streaming_cdc_downstream_apply —
-# plus re-verifying any entry the
+# streaming_delete_change_feed, streaming_cdc_downstream_apply,
+# udtf_table_arg_user_gaps — plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7860,3 +7860,74 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_cdc_downstream_apply(spark, sf_dir)
+
+
+@query(
+    "udtf_table_arg_user_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(
+             max(date_diff('microsecond', prev, ts) // 1000000), 0
+           ) AS BIGINT) AS max_gap_s
+    FROM g GROUP BY 1
+    """,
+)
+def udtf_table_arg_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY/ORDER BY
+    (Spark 4) — the SQL-native sibling of ``applyInPandas``: the
+    planner shuffles the relation on the partition keys, sorts each
+    partition by event time, and hands every partition's rows to a
+    fresh UDTF instance (``eval`` per row, ``terminate`` at partition
+    end), so arbitrary ordered per-group Python logic — here a
+    single-pass max-session-gap scan — runs WITHOUT collecting
+    anything: state per instance is O(1), parallelism is the key
+    cardinality, and at 100 TB the cost is exactly one shuffle+sort,
+    same as the window-function plan the oracle uses. Gap seconds are
+    computed in EXACT integer microseconds then floor-divided
+    (``timedelta // timedelta(microseconds=1)``) and the oracle
+    mirrors with DuckDB's integer ``date_diff('microsecond')`` — the
+    fixture's timestamps are sub-second, so float ``total_seconds()``
+    truncation would diverge from a double-epoch cast."""
+    import datetime as _dt
+
+    from pyspark.sql.functions import udtf
+
+    _US = _dt.timedelta(microseconds=1)
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_s bigint")
+    class _UserGaps:
+        def __init__(self) -> None:
+            self._user = None
+            self._prev = None
+            self._n = 0
+            self._max_gap_us = 0
+
+        def eval(self, row) -> None:  # noqa: ANN001 — UDTF protocol
+            self._user = row["user_id"]
+            self._n += 1
+            t = row["ts"]
+            if self._prev is not None:
+                gap = (t - self._prev) // _US  # exact integer microseconds
+                if gap > self._max_gap_us:
+                    self._max_gap_us = gap
+            self._prev = t
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._n, self._max_gap_us // 1_000_000
+
+    spark.udtf.register("rtrh_user_gaps_udtf", _UserGaps)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_udtf_gap_events")
+    return spark.sql(
+        """
+        SELECT * FROM rtrh_user_gaps_udtf(
+          TABLE(_udtf_gap_events) PARTITION BY user_id ORDER BY ts
+        )
+        """
+    )
