@@ -183,7 +183,8 @@ _VERIFY_SPARES: list[str] = [
 # session_variable_threshold_bands, transpose_event_type_metrics,
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
 # streaming_delete_change_feed, streaming_cdc_downstream_apply,
-# udtf_table_arg_user_gaps — plus re-verifying any entry the
+# udtf_table_arg_user_gaps, full_outer_user_reconciliation,
+# state_metadata_operators — plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -7930,4 +7931,110 @@ def udtf_table_arg_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
           TABLE(_udtf_gap_events) PARTITION BY user_id ORDER BY ts
         )
         """
+    )
+
+
+@query(
+    "full_outer_user_reconciliation",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, count(*) AS n_views FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+      SELECT user_id, count(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           CAST(coalesce(v.n_views, 0) AS BIGINT)     AS n_views,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN v.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'view_only'
+                ELSE 'both' END AS presence
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+    """,
+)
+def full_outer_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch FULL OUTER join — the reconciliation shape (which side is
+    missing which keys, with per-side aggregates COALESCEd) that
+    completes the batch join matrix next to inner/left/semi/anti/
+    as-of/range (the full-outer form previously appeared only in the
+    stream-stream tier). Both inputs pre-aggregate before the join, so
+    the join carries |users| rows per side — at 100 TB the shuffles
+    are the two aggregations; the join itself is key-cardinality
+    sized, and a one-sided key appears exactly once with zero-filled
+    counters (the audit contract)."""
+    events = _t(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    v, p = views.alias("v"), purchases.alias("p")
+    joined = v.join(p, F.col("v.user_id") == F.col("p.user_id"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("v.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_views"), F.lit(0)).cast("long").alias("n_views"),
+        F.coalesce(F.col("n_purchases"), F.lit(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.when(F.col("v.user_id").isNull(), F.lit("purchase_only"))
+        .when(F.col("p.user_id").isNull(), F.lit("view_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+@query(
+    "state_metadata_operators",
+    oracle="""
+    SELECT CAST(0 AS BIGINT)  AS operator_id,
+           'stateStoreSave'   AS operator_name,
+           'default'          AS store_name,
+           CAST(8 AS BIGINT)  AS num_partitions,
+           CAST(0 AS BIGINT)  AS min_batch_id,
+           CAST(1 AS BIGINT)  AS max_batch_id
+    """,
+)
+def state_metadata_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-METADATA data source (Spark 4,
+    ``spark.read.format("state-metadata")``) — the ops/debugging
+    companion to the statestore reader: per stateful operator, its
+    store name, state partition count, and committed batch range,
+    read straight out of a checkpoint. Deterministic end-to-end: the
+    availableNow replay of a single-file source commits data batch 0
+    plus the final watermark-commit batch 1, the windowed aggregation
+    is one stateStoreSave operator, and the state partition count is
+    the job's pinned streaming shuffle partitioning (8 — frozen into
+    the checkpoint at first run, the capacity-planning number this
+    source exists to expose). The oracle is those literal
+    invariants; a Spark upgrade that changed operator naming or
+    batch accounting would fail the hash loudly."""
+    import os as _os
+    import tempfile as _tf
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import (
+        run_city_metrics_replay,
+    )
+
+    workdir = _tf.mkdtemp(prefix="rtrh_statemd_")
+    ckpt = _os.path.join(workdir, "ckpt")
+    run_city_metrics_replay(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(workdir, "sink"),
+        ckpt,
+    )
+    md = spark.read.format("state-metadata").load(ckpt)
+    return md.select(
+        F.col("operatorId").cast("long").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("store_name"),
+        F.col("numPartitions").cast("long").alias("num_partitions"),
+        F.col("minBatchId").cast("long").alias("min_batch_id"),
+        F.col("maxBatchId").cast("long").alias("max_batch_id"),
     )
