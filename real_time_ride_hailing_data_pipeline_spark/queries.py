@@ -184,7 +184,8 @@ _VERIFY_SPARES: list[str] = [
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
 # streaming_delete_change_feed, streaming_cdc_downstream_apply,
 # udtf_table_arg_user_gaps, full_outer_user_reconciliation,
-# state_metadata_operators — plus re-verifying any entry the
+# state_metadata_operators, udtf_polymorphic_metric_extract —
+# plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -8037,4 +8038,62 @@ def state_metadata_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("numPartitions").cast("long").alias("num_partitions"),
         F.col("minBatchId").cast("long").alias("min_batch_id"),
         F.col("maxBatchId").cast("long").alias("max_batch_id"),
+    )
+
+
+@query(
+    "udtf_polymorphic_metric_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS metric_cents
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    """,
+)
+def udtf_polymorphic_metric_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output
+    schema is computed at PLAN time from the arguments — here the
+    function projects (event_type, <metric>) where the metric column
+    NAME arrives as a constant argument and its TYPE is resolved from
+    the TABLE argument's schema inside ``analyze``. This is the
+    schema-generic building block (column-pluggable extractors,
+    dynamic unpivots) the fixed-``returnType`` UDTF form cannot
+    express; Catalyst sees the resolved schema, so everything
+    downstream (the cents aggregation) plans normally.
+    ``useArrow=True`` keeps the boundary Arrow-batched. The UDTF is a
+    per-row generator with no partitioning clause — a map-only
+    Python stage; the aggregation after it is the usual two-phase
+    hash agg."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class _PickMetric:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, col: AnalyzeArgument) -> AnalyzeResult:
+            name = col.value
+            field = next(f for f in table.dataType.fields if f.name == name)
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("event_type", StringType()),
+                        StructField(name, field.dataType),
+                    ]
+                )
+            )
+
+        def eval(self, row, col):  # noqa: ANN001 — UDTF protocol
+            if row["event_type"] is not None:
+                yield row["event_type"], row[col]
+
+    spark.udtf.register(
+        "rtrh_pick_metric_udtf", udtf(_PickMetric, useArrow=True)
+    )
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_poly_events")
+    picked = spark.sql(
+        "SELECT * FROM rtrh_pick_metric_udtf(TABLE(_poly_events), 'value')"
+    )
+    return picked.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("metric_cents")
     )
