@@ -178,7 +178,7 @@ _VERIFY_SPARES: list[str] = [
 # recursive_cte_year_spine, observe_scan_audit,
 # streaming_rate_source_buckets, approx_topk_event_types,
 # parameterized_sql_priority_bands, agg_median_mode_per_type,
-# global_row_index, cbo_stats_join_reorder — plus the seven born in
+# global_row_index, cbo_stats_join_reorder — plus the twelve born in
 # the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
@@ -7902,7 +7902,10 @@ def udtf_table_arg_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _US = _dt.timedelta(microseconds=1)
 
-    @udtf(returnType="user_id bigint, n_events bigint, max_gap_s bigint")
+    @udtf(
+        returnType="user_id bigint, n_events bigint, max_gap_s bigint",
+        useArrow=True,  # ArrowEvalPythonUDTF — the sanctioned boundary
+    )
     class _UserGaps:
         def __init__(self) -> None:
             self._user = None

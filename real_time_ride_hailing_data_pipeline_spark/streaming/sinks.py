@@ -619,8 +619,14 @@ class ParquetUpsertSink:
         ``max_age_s`` seconds ago expires (mtime of the atomic manifest
         publish = commit time). The newest snapshot always survives
         (the log must keep at least the current version). Runs the
-        same physical cleanup as the per-commit expiry."""
-        self._expire_snapshots(max_age_s=max_age_s)
+        same physical cleanup as the per-commit expiry, under the
+        writer lock — an unlocked vacuum could delete partition copies
+        a concurrent commit has written but not yet published a
+        manifest for. No-op without a snapshot log."""
+        if self.snapshot_dir is None:
+            return
+        with self._writer_lock():
+            self._expire_snapshots(max_age_s=max_age_s)
 
     def _expire_snapshots(self, max_age_s: float | None = None) -> None:
         """VACUUM: drop every manifest older than the newest

@@ -21,8 +21,6 @@ import datetime as dt
 import os
 import shutil
 
-import pytest
-
 from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
     ParquetUpsertSink,
 )
