@@ -109,12 +109,21 @@ class ParquetUpsertSink:
         max_snapshots: int | None = None,
         schema_evolution: bool = False,
         auto_compact_files: int | None = None,
+        partition_granularity: str = "day",
     ) -> None:
         self.path = path
         self.staging_path = path.rstrip("/") + "__staging"
         self.merged_path = path.rstrip("/") + "__merged"
         self.key_cols = list(key_cols)
         self.partition_source = partition_source
+        # Initial partition granularity for a NEW table; an existing
+        # table's spec HISTORY (evolve_partitioning) is read from the
+        # _partspec.json sidecar and wins over this default.
+        if partition_granularity not in self._GRANULARITIES:
+            raise ValueError(
+                f"partition_granularity must be one of {self._GRANULARITIES}"
+            )
+        self.partition_granularity = partition_granularity
         self.retries = retries
         self.retry_delay_s = retry_delay_s
         # When set, each committed epoch is retained as a SNAPSHOT under
@@ -164,6 +173,141 @@ class ParquetUpsertSink:
         # table cannot afford; a log-recorded schema is how
         # Delta/Iceberg solve it and how this sink does too.
         self.schema_evolution = schema_evolution
+
+    # -- partition-spec evolution ------------------------------------------
+    _GRANULARITIES = ("day", "month", "year")
+
+    def _partspec_file(self) -> str:
+        return os.path.join(self.path, "_partspec.json")
+
+    def _transforms(self) -> list[str]:
+        """Ordered partition-spec history (Iceberg-style): the LAST
+        entry derives part_date for new writes; older entries name the
+        granularities historical partitions may still be stored under.
+        Persisted next to the table so a restarted writer sees the
+        evolved spec, not its constructor default."""
+        try:
+            with open(self._partspec_file()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return [self.partition_granularity]
+
+    def _derive_part_date(self, granularity: str):
+        day = F.to_date(F.col(self.partition_source))
+        if granularity == "day":
+            return day
+        return F.trunc(day, granularity)  # month/year floor, DATE-typed
+
+    def _touched_candidates(self, rel: DataFrame) -> list:
+        """Distinct part_date values the relation's rows may live
+        under ACROSS EVERY historical spec — the merge/delete pruning
+        set after an evolution: a key written pre-evolution sits in
+        its old-granularity partition until rewritten, so the keep
+        side must read (and the overwrite must claim) the union of
+        derivations. |specs| is the number of evolutions ever made
+        (tiny), so this stays O(touched dirs)."""
+        derivs = [
+            self._derive_part_date(s).alias(f"_d{i}")
+            for i, s in enumerate(self._transforms())
+        ]
+        vals: set = set()
+        for r in rel.select(*derivs).distinct().collect():
+            vals.update(r)
+        return sorted(vals, key=lambda v: (v is None, str(v)))
+
+    def evolve_partitioning(self, granularity: str) -> None:
+        """Change the partition granularity for FUTURE writes (the
+        Iceberg partition-evolution contract): existing partitions
+        stay under their old spec — no rewrite — and reads, merges,
+        deletes and the snapshot log span both, because every pruning
+        step derives candidates under every historical spec.
+        ``migrate_partitions`` optionally rewrites history into the
+        current spec later."""
+        if granularity not in self._GRANULARITIES:
+            raise ValueError(
+                f"granularity must be one of {self._GRANULARITIES}"
+            )
+        with self._writer_lock():
+            specs = self._transforms()
+            if specs[-1] == granularity:
+                return
+            os.makedirs(self.path, exist_ok=True)
+            self._atomic_json_write(
+                self._partspec_file(), [*specs, granularity]
+            )
+
+    def migrate_partitions(self, spark: SparkSession) -> None:
+        """Rewrite the WHOLE table into the current partition spec
+        (the optional eager half of evolution — OPTIMIZE-style layout
+        homogenization). Crash-safe through the compaction staging:
+        the staged copy carries a ``_MIGRATE`` manifest listing its
+        partition set, and the swap removes old-spec directories NOT
+        in that list — from the persisted list, never from what
+        remains in a partially-drained staging, so a crashed swap can
+        never delete an already-installed partition on re-entry."""
+        with self._writer_lock():
+            self._finish_compact(self._compact_staging())
+            self._finish_migrate()
+            if not self._table_exists():
+                return
+            current = self._read_table(spark)
+            data_cols = [c for c in current.columns if c != "part_date"]
+            staging = self._migrate_staging()
+            (
+                current.select(*data_cols)
+                .withColumn(
+                    "part_date",
+                    self._derive_part_date(self._transforms()[-1]),
+                )
+                .write.mode("overwrite")
+                .partitionBy("part_date")
+                .parquet(staging)
+            )
+            staged_dirs = sorted(
+                d for d in os.listdir(staging) if d.startswith("part_date=")
+            )
+            # the manifest is the completeness marker: a staging with
+            # _SUCCESS but no _MIGRATE crashed before this point and is
+            # DISCARDED on recovery (an ordinary compact staging would
+            # be swapped — a migration must never half-apply, since the
+            # swap also deletes old-spec directories)
+            self._atomic_json_write(
+                os.path.join(staging, "_MIGRATE"), staged_dirs
+            )
+            self._finish_migrate()
+
+    def _migrate_staging(self) -> str:
+        return self.path.rstrip("/") + "__migrate"
+
+    def _finish_migrate(self) -> None:
+        """Complete (or discard) a migration staging: swap every staged
+        partition in, then remove old-spec partition directories not
+        in the staged set — taken from the durable ``_MIGRATE`` list,
+        never from what remains in a partially-drained staging (which
+        would misclassify already-installed partitions as old-spec)."""
+        staging = self._migrate_staging()
+        if not os.path.isdir(staging):
+            return
+        manifest = os.path.join(staging, "_MIGRATE")
+        if not (
+            os.path.exists(os.path.join(staging, "_SUCCESS"))
+            and os.path.exists(manifest)
+        ):
+            shutil.rmtree(staging, ignore_errors=True)  # incomplete
+            return
+        with open(manifest) as fh:
+            staged_dirs = set(json.load(fh))
+        for d in sorted(staged_dirs):
+            src = os.path.join(staging, d)
+            if not os.path.isdir(src):
+                continue  # already installed by a crashed earlier pass
+            dst = os.path.join(self.path, d)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(src, dst)
+        for d in os.listdir(self.path):
+            if d.startswith("part_date=") and d not in staged_dirs:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
     # -- single-writer guard ----------------------------------------------
     def _lock_file(self) -> str:
@@ -280,6 +424,7 @@ class ParquetUpsertSink:
         # merge into that partition's date would be silently clobbered
         # when the next compact() completes the stale swap.
         self._finish_compact(self._compact_staging())
+        self._finish_migrate()
         if self._merge_staged_for(epoch_id):
             # crashed commit for this very epoch: finish it from the
             # durable staging (batch content is already inside it).
@@ -305,7 +450,7 @@ class ParquetUpsertSink:
                 self._snapshot(spark, epoch_id, touched=[])
             return
         batch = batch_df.withColumn(
-            "part_date", F.to_date(F.col(self.partition_source))
+            "part_date", self._derive_part_date(self._transforms()[-1])
         )
 
         if not self._table_exists():
@@ -389,6 +534,7 @@ class ParquetUpsertSink:
     def _delete(self, keys_df: DataFrame, epoch_id: int) -> None:
         spark = keys_df.sparkSession
         self._finish_compact(self._compact_staging())
+        self._finish_migrate()
         if self._merge_staged_for(epoch_id):
             # crashed delete commit: unlike write_batch's recovery, the
             # staging must OUTLIVE the snapshot publish — after _commit
@@ -417,14 +563,10 @@ class ParquetUpsertSink:
             # no table scan at all. Measured: a delete of a narrow
             # date range holds flat as the table grows 8×, where the
             # semi-join discovery scan grew with the table.
-            candidates = {
-                r[0]
-                for r in staged_keys.select(
-                    F.to_date(F.col(self.partition_source)).alias("d")
-                )
-                .distinct()
-                .collect()
-            }
+            # candidates under EVERY historical partition spec — a key
+            # written before evolve_partitioning lives in its
+            # old-granularity partition
+            candidates = self._touched_candidates(staged_keys)
             live = {
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             }
@@ -903,8 +1045,31 @@ class ParquetUpsertSink:
 
         existing = self._read_table(spark)
         out_cols = self._evolved_columns(existing, staged)
-        # only partitions the batch touches participate in the merge
-        touched = [r[0] for r in staged.select("part_date").distinct().collect()]
+        # partitions the batch touches, under EVERY historical
+        # partition spec: after evolve_partitioning a batch key's old
+        # copy still lives in its old-granularity partition, and the
+        # keep side must read (and the overwrite must claim) it too.
+        # With a single spec this is exactly the batch's part_dates.
+        if len(self._transforms()) == 1:
+            # never-evolved table (the hot path): the batch's own
+            # part_dates ARE the touched set — one collect
+            touched = [
+                r[0] for r in staged.select("part_date").distinct().collect()
+            ]
+        else:
+            live_dirs = {
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            }
+            batch_dirs = {
+                self._part_dirname(r[0])
+                for r in staged.select("part_date").distinct().collect()
+            }
+            touched = [
+                v
+                for v in self._touched_candidates(staged)
+                if self._part_dirname(v) in live_dirs
+                or self._part_dirname(v) in batch_dirs
+            ]
         existing = existing.filter(self._part_date_filter(touched))
         # overwrite-per-key: drop existing rows for keys present in
         # the batch, keep the rest (broadcast: a micro-batch of
@@ -920,10 +1085,18 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched]
-        # a merge never empties a partition (the batch's own rows are
-        # in every touched partition); only delete stagings do
+        # a single-spec merge never empties a partition (the batch's
+        # own rows land in every touched dir), but a POST-EVOLUTION
+        # merge can: an old-spec partition whose every key the batch
+        # overwrote has no rows left — record it so the commit drops
+        # the directory (same mechanism as deletes)
+        emptied = [
+            d
+            for d in touched_dirs
+            if not os.path.isdir(os.path.join(self.merged_path, d))
+        ]
         with open(self._touched_file(), "w") as fh:
-            json.dump({"touched": touched_dirs, "emptied": []}, fh)
+            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
         # marker written last: its presence (with Spark's _SUCCESS)
         # certifies a COMPLETE staging for exactly this epoch. Local-FS
         # file here; on an object store this becomes a marker object.
@@ -1109,10 +1282,11 @@ class ParquetUpsertSink:
         permanent loss). If a live writer holds the lock, the repair
         is ITS job — skip and read."""
         staging = self._compact_staging()
-        if os.path.isdir(staging):
+        if os.path.isdir(staging) or os.path.isdir(self._migrate_staging()):
             try:
                 with self._writer_lock():
                     self._finish_compact(staging)
+                    self._finish_migrate()
             except ConcurrentWriterError:
                 pass  # the live writer owns (and will finish) the swap
         return self._read_table(spark).drop("part_date")
@@ -1171,6 +1345,7 @@ class ParquetUpsertSink:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
         self._finish_compact(staging)
+        self._finish_migrate()
         # schema-aware read: after an evolution commit the untouched
         # partitions physically lack the new column; compacting through
         # the authoritative schema NULL-fills and rewrites them, so

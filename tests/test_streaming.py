@@ -1246,3 +1246,123 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     os.utime(sink._manifest_path(2), (old, old))
     sink.vacuum(max_age_s=600)
     assert sink.snapshots() == [2]
+
+
+# -- partition-spec evolution (sinks.py: evolve_partitioning) ---------------
+
+
+def test_partition_evolution_merge_across_specs(spark, tmp_path):
+    """After evolve_partitioning('month'), new writes land in monthly
+    partitions while old daily partitions stay put; a merge that
+    overwrites a pre-evolution key claims its old daily partition too
+    (the key's old copy must not survive), and a daily partition whose
+    every key was overwritten is dropped. A FRESH sink instance (a
+    restarted writer with constructor defaults) reads the evolved
+    spec from the sidecar."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    path = str(tmp_path / "t")
+    sink = ParquetUpsertSink(path, key_cols=("k", "window_start"))
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.evolve_partitioning("month")
+
+    restarted = ParquetUpsertSink(path, key_cols=("k", "window_start"))
+    restarted.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 11), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        1,
+    )
+    live = {r["k"]: r["total"] for r in restarted.read(spark).collect()}
+    assert live == {"a": 11, "b": 20, "c": 30}
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part_date="))
+    # 'a' moved to the monthly partition; its daily dir (2024-01-15,
+    # fully overwritten) is gone; b's daily dir survives untouched
+    assert dirs == ["part_date=2024-01-01", "part_date=2024-01-16"]
+    monthly = spark.read.parquet(os.path.join(path, "part_date=2024-01-01"))
+    assert sorted(r["k"] for r in monthly.collect()) == ["a", "c"]
+
+
+def test_partition_evolution_delete_across_specs(spark, tmp_path):
+    """delete_keys after an evolution prunes under every historical
+    spec: a key stored pre-evolution (daily dir) is found and removed
+    even though the current spec would look in the monthly dir."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.evolve_partitioning("month")
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"), 1
+    )
+    assert [r["k"] for r in sink.read(spark).collect()] == ["b"]
+    typed = [
+        (r["change_type"], r["k"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    ]
+    assert typed == [("delete", "a")]
+
+
+def test_partition_migration_homogenizes_layout(spark, tmp_path):
+    """migrate_partitions rewrites history into the current spec:
+    all-monthly directories afterwards, content identical, and an
+    INCOMPLETE migration staging (no _MIGRATE manifest — the crash
+    window before publish) is discarded on the next entry rather than
+    half-applied (a half-applied migration would delete old-spec dirs
+    without installing their replacements)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    path = str(tmp_path / "t")
+    sink = ParquetUpsertSink(path, key_cols=("k", "window_start"))
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 2, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    before = sorted(tuple(r) for r in sink.read(spark).collect())
+    sink.evolve_partitioning("month")
+
+    # simulate the crash window: a staging with _SUCCESS but no
+    # _MIGRATE manifest must be discarded, table untouched
+    fake = sink._migrate_staging()
+    os.makedirs(os.path.join(fake, "part_date=2024-01-01"))
+    open(os.path.join(fake, "_SUCCESS"), "w").close()
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+    assert not os.path.isdir(fake)
+
+    sink.migrate_partitions(spark)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part_date="))
+    assert dirs == ["part_date=2024-01-01", "part_date=2024-02-01"]
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+    # and a post-migration merge behaves normally under the new spec
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 99)], "k string, window_start timestamp, total bigint"
+        ),
+        1,
+    )
+    live = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert live == {"a": 99, "b": 20}
