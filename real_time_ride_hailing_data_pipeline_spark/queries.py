@@ -178,14 +178,14 @@ _VERIFY_SPARES: list[str] = [
 # recursive_cte_year_spine, observe_scan_audit,
 # streaming_rate_source_buckets, approx_topk_event_types,
 # parameterized_sql_priority_bands, agg_median_mode_per_type,
-# global_row_index, cbo_stats_join_reorder — plus the twelve born in
-# the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
+# global_row_index, cbo_stats_join_reorder — plus the thirteen born
+# in the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
 # session_variable_threshold_bands, transpose_event_type_metrics,
 # streaming_schema_evolution_replay, streaming_foreach_row_sink,
 # streaming_delete_change_feed, streaming_cdc_downstream_apply,
 # udtf_table_arg_user_gaps, full_outer_user_reconciliation,
-# state_metadata_operators, udtf_polymorphic_metric_extract —
-# plus re-verifying any entry the
+# state_metadata_operators, udtf_polymorphic_metric_extract,
+# streaming_partition_evolution_replay — plus re-verifying any entry the
 # r7 window had to drop.  Beyond that, windows are free to re-verify
 # regression-risk areas (streaming sinks, new entries) instead of
 # chasing coverage.
@@ -8100,3 +8100,33 @@ def udtf_polymorphic_metric_extract(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("metric_cents")
     )
+
+
+@query(
+    "streaming_partition_evolution_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution mid-stream
+    (streaming/job.py:streaming_partition_evolution_replay): the
+    two-batch replay evolves the sink from daily to monthly
+    partitioning between batches — history stays daily, new commits
+    land monthly, and cross-spec pruning lets the merge claim
+    pre-evolution copies of overwritten keys. The helper raises
+    unless the physical layout is genuinely mixed and no key is
+    duplicated across specs; the oracle is the full batch
+    aggregation, proving the layout change is invisible to query
+    results (the entire point of evolution: re-granularize a 100 TB
+    table without a rewrite or a semantic change)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_partition_evolution_replay(spark, sf_dir)

@@ -1135,6 +1135,68 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
     return replica
 
 
+def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution executed through a real streaming
+    replay: batch 0 commits under daily partitioning, the spec then
+    evolves to MONTHLY (``evolve_partitioning`` — the Iceberg
+    contract: no rewrite, history stays daily), and batch 1 commits
+    under the new spec — including overwrites of batch-0 keys, whose
+    daily copies the merge must claim across specs. The function
+    asserts the physical layout is genuinely mixed (both daily and
+    monthly directories present) and that no key is duplicated across
+    specs; the oracle is the plain full aggregation, proving the
+    evolution is INVISIBLE to query results — the entire point of
+    partition evolution at 100 TB is changing layout granularity
+    without a table rewrite or a semantic change."""
+    import glob as _glob
+
+    workdir = _workdir("rtrh_pevo_")
+    src_dir = _split_events_two_files(spark, sf_dir, workdir)
+    events = events_parquet_stream(
+        spark,
+        src_dir,
+        max_files_per_trigger=1,
+        wrapper_dir=os.path.join(workdir, "ckpt__srcview"),
+    )
+    metrics = city_metrics_update_stream(events)
+    sink = ParquetUpsertSink(
+        os.path.join(workdir, "city_metrics"),
+        key_cols=("event_type", "window_start"),
+    )
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id == 1:  # the operational re-partitioning decision
+            sink.evolve_partitioning("month")
+        sink.write_batch(batch_df, epoch_id)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        query = (
+            metrics.writeStream.outputMode("update")
+            .foreachBatch(write)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    dirs = {
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(sink.path, "part_date=*"))
+    }
+    monthly = {d for d in dirs if d.endswith("-01")}
+    if not monthly or monthly == dirs:
+        raise RuntimeError(f"expected a mixed daily+monthly layout, got {sorted(dirs)}")
+    out = sink.read(spark)
+    n_rows = out.count()
+    n_keys = out.select("event_type", "window_start").distinct().count()
+    if n_rows != n_keys:
+        raise RuntimeError("a key is duplicated across partition specs")
+    return out
+
+
 def streaming_foreach_row_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The row-level ``writeStream.foreach(writer)`` sink executed
     end-to-end (S6's second API shape; foreachBatch is the first).
