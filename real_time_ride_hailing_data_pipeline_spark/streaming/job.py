@@ -1140,11 +1140,12 @@ def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> Da
     replay: batch 0 commits under daily partitioning, the spec then
     evolves to MONTHLY (``evolve_partitioning`` — the Iceberg
     contract: no rewrite, history stays daily), and batch 1 commits
-    under the new spec — including overwrites of batch-0 keys, whose
-    daily copies the merge must claim across specs. The function
-    asserts the physical layout is genuinely mixed (both daily and
-    monthly directories present) and that no key is duplicated across
-    specs; the oracle is the plain full aggregation, proving the
+    under the new spec; a third batch then RE-PUTS one pre-evolution
+    window (identical values), forcing the merge to claim the key's
+    daily copy across specs and land it monthly. The function asserts
+    the physical layout equals the data-derived expected daily+monthly
+    set exactly and that no key is duplicated across specs; the
+    oracle is the plain full aggregation, proving the
     evolution is INVISIBLE to query results — the entire point of
     partition evolution at 100 TB is changing layout granularity
     without a table rewrite or a semantic change."""
@@ -1182,14 +1183,53 @@ def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> Da
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # cross-spec overwrite: re-put ONE pre-evolution window's rows
+    # (identical values — content-invariant) as a post-evolution
+    # batch; the merge must claim the key's daily copy and land it in
+    # its monthly partition, or the duplicate check below trips
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    moved = (
+        sink.read(spark)
+        .filter(F.col("window_start") < cutoff)
+        .orderBy("window_start", "event_type")
+        .limit(1)
+    )
+    sink.write_batch(moved, 2)
+
+    # the exact expected mixed layout, derived from the data: daily
+    # dirs for pre-cutoff dates (still populated by their other
+    # windows), monthly dirs for post-cutoff months plus the moved
+    # key's month — not a substring heuristic (a daily first-of-month
+    # dir would fool an endswith('-01') check)
+    out = sink.read(spark)
+    daily = {
+        f"part_date={r[0].isoformat()}"
+        for r in out.filter(F.col("window_start") < cutoff)
+        .select(F.to_date("window_start"))
+        .distinct()
+        .collect()
+    }
+    monthly = {
+        f"part_date={r[0].isoformat()}"
+        for r in out.filter(F.col("window_start") >= cutoff)
+        .select(F.trunc(F.to_date("window_start"), "month"))
+        .distinct()
+        .collect()
+    } | {
+        f"part_date={r[0].isoformat()}"
+        for r in moved.select(
+            F.trunc(F.to_date("window_start"), "month")
+        ).collect()
+    }
     dirs = {
         os.path.basename(d)
         for d in _glob.glob(os.path.join(sink.path, "part_date=*"))
     }
-    monthly = {d for d in dirs if d.endswith("-01")}
-    if not monthly or monthly == dirs:
-        raise RuntimeError(f"expected a mixed daily+monthly layout, got {sorted(dirs)}")
-    out = sink.read(spark)
+    if dirs != daily | monthly or not daily or not monthly:
+        raise RuntimeError(
+            f"layout mismatch: got {sorted(dirs)}, "
+            f"expected daily {sorted(daily)} + monthly {sorted(monthly)}"
+        )
     n_rows = out.count()
     n_keys = out.select("event_type", "window_start").distinct().count()
     if n_rows != n_keys:

@@ -198,22 +198,27 @@ class ParquetUpsertSink:
             return day
         return F.trunc(day, granularity)  # month/year floor, DATE-typed
 
-    def _touched_candidates(self, rel: DataFrame) -> list:
+    def _touched_candidates(self, rel: DataFrame) -> tuple[list, list]:
         """Distinct part_date values the relation's rows may live
         under ACROSS EVERY historical spec — the merge/delete pruning
         set after an evolution: a key written pre-evolution sits in
         its old-granularity partition until rewritten, so the keep
         side must read (and the overwrite must claim) the union of
-        derivations. |specs| is the number of evolutions ever made
-        (tiny), so this stays O(touched dirs)."""
+        derivations. Returns (all-spec values, current-spec values)
+        from ONE collect. |specs| is the number of evolutions ever
+        made (tiny), so this stays O(touched dirs)."""
+        specs = self._transforms()
         derivs = [
             self._derive_part_date(s).alias(f"_d{i}")
-            for i, s in enumerate(self._transforms())
+            for i, s in enumerate(specs)
         ]
         vals: set = set()
+        current: set = set()
         for r in rel.select(*derivs).distinct().collect():
             vals.update(r)
-        return sorted(vals, key=lambda v: (v is None, str(v)))
+            current.add(r[-1])  # last deriv = current spec
+        key = lambda v: (v is None, str(v))  # noqa: E731
+        return sorted(vals, key=key), sorted(current, key=key)
 
     def evolve_partitioning(self, granularity: str) -> None:
         """Change the partition granularity for FUTURE writes (the
@@ -248,6 +253,12 @@ class ParquetUpsertSink:
         with self._writer_lock():
             self._finish_compact(self._compact_staging())
             self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+            # an unapplied merge/delete commit must land BEFORE the
+            # re-layout: migrating first would delete the old-spec dirs
+            # its staging is about to re-install (duplicating keys
+            # across specs when the stream later replays the epoch)
+            self._finish_pending_epoch(spark)
             if not self._table_exists():
                 return
             current = self._read_table(spark)
@@ -266,6 +277,13 @@ class ParquetUpsertSink:
             staged_dirs = sorted(
                 d for d in os.listdir(staging) if d.startswith("part_date=")
             )
+            # a re-snapshot marker precedes the layout mutation: the
+            # snapshot log's newest manifest still points at old-spec
+            # directories, and until it is rewritten time travel would
+            # double-count every migrated row. The marker survives a
+            # crash anywhere in between; every entry point heals it.
+            if self.snapshot_dir is not None and self.snapshots():
+                open(self._migrate_resnapshot_marker(), "w").close()
             # the manifest is the completeness marker: a staging with
             # _SUCCESS but no _MIGRATE crashed before this point and is
             # DISCARDED on recovery (an ordinary compact staging would
@@ -275,6 +293,44 @@ class ParquetUpsertSink:
                 os.path.join(staging, "_MIGRATE"), staged_dirs
             )
             self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+
+    def _migrate_resnapshot_marker(self) -> str:
+        return os.path.join(self.snapshot_dir, "_MIGRATE_RESNAPSHOT")
+
+    def _heal_migration_snapshot(self, spark: SparkSession) -> None:
+        """Rewrite the NEWEST snapshot version to the post-migration
+        layout (marker-gated; no-op otherwise): the migration is
+        content-identical, so the current version's rows are unchanged
+        — but its manifest must point at the new-spec partition copies
+        or every future manifest inherits stale old-spec pointers and
+        time travel double-counts migrated rows. The rewritten
+        manifest is EXACTLY the live partition set (no inheritance —
+        inheriting would resurrect partitions a delete dropped at this
+        version)."""
+        if self.snapshot_dir is None:
+            return
+        marker = self._migrate_resnapshot_marker()
+        if not os.path.exists(marker):
+            return
+        snaps = self.snapshots()
+        if snaps:
+            epoch = snaps[-1]
+            live = sorted(
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            )
+            epoch_files = os.path.join(
+                self.snapshot_dir, "files", f"epoch={epoch}"
+            )
+            for d in live:
+                dst = os.path.join(epoch_files, d)
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.copytree(os.path.join(self.path, d), dst)
+            self._atomic_json_write(
+                self._manifest_path(epoch), {d: epoch for d in live}
+            )
+            self._expire_snapshots()
+        os.remove(marker)
 
     def _migrate_staging(self) -> str:
         return self.path.rstrip("/") + "__migrate"
@@ -308,6 +364,13 @@ class ParquetUpsertSink:
             if d.startswith("part_date=") and d not in staged_dirs:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+        # the layout is homogeneous under the current spec now —
+        # collapse the history so merges/deletes return to the
+        # single-spec hot path (one collect, no dead old-spec
+        # candidate derivations)
+        self._atomic_json_write(
+            self._partspec_file(), self._transforms()[-1:]
+        )
 
     # -- single-writer guard ----------------------------------------------
     def _lock_file(self) -> str:
@@ -425,17 +488,11 @@ class ParquetUpsertSink:
         # when the next compact() completes the stale swap.
         self._finish_compact(self._compact_staging())
         self._finish_migrate()
-        if self._merge_staged_for(epoch_id):
-            # crashed commit for this very epoch: finish it from the
-            # durable staging (batch content is already inside it).
-            # The touched set must be read BEFORE _commit drops the
-            # staging directory — and only when a snapshot will
-            # actually use it (it costs a Spark job over the staging).
-            touched = (
-                self._staged_touched(spark) if self.snapshot_dir else None
-            )
-            self._commit(spark)
-            self._snapshot(spark, epoch_id, touched)
+        self._heal_migration_snapshot(spark)
+        # a complete staging from ANY crashed commit is finished first
+        # (commit -> snapshot -> drop); if it was THIS epoch, the
+        # replayed batch is already applied
+        if self._finish_pending_epoch(spark) == epoch_id:
             return
         if batch_df.isEmpty():
             # update-mode can emit empty micro-batches (e.g. the final
@@ -449,8 +506,9 @@ class ParquetUpsertSink:
             if self._table_exists():
                 self._snapshot(spark, epoch_id, touched=[])
             return
+        specs = self._transforms()
         batch = batch_df.withColumn(
-            "part_date", self._derive_part_date(self._transforms()[-1])
+            "part_date", self._derive_part_date(specs[-1])
         )
 
         if not self._table_exists():
@@ -461,13 +519,27 @@ class ParquetUpsertSink:
             # partition (the full first baseline).
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
             self._write_schema_file(batch.schema)
+            # the static overwrite truncated the table directory —
+            # including any partition-spec sidecar an evolve on an
+            # empty/drained table had written; republish the specs the
+            # batch was derived under, or a restarted writer's
+            # constructor default silently reverts the evolution
+            self._atomic_json_write(self._partspec_file(), specs)
             self._snapshot(spark, epoch_id, touched=None)
             self._auto_compact(spark, touched=None)
             return
 
-        touched = self._stage_merge(spark, batch, epoch_id)
-        self._commit(spark)
-        self._snapshot(spark, epoch_id, touched)
+        touched, emptied = self._stage_merge(spark, batch, epoch_id)
+        if emptied:
+            # a post-evolution merge drained an old-spec partition:
+            # same resurrection-safe ordering as deletes — the staging
+            # outlives the snapshot publish (see _finish_pending_epoch)
+            self._commit(spark, drop_staging=False)
+            self._snapshot(spark, epoch_id, touched)
+            shutil.rmtree(self.merged_path, ignore_errors=True)
+        else:
+            self._commit(spark)
+            self._snapshot(spark, epoch_id, touched)
         self._auto_compact(spark, touched)
 
     def _auto_compact(self, spark: SparkSession, touched: list[str] | None) -> None:
@@ -535,20 +607,9 @@ class ParquetUpsertSink:
         spark = keys_df.sparkSession
         self._finish_compact(self._compact_staging())
         self._finish_migrate()
-        if self._merge_staged_for(epoch_id):
-            # crashed delete commit: unlike write_batch's recovery, the
-            # staging must OUTLIVE the snapshot publish — after _commit
-            # the doomed keys are gone from the live table, so a replay
-            # that found no staging would take the empty-commit branch
-            # and publish a manifest still pointing at pre-delete
-            # copies (resurrecting erased rows in the versioned view)
-            touched = (
-                self._staged_touched(spark) if self.snapshot_dir else None
-            )
-            self._commit(spark, drop_staging=False)
-            self._snapshot(spark, epoch_id, touched)
-            shutil.rmtree(self.merged_path, ignore_errors=True)
-            return
+        self._heal_migration_snapshot(spark)
+        if self._finish_pending_epoch(spark) == epoch_id:
+            return  # crashed commit for this very epoch, now finished
         if not self._table_exists():
             return  # nothing to delete from; no commit to record
         keys = keys_df.select(*self.key_cols)
@@ -566,7 +627,7 @@ class ParquetUpsertSink:
             # candidates under EVERY historical partition spec — a key
             # written before evolve_partitioning lives in its
             # old-granularity partition
-            candidates = self._touched_candidates(staged_keys)
+            candidates, _ = self._touched_candidates(staged_keys)
             live = {
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             }
@@ -598,19 +659,7 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
-        # emptied dirs recorded at STAGE time (they have no rows in the
-        # staged content): _commit must not infer them from what is
-        # left in the staging — after a crashed partial swap that set
-        # would wrongly include already-moved partitions
-        emptied = [
-            d
-            for d in touched_dirs
-            if not os.path.isdir(os.path.join(self.merged_path, d))
-        ]
-        with open(self._touched_file(), "w") as fh:
-            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
-        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
-            fh.write(str(epoch_id))
+        self._publish_staging(touched_dirs, epoch_id)
         # staging dropped only AFTER the snapshot publishes: a crash
         # between commit and snapshot must leave the epoch-marked
         # staging so the replay re-enters the recovery branch above
@@ -1033,10 +1082,11 @@ class ParquetUpsertSink:
 
     def _stage_merge(
         self, spark: SparkSession, batch: DataFrame, epoch_id: int
-    ) -> list[str]:
+    ) -> tuple[list[str], list[str]]:
         """Compute keep ∪ batch for the touched partitions and persist
         it (with an epoch marker) WITHOUT touching the target. Returns
-        the touched partition dir names (the snapshot delta)."""
+        (touched dir names, emptied dir names) — the snapshot delta
+        and the dirs a post-evolution overwrite drained."""
         # Stage the batch (the reference's S4 staging write, parquet
         # instead of JDBC): the merge must not read and overwrite the
         # same files, and retries re-read a stable input.
@@ -1060,13 +1110,11 @@ class ParquetUpsertSink:
             live_dirs = {
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             }
-            batch_dirs = {
-                self._part_dirname(r[0])
-                for r in staged.select("part_date").distinct().collect()
-            }
+            candidates, current_vals = self._touched_candidates(staged)
+            batch_dirs = {self._part_dirname(v) for v in current_vals}
             touched = [
                 v
-                for v in self._touched_candidates(staged)
+                for v in candidates
                 if self._part_dirname(v) in live_dirs
                 or self._part_dirname(v) in batch_dirs
             ]
@@ -1085,24 +1133,8 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched]
-        # a single-spec merge never empties a partition (the batch's
-        # own rows land in every touched dir), but a POST-EVOLUTION
-        # merge can: an old-spec partition whose every key the batch
-        # overwrote has no rows left — record it so the commit drops
-        # the directory (same mechanism as deletes)
-        emptied = [
-            d
-            for d in touched_dirs
-            if not os.path.isdir(os.path.join(self.merged_path, d))
-        ]
-        with open(self._touched_file(), "w") as fh:
-            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
-        # marker written last: its presence (with Spark's _SUCCESS)
-        # certifies a COMPLETE staging for exactly this epoch. Local-FS
-        # file here; on an object store this becomes a marker object.
-        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
-            fh.write(str(epoch_id))
-        return touched_dirs
+        emptied = self._publish_staging(touched_dirs, epoch_id)
+        return touched_dirs, emptied
 
     def _commit(self, spark: SparkSession, drop_staging: bool = True) -> None:
         """Install the touched partitions from the durable merged copy
@@ -1155,16 +1187,54 @@ class ParquetUpsertSink:
         if drop_staging:
             shutil.rmtree(self.merged_path, ignore_errors=True)
 
-    def _merge_staged_for(self, epoch_id: int) -> bool:
-        """True iff a COMPLETE merged staging for this epoch survives a
-        crashed commit (leftovers are deleted on success, and epochs
-        are monotonic per checkpoint, so a match is unambiguous)."""
+    def _staged_epoch(self) -> int | None:
+        """Epoch id of a COMPLETE merged/delete staging surviving a
+        crashed commit, else None (leftovers are deleted on success)."""
         marker = os.path.join(self.merged_path, "_EPOCH")
         success = os.path.join(self.merged_path, "_SUCCESS")
         if not (os.path.exists(marker) and os.path.exists(success)):
-            return False
+            return None
         with open(marker) as fh:
-            return fh.read().strip() == str(epoch_id)
+            return int(fh.read().strip())
+
+    def _finish_pending_epoch(self, spark: SparkSession) -> int | None:
+        """Complete a crashed merge/delete commit from its durable
+        staging — commit, snapshot, and only THEN drop the staging (a
+        commit that emptied partitions must keep its staging until the
+        manifest publishes, or a crash in between makes the replay's
+        snapshot inherit stale pointers to the emptied dirs,
+        resurrecting erased rows in the versioned view). Returns the
+        finished epoch, or None when no complete staging exists.
+        Shared by the merge/delete entry points AND migrate (which
+        must never re-layout a table with an unapplied commit
+        pending)."""
+        epoch = self._staged_epoch()
+        if epoch is None:
+            return None
+        touched = self._staged_touched(spark) if self.snapshot_dir else None
+        self._commit(spark, drop_staging=False)
+        self._snapshot(spark, epoch, touched)
+        shutil.rmtree(self.merged_path, ignore_errors=True)
+        return epoch
+
+    def _publish_staging(self, touched_dirs: list[str], epoch_id: int) -> list[str]:
+        """Record the staged commit's touched and EMPTIED partition
+        sets (emptied = touched dirs with no staged content — a
+        delete, or a post-evolution merge that drained an old-spec
+        dir; recorded at stage time because a partially-drained
+        staging cannot be inspected for this after a crash), then the
+        epoch marker LAST — its presence with Spark's _SUCCESS
+        certifies a complete staging. Returns the emptied list."""
+        emptied = [
+            d
+            for d in touched_dirs
+            if not os.path.isdir(os.path.join(self.merged_path, d))
+        ]
+        with open(self._touched_file(), "w") as fh:
+            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
+        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
+            fh.write(str(epoch_id))
+        return emptied
 
     def _table_exists(self) -> bool:
         if not os.path.isdir(self.path):
@@ -1282,11 +1352,19 @@ class ParquetUpsertSink:
         permanent loss). If a live writer holds the lock, the repair
         is ITS job — skip and read."""
         staging = self._compact_staging()
-        if os.path.isdir(staging) or os.path.isdir(self._migrate_staging()):
+        if (
+            os.path.isdir(staging)
+            or os.path.isdir(self._migrate_staging())
+            or (
+                self.snapshot_dir is not None
+                and os.path.exists(self._migrate_resnapshot_marker())
+            )
+        ):
             try:
                 with self._writer_lock():
                     self._finish_compact(staging)
                     self._finish_migrate()
+                    self._heal_migration_snapshot(spark)
             except ConcurrentWriterError:
                 pass  # the live writer owns (and will finish) the swap
         return self._read_table(spark).drop("part_date")

@@ -1366,3 +1366,45 @@ def test_partition_migration_homogenizes_layout(spark, tmp_path):
     )
     live = {r["k"]: r["total"] for r in sink.read(spark).collect()}
     assert live == {"a": 99, "b": 20}
+
+
+def test_partition_migration_rewrites_newest_snapshot(spark, tmp_path):
+    """migrate_partitions on a snapshot-enabled sink rewrites the
+    NEWEST version's manifest to the post-migration layout (marker-
+    healed, so a crash between the layout swap and the manifest
+    rewrite is repaired at the next entry): time travel at the newest
+    version must NOT double-count migrated rows against stale
+    old-spec pointers, earlier versions still serve their original
+    content, and the next epoch's manifest inherits the clean
+    baseline."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.evolve_partitioning("month")
+    sink.migrate_partitions(spark)
+    # newest version reads the migrated layout exactly once per key
+    at0 = sorted((r["k"], r["total"]) for r in sink.read_at(spark, 0).collect())
+    assert at0 == [("a", 10), ("b", 20)]
+    # next epoch inherits the clean baseline: touch one key, read back
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 11)], "k string, window_start timestamp, total bigint"
+        ),
+        1,
+    )
+    at1 = sorted((r["k"], r["total"]) for r in sink.read_at(spark, 1).collect())
+    assert at1 == [("a", 11), ("b", 20)]
+    typed = [
+        (r["change_type"], r["k"], r["total"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    ]
+    assert typed == [("upsert", "a", 11)]
+    # spec history collapsed back to the single-spec hot path
+    assert sink._transforms() == ["month"]
