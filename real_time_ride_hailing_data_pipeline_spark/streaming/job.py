@@ -1194,6 +1194,18 @@ def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> Da
         .orderBy("window_start", "event_type")
         .limit(1)
     )
+    # materialize the moved key's target month BEFORE the merge: the
+    # commit swap-deletes the key's daily file, and a DataFrame planned
+    # pre-commit pins its file listing at plan time (its
+    # InMemoryFileIndex is immutable — the engine's refreshByPath
+    # protects fresh reads, not already-planned ones), so re-collecting
+    # `moved` post-commit would schedule the deleted file
+    moved_month_dirs = {
+        f"part_date={r[0].isoformat()}"
+        for r in moved.select(
+            F.trunc(F.to_date("window_start"), "month")
+        ).collect()
+    }
     sink.write_batch(moved, 2)
 
     # the exact expected mixed layout, derived from the data: daily
@@ -1215,12 +1227,7 @@ def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> Da
         .select(F.trunc(F.to_date("window_start"), "month"))
         .distinct()
         .collect()
-    } | {
-        f"part_date={r[0].isoformat()}"
-        for r in moved.select(
-            F.trunc(F.to_date("window_start"), "month")
-        ).collect()
-    }
+    } | moved_month_dirs
     dirs = {
         os.path.basename(d)
         for d in _glob.glob(os.path.join(sink.path, "part_date=*"))

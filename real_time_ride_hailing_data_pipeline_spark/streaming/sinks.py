@@ -52,7 +52,13 @@ from pyspark.sql import functions as F
 
 # lock paths this PROCESS currently holds (re-entrancy source of truth;
 # the pid inside a lock file can be spoofed by pid recycling)
-_HELD_LOCKS: set[str] = set()
+# lock path -> owning thread ident. Keyed per-thread so a second
+# writer IN THE SAME PROCESS (two streaming queries in one driver,
+# each foreachBatch on its own thread — the likeliest accidental
+# second writer) hits ConcurrentWriterError instead of being
+# misread as re-entrant; only true nested frames on the SAME thread
+# (auto-compaction inside a merge's lock) pass through.
+_HELD_LOCKS: dict[str, int] = {}
 
 
 def _pid_alive(pid: int) -> bool:
@@ -326,9 +332,7 @@ class ParquetUpsertSink:
                 dst = os.path.join(epoch_files, d)
                 shutil.rmtree(dst, ignore_errors=True)
                 shutil.copytree(os.path.join(self.path, d), dst)
-            self._atomic_json_write(
-                self._manifest_path(epoch), {d: epoch for d in live}
-            )
+            self._publish_manifest(epoch, {d: epoch for d in live})
             self._expire_snapshots()
         os.remove(marker)
 
@@ -387,12 +391,17 @@ class ParquetUpsertSink:
         and the loser retries against the winner's fresh lock. A LIVE
         second writer raises ConcurrentWriterError rather than
         interleaving staging/commit steps. Re-entrancy is tracked in
-        the process-local ``_HELD_LOCKS`` set (auto-compaction runs
-        compact() inside the merge's lock) — NOT by comparing the
-        holder pid, which a recycled pid could spoof. This is the
-        local/HDFS shape; on an object store the same contract is a
-        conditional-put on the lock object."""
+        the process-local ``_HELD_LOCKS`` map keyed by OWNING THREAD
+        (auto-compaction runs compact() inside the merge's lock, same
+        thread) — NOT by comparing the holder pid, which a recycled
+        pid could spoof, and NOT by lock path alone, which would let a
+        second same-process writer thread slip through as re-entrant
+        and then have the first thread's exit delete the lock file out
+        from under it. This is the local/HDFS shape; on an object
+        store the same contract is a conditional-put on the lock
+        object."""
         import contextlib
+        import threading
         import uuid
 
         sink = self
@@ -401,8 +410,15 @@ class ParquetUpsertSink:
             def __enter__(self):
                 self.owned = False
                 lock = sink._lock_file()
-                if lock in _HELD_LOCKS:
-                    return self  # re-entrant: the outer frame owns
+                holder_thread = _HELD_LOCKS.get(lock)
+                if holder_thread is not None:
+                    if holder_thread == threading.get_ident():
+                        return self  # re-entrant: the outer frame owns
+                    raise ConcurrentWriterError(
+                        f"thread {holder_thread} of this process holds "
+                        f"{lock}; the sink is single-writer (one "
+                        f"streaming query per checkpoint)"
+                    )
                 os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
                 tmp = f"{lock}.pid-{uuid.uuid4().hex}"
                 with open(tmp, "w") as fh:
@@ -411,11 +427,21 @@ class ParquetUpsertSink:
                     for _ in range(4):
                         try:
                             os.link(tmp, lock)  # atomic, content complete
-                            _HELD_LOCKS.add(lock)
+                            _HELD_LOCKS[lock] = threading.get_ident()
                             self.owned = True
                             return self
                         except FileExistsError:
                             pass
+                        # another thread of THIS process may have won
+                        # between our dict check and the link: its lock
+                        # file carries our pid, so the stale-breaker
+                        # below would wrongly evict it — catch it here
+                        other = _HELD_LOCKS.get(lock)
+                        if other is not None and other != threading.get_ident():
+                            raise ConcurrentWriterError(
+                                f"thread {other} of this process holds "
+                                f"{lock}; the sink is single-writer"
+                            )
                         try:
                             with open(lock) as fh:
                                 holder = int(fh.read().strip() or 0)
@@ -450,7 +476,7 @@ class ParquetUpsertSink:
             def __exit__(self, *exc):
                 if self.owned:
                     lock = sink._lock_file()
-                    _HELD_LOCKS.discard(lock)
+                    _HELD_LOCKS.pop(lock, None)
                     with contextlib.suppress(FileNotFoundError):
                         os.remove(lock)
                 return False
@@ -725,7 +751,7 @@ class ParquetUpsertSink:
             # pre-dict-format stagings wrote a bare list (all touched,
             # none emptied) — a crashed one must still recover
             return data if isinstance(data, list) else data["touched"]
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError, KeyError):
             staged = spark.read.parquet(self.merged_path)
             return [
                 self._part_dirname(r[0])
@@ -747,7 +773,38 @@ class ParquetUpsertSink:
 
     def _load_manifest(self, epoch_id: int) -> dict[str, int]:
         with open(self._manifest_path(epoch_id)) as fh:
-            return json.load(fh)
+            data = json.load(fh)
+        # legacy manifests are a bare {dir: epoch} map; current ones
+        # wrap it with the first-publish commit timestamp
+        return data["parts"] if isinstance(data, dict) and "parts" in data else data
+
+    def _manifest_committed_at(self, epoch_id: int) -> float:
+        """Commit time of a snapshot: the timestamp recorded INSIDE the
+        manifest at first publish. Manifests are rewritten with
+        identical parts on idempotent epoch replays and by
+        _heal_migration_snapshot; using the file's mtime would refresh
+        the clock on every rewrite and silently extend time-based
+        retention. Legacy bare-map manifests fall back to mtime."""
+        try:
+            with open(self._manifest_path(epoch_id)) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict) and "committed_at" in data:
+                return float(data["committed_at"])
+        except (FileNotFoundError, ValueError):
+            pass
+        return os.path.getmtime(self._manifest_path(epoch_id))
+
+    def _publish_manifest(self, epoch_id: int, parts: dict[str, int]) -> None:
+        """Atomic manifest publish (the commit point), PRESERVING the
+        first publish's commit timestamp across replays/heals."""
+        try:
+            committed_at = self._manifest_committed_at(epoch_id)
+        except FileNotFoundError:
+            committed_at = time.time()
+        self._atomic_json_write(
+            self._manifest_path(epoch_id),
+            {"parts": parts, "committed_at": committed_at},
+        )
 
     def _snapshot(
         self, spark: SparkSession, epoch_id: int, touched: list[str] | None
@@ -800,15 +857,18 @@ class ParquetUpsertSink:
             self._epoch_schema_path(epoch_id), schema.jsonValue()
         )
         # the manifest publish (last) is the commit point
-        self._atomic_json_write(self._manifest_path(epoch_id), manifest)
+        self._publish_manifest(epoch_id, manifest)
         self._expire_snapshots()
 
     def vacuum(self, max_age_s: float | None = None) -> None:
         """Manual VACUUM (the Delta ``VACUUM .. RETAIN`` shape): apply
         the configured count bound AND, when ``max_age_s`` is given, a
-        TIME bound — every snapshot whose manifest published more than
-        ``max_age_s`` seconds ago expires (mtime of the atomic manifest
-        publish = commit time). The newest snapshot always survives
+        TIME bound — every snapshot whose manifest FIRST published more
+        than ``max_age_s`` seconds ago expires (the commit timestamp is
+        recorded inside the manifest at first publish and preserved
+        across idempotent replays/heals — the file's mtime refreshes on
+        those rewrites and would silently extend retention). The newest
+        snapshot always survives
         (the log must keep at least the current version). Runs the
         same physical cleanup as the per-commit expiry, under the
         writer lock — an unlocked vacuum could delete partition copies
@@ -838,8 +898,7 @@ class ParquetUpsertSink:
             retained = [
                 e
                 for e in retained
-                if e == newest
-                or os.path.getmtime(self._manifest_path(e)) >= horizon
+                if e == newest or self._manifest_committed_at(e) >= horizon
             ]
         for epoch in self.snapshots():
             if epoch not in retained:
@@ -922,10 +981,25 @@ class ParquetUpsertSink:
         so it is dropped from the applied schema."""
         from pyspark.sql.types import StructType
 
+        self._invalidate_listing(spark)
         schema = self._epoch_schema(schema_epoch)
+        if schema is not None:
+            schema = StructType(
+                [f for f in schema.fields if f.name != "part_date"]
+            )
+        if not paths:
+            # a delete_keys commit that emptied EVERY partition (full
+            # erasure) publishes an empty manifest; that version IS the
+            # empty table, so compose it from the epoch's schema sidecar
+            # instead of handing spark.read zero paths (which raises)
+            if schema is None:
+                raise ValueError(
+                    f"epoch {schema_epoch} has an empty manifest and no "
+                    f"schema sidecar — cannot reconstruct the empty table"
+                )
+            return spark.createDataFrame([], schema)
         if schema is None:  # pre-sidecar snapshot: homogeneous files
             return spark.read.parquet(*paths)
-        schema = StructType([f for f in schema.fields if f.name != "part_date"])
         return spark.read.schema(schema).parquet(*paths)
 
     def read_history(self, spark: SparkSession) -> DataFrame:
@@ -1180,12 +1254,16 @@ class ParquetUpsertSink:
                 data = json.load(fh)
             # bare-list legacy stagings predate deletes: none emptied
             emptied = [] if isinstance(data, list) else data["emptied"]
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError, KeyError):
             emptied = []
         for d in emptied:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         if drop_staging:
             shutil.rmtree(self.merged_path, ignore_errors=True)
+        # the swap deleted target files in place; DataFrames planned
+        # after this commit must not be scheduled against the session's
+        # stale file listing (see _invalidate_listing)
+        self._invalidate_listing(spark)
 
     def _staged_epoch(self) -> int | None:
         """Epoch id of a COMPLETE merged/delete staging surviving a
@@ -1194,8 +1272,14 @@ class ParquetUpsertSink:
         success = os.path.join(self.merged_path, "_SUCCESS")
         if not (os.path.exists(marker) and os.path.exists(success)):
             return None
-        with open(marker) as fh:
-            return int(fh.read().strip())
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (ValueError, FileNotFoundError):
+            # a torn/empty marker (pre-atomic-write staging that
+            # crashed mid-publish) means the staging never certified
+            # complete — treat as incomplete and let the epoch restage
+            return None
 
     def _finish_pending_epoch(self, spark: SparkSession) -> int | None:
         """Complete a crashed merge/delete commit from its durable
@@ -1230,10 +1314,17 @@ class ParquetUpsertSink:
             for d in touched_dirs
             if not os.path.isdir(os.path.join(self.merged_path, d))
         ]
-        with open(self._touched_file(), "w") as fh:
-            json.dump({"touched": touched_dirs, "emptied": emptied}, fh)
-        with open(os.path.join(self.merged_path, "_EPOCH"), "w") as fh:
-            fh.write(str(epoch_id))
+        # both markers publish atomically (tmp + rename): a crash
+        # mid-write must leave either no marker or a complete one — a
+        # torn _EPOCH would make every later recovery's int() raise, a
+        # permanent wedge the crash matrix can't even reach via the
+        # shutil fault injectors
+        self._atomic_json_write(
+            self._touched_file(), {"touched": touched_dirs, "emptied": emptied}
+        )
+        self._atomic_json_write(
+            os.path.join(self.merged_path, "_EPOCH"), epoch_id
+        )
         return emptied
 
     def _table_exists(self) -> bool:
@@ -1328,12 +1419,26 @@ class ParquetUpsertSink:
             c for c in staged.columns if c not in set(existing.columns)
         ]
 
+    def _invalidate_listing(self, spark: SparkSession) -> None:
+        """Drop Spark's session-shared file-listing cache entries under
+        the table path (and the snapshot log, if any). The swap commits
+        here DELETE parquet files in place; the session FileStatusCache
+        has no TTL by default, so a read planned after a commit in the
+        same long-lived session would otherwise schedule the deleted
+        file and die with FAILED_READ_FILE.FILE_NOT_EXIST — the exact
+        read→merge→read loop an incremental upsert driver runs all day.
+        Driver-side cache invalidation only: no file I/O, no scan."""
+        spark.catalog.refreshByPath(self.path)
+        if self.snapshot_dir is not None:
+            spark.catalog.refreshByPath(self.snapshot_dir)
+
     def _read_table(self, spark: SparkSession) -> DataFrame:
         """Read the live table under the authoritative schema: after an
         evolution commit only the touched partitions physically carry
         the new column, and a footer-sampled read could silently drop
         it; the explicit schema makes every file NULL-fill what it
         lacks (one tiny JSON read — never a footer sweep)."""
+        self._invalidate_listing(spark)
         schema = self._stored_schema()
         reader = spark.read if schema is None else spark.read.schema(schema)
         return reader.parquet(self.path)

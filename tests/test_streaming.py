@@ -1408,3 +1408,145 @@ def test_partition_migration_rewrites_newest_snapshot(spark, tmp_path):
     assert typed == [("upsert", "a", 11)]
     # spec history collapsed back to the single-spec hot path
     assert sink._transforms() == ["month"]
+
+
+def test_read_merge_read_loop_serves_fresh_listing(spark, tmp_path):
+    """The r7 red: Spark's session-shared FileStatusCache has no TTL,
+    so after the sink's filesystem-swap commit deletes target files in
+    place, a fresh read planned in the SAME long-lived session would
+    be scheduled against the stale listing and die with
+    FAILED_READ_FILE.FILE_NOT_EXIST. The sink must invalidate the
+    listing itself (refreshByPath in _commit/_read_table) — this loop
+    is exactly what an incremental upsert driver runs all day:
+    read -> merge -> read -> merge -> read, collecting each fresh
+    read after the commit that rewrote its files."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1), ("b", d1, 2)], schema), 0)
+    for epoch in (1, 2, 3):
+        # the read here populates the session listing cache; the merge
+        # then rewrites (swap-deletes) the partition's files in place
+        assert sink.read(spark).count() == 2
+        sink.write_batch(
+            spark.createDataFrame([("a", d1, epoch * 10)], schema), epoch
+        )
+        after = {(r["k"], r["total"]) for r in sink.read(spark).collect()}
+        assert after == {("a", epoch * 10), ("b", 2)}
+    # compaction is the most destructive rewrite (every file replaced)
+    sink.compact(spark, files_per_partition=1)
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {
+        ("a", 30),
+        ("b", 2),
+    }
+
+
+def test_writer_lock_rejects_second_thread_same_process(spark, tmp_path):
+    """The single-writer guard must catch the likeliest accidental
+    second writer: another THREAD of the same process (two streaming
+    queries in one driver, each foreachBatch on its own thread). The
+    old path-only _HELD_LOCKS set treated it as re-entrant — the two
+    writers interleaved and the first's exit deleted the lock from
+    under the second."""
+    import threading
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+    )
+
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    batch = spark.createDataFrame([("a", d1, 1)], schema)
+    errors: list[BaseException] = []
+
+    with sink._writer_lock():
+        def second_writer():
+            try:
+                sink.write_batch(batch, 0)
+            except BaseException as exc:  # noqa: BLE001 - recorded for assert
+                errors.append(exc)
+
+        t = threading.Thread(target=second_writer)
+        t.start()
+        t.join()
+    assert len(errors) == 1 and isinstance(errors[0], ConcurrentWriterError)
+    # lock released correctly by the owning frame: writes proceed
+    sink.write_batch(batch, 0)
+    assert sink.read(spark).count() == 1
+
+
+def test_read_at_full_erasure_returns_empty_table(spark, tmp_path):
+    """A delete_keys commit that empties EVERY partition (full GDPR
+    erasure) publishes an empty manifest; read_at of that version is
+    the EMPTY table under the version's schema — not a zero-path
+    spark.read crash. The typed change feed across the erasure
+    reports every old row as a delete."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1), ("b", d1, 2)], schema), 0)
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1), ("b", d1)], "k string, window_start timestamp"),
+        1,
+    )
+    erased = sink.read_at(spark, 1)
+    assert erased.count() == 0
+    assert [f.name for f in erased.schema.fields] == [
+        "k",
+        "window_start",
+        "total",
+    ]
+    typed = sorted(
+        (r["change_type"], r["k"]) for r in sink.read_changes_typed(spark, 0, 1).collect()
+    )
+    assert typed == [("delete", "a"), ("delete", "b")]
+
+
+def test_vacuum_ages_by_first_publish_not_mtime(spark, tmp_path):
+    """Time-based retention must age a snapshot from its FIRST
+    publish, recorded inside the manifest — not the manifest file's
+    mtime, which idempotent epoch replays and migration heals refresh
+    with identical content (silently extending retention)."""
+    import json as _json
+    import time as _time
+
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1)], schema), 0)
+    sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
+    # backdate epoch 0's recorded commit time, then freshen the FILE
+    # mtime (what a replay's rewrite does to the file)
+    mpath = sink._manifest_path(0)
+    with open(mpath) as fh:
+        data = _json.load(fh)
+    data["committed_at"] = _time.time() - 3600
+    with open(mpath, "w") as fh:
+        _json.dump(data, fh)
+    os.utime(mpath, None)  # mtime = now; recorded commit time = -1h
+    # an idempotent replay of epoch 1 rewrites ITS manifest — the
+    # recorded commit time must survive the rewrite
+    before = sink._manifest_committed_at(1)
+    sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
+    assert sink._manifest_committed_at(1) == before
+    sink.vacuum(max_age_s=600)
+    assert sink.snapshots() == [1]  # epoch 0 expired despite fresh mtime
+
+
+def test_staged_epoch_tolerates_torn_marker(spark, tmp_path):
+    """A crash that left _SUCCESS but a torn/empty _EPOCH (pre-atomic
+    stagings) must read as 'staging incomplete' and restage — not
+    raise ValueError forever (a permanent wedge needing manual
+    cleanup)."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1)], schema), 0)
+    os.makedirs(sink.merged_path, exist_ok=True)
+    open(os.path.join(sink.merged_path, "_SUCCESS"), "w").close()
+    open(os.path.join(sink.merged_path, "_EPOCH"), "w").close()  # torn
+    assert sink._staged_epoch() is None
+    # and the next commit proceeds normally over the debris
+    sink.write_batch(spark.createDataFrame([("a", d1, 5)], schema), 1)
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 5)}
