@@ -301,6 +301,33 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).collect()
 
+    # warm-up: the Python DataSource worker pool (VERDICT r7 item 6).
+    # The datasource read/write path runs in its own planner/worker
+    # lane; its first use paid ~7 s of process spin-up inside whichever
+    # datasink query ran first (r7: 8.2 s cold vs 1.1 s warm for the
+    # identical plan). One 64-row register+write+read round trip brings
+    # that lane up before any timer starts.
+    try:
+        import tempfile as _tf
+
+        from real_time_ride_hailing_data_pipeline_spark.sources import (
+            python_datasink as _pdk,
+        )
+        from real_time_ride_hailing_data_pipeline_spark.sources import (
+            python_datasource as _pds,
+        )
+
+        _pds.register(spark)
+        _pdk.register(spark)
+        _warm_out = _tf.mkdtemp(prefix="rtrh_bench_warm_")
+        _warm_src = spark.read.format("ride_events_py").option("n", 64).load()
+        _warm_src.write.format("jsonl_commit").option("path", _warm_out).mode(
+            "append"
+        ).save()
+        shutil.rmtree(_warm_out, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — a warm-up must never kill the run
+        pass
+
     # The full registry runs against the 32-file derived layout (plans
     # measured with realistic input splits, see multifile_layout); the
     # frozen-7 gate set is re-run afterwards on the ORIGINAL single-file
@@ -413,16 +440,29 @@ def main() -> None:
     ]
     # Re-timed on the ORIGINAL single-file layout — the exact input the
     # r1 baseline measured — so the ≤2× gate compares like with like.
-    frozen_t: dict[str, float] = {}
-    for name in frozen:
-        if name not in registry:
-            continue
-        t0 = time.perf_counter()
-        try:
-            registry[name](spark, sf_dir).collect()
-            frozen_t[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001 — record and continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    # MEDIAN OF 3 warm runs per query (VERDICT r7 item 5): the gate
+    # number swung 4.2-6.7 s run-to-run on this box, which made
+    # round-over-round comparisons uninterpretable from one sample;
+    # the median damps JVM/GC/box noise for ~15 s extra wall, and the
+    # min/max totals are reported alongside as the observed spread.
+    frozen_runs: dict[str, list[float]] = {n: [] for n in frozen if n in registry}
+    for _rep in range(3):
+        for name in frozen_runs:
+            t0 = time.perf_counter()
+            try:
+                registry[name](spark, sf_dir).collect()
+                frozen_runs[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    frozen_t: dict[str, float] = {
+        n: round(sorted(runs)[len(runs) // 2], 4)
+        for n, runs in frozen_runs.items()
+        if runs
+    }
+    run_totals = [
+        round(sum(runs[i] for runs in frozen_runs.values() if len(runs) > i), 4)
+        for i in range(3)
+    ]
     try:
         skew = skew_bench(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — never lose the headline line
@@ -432,6 +472,9 @@ def main() -> None:
         "value": round(sum(frozen_t.values()), 4),
         "unit": "sec",
         "queries": frozen_t,
+        "stat": "median-of-3-warm",
+        "run_totals": run_totals,
+        "spread": [min(run_totals), max(run_totals)] if run_totals else [],
         "sf": sf,
         "layout": "single-file-r1-baseline",
         "skew": skew,

@@ -50,21 +50,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r7 rotation (VERDICT r6 items 1+2): the FINAL rotation of the
-# multi-round verification program.  In: the 7 r6-born oracle-backed
-# entries with no driver row yet (the snapshot-log family, the
-# streaming Python DataSource, and the xml/textfile/binaryfile source
-# formats) plus the two r6 red rows — tpch_q12_late_lines (oracle sums
-# now CAST to BIGINT; values already matched, only the DuckDB
-# HUGEINT→pandas-float64 dtype diverged) and collect_sorted_event_types
-# (checked column now array_join'd so the driver's pandas canon can
-# hash it) — which stay in-window until green.  Out: 7 entries that
-# went driver-green in CORRECTNESS_r06 and whose family keeps another
-# green row (tpch q4/q5/q6/q10/q13/q14/q15 — q12 stays in-window, q16/
-# q19 stay green from r6, and all seven keep their full sf0.001 oracle
-# in tests/test_queries_oracle.py each pytest run).  After this window
-# every oracle-backed registry entry has had at least one driver-green
-# row.
+# r8 rotation (VERDICT r7 item 2): the 39 entries born during r7
+# (26 mid-round + 13 late-round; they postdate the r7 window freeze,
+# so they are the only oracle-backed entries with no driver row yet),
+# plus streaming_partition_evolution_replay which was the r7 red (the
+# stale-FileStatusCache defect, fixed this round — stays in-window
+# until green).  Re-verified alongside them: the snapshot-log family
+# (streaming_snapshot_history / _change_feed / _compaction_roundtrip)
+# and incremental_rollup_merge, because THIS round changed the sink's
+# manifest format (commit timestamps recorded in-manifest) and the
+# commit path (listing invalidation, atomic staging markers) — green
+# r7 rows do not cover the new code.  Out: the r7-green entries whose
+# family keeps another green row (the TPC-H tail, the source-format
+# trio, the Arrow/UDF boundary set, the text/dedup/ANN tail — all
+# remain fully oracle-checked at sf0.001 by tests/test_queries_oracle
+# .py every pytest run, and their rotation log lives in COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -72,123 +72,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the window so it remains 100% full-value-hash.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST: list[str] = [
-    # flagship + core relational (green every round, kept in-window;
-    # join_broadcast_enrichment sits LAST in this list as the overflow
-    # sacrifice — see the comment there)
+    # flagship + core relational anchors (green every round)
     "city_window_metrics",
     "city_running_totals",
-    "top_cities_by_trips",
     "tpch_q1_pricing_summary",
     "filter_project",
-    # streaming-sink anchors: the reference's ACTUAL Postgres dialect
-    # over the stdlib wire protocol (r6, VERDICT r5 item 1 — gated on
-    # EmbeddedPostgres.available(); where absent, _VERIFY_SPARES tops
-    # the head back up to 50 and the Derby twin's r5 row carries the
-    # family) + the flagship update-mode replay
+    # streaming-sink anchors (gated: streaming_postgres_replay needs
+    # the server binaries — present here; transform_with_state_running_
+    # totals needs protobuf — absent here)
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
-    # registered only where protobuf exists (harmless no-op otherwise);
-    # when present, the designated overflow sacrifice at the END of
-    # this list falls to the tail — see the comment there
     "transform_with_state_running_totals",
-    # --- the 7 r6-born entries, rotated in per VERDICT r6 item 2:
-    # the final never-driver-verified set ---
+    # snapshot-log family re-verification: the r8 sink changes touched
+    # the manifest format and every commit path
     "streaming_snapshot_history",
     "streaming_snapshot_change_feed",
     "streaming_compaction_roundtrip",
-    "python_stream_source_city_fares",
-    "xml_source_agg",
-    "textfile_source_doc_roundtrip",
-    "binaryfile_source_stats",
-    # --- TPC-H: q12 is an r6 red row kept in-window until green
-    # (VERDICT r6 item 1; oracle sums now CAST to BIGINT); q16/q19
-    # keep their r6-green slots ---
-    "tpch_q12_late_lines",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_revenue",
-    # relational / semi-structured / quality shapes
-    "shuffled_hash_join_supplier_volume",
-    "global_sort_orders",
-    "unpivot_order_metrics",
-    "collect_sorted_event_types",
-    "variant_props_metrics",
-    "ansi_try_tolerant_parse",
-    "schema_drift_union",
     "incremental_rollup_merge",
-    "zorder_cluster_key",
-    "quality_referential_audit",
-    "session_window_dynamic_gap",
-    "orc_source_agg",
-    # aggregation / profiling / sketches
-    "agg_percentiles_per_type",
-    "agg_approx_percentile_claim",
-    "sketch_hll_distinct_users",
-    "histogram_event_values",
-    "outlier_extreme_values",
-    "profile_table_columns",
-    # time series
-    "resample_ohlc_bars",
-    "timeseries_gap_fill",
-    # Python/Arrow boundary surface
-    "udtf_sentence_stats",
-    "mapinarrow_embedding_stats",
-    "applyinarrow_label_stats",
-    "arrow_python_udf_reverse",
-    "pandas_grouped_agg_fare_cents",
-    # LLM-data extensions (text / dedup / similarity)
-    "dedup_ngram_jaccard",
-    "dedup_sorted_neighborhood",
-    "text_tfidf_top_terms",
-    "text_unigram_surprisal",
-    "text_quality_model_score",
-    "chunk_documents_sliding",
-    "ann_batch_topk",
-    # overflow sacrifice: with BOTH gated entries present (protobuf +
-    # postgres binaries) this list has 51 present names and [:50] must
-    # drop ONE — by sitting last, the drop lands here, on a query
-    # that has been driver-green since r1 and stays plan-asserted in
-    # pytest, never on a never-verified entry above.
-    "join_broadcast_enrichment",
+    # --- the 26 r7-born entries (VERDICT r7 item 2) ---
+    "sql_scalar_udf_value_bands",
+    "sql_table_udf_band_summary",
+    "sql_pipe_syntax_agg",
+    "dpp_partition_pruned_join",
+    "runtime_bloom_filter_join",
+    "collation_caseinsensitive_group",
+    "dedup_edit_distance_pairs",
+    "python_datasink_city_fares",
+    "python_stream_sink_city_fares",
+    "funnel_conversion_steps",
+    "cohort_weekly_retention",
+    "event_transition_matrix",
+    "window_range_trailing_stats",
+    "agg_regression_price_quantity",
+    "expectations_event_quality",
+    "window_percentile_analytics",
+    "agg_time_decay_weighted",
+    "lateral_topk_orders_per_customer",
+    "recursive_cte_year_spine",
+    "observe_scan_audit",
+    "streaming_rate_source_buckets",
+    "approx_topk_event_types",
+    "parameterized_sql_priority_bands",
+    "agg_median_mode_per_type",
+    "global_row_index",
+    "cbo_stats_join_reorder",
+    # --- the 13 late-r7 entries ---
+    "map_event_type_shares",
+    "sql_scripting_p90_search",
+    "session_variable_threshold_bands",
+    "transpose_event_type_metrics",
+    "streaming_schema_evolution_replay",
+    "streaming_foreach_row_sink",
+    "streaming_delete_change_feed",
+    "streaming_cdc_downstream_apply",
+    "udtf_table_arg_user_gaps",
+    "full_outer_user_reconciliation",
+    "state_metadata_operators",
+    "udtf_polymorphic_metric_extract",
+    "streaming_partition_evolution_replay",
+    # overflow sacrifice: with BOTH gated entries present this list has
+    # 51 present names and [:50] must drop ONE — by sitting last, the
+    # drop lands here, on a query that has been driver-green since r1
+    # and stays plan-asserted in pytest, never on a never-verified
+    # entry above.
+    "top_cities_by_trips",
 ]
 
 # Spares fill the window UP to 50 when a gated _VERIFY_FIRST entry is
 # absent in the driver's environment — keeps every verified slot a
 # full-hash oracle row instead of whatever rows-only entry comes first
-# in definition order. Both carry full oracles and r6-green driver
-# rows (rotated out this round with family coverage intact).
+# in definition order. Both carry full oracles and multiple green
+# driver rows.
 _VERIFY_SPARES: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
 ]
 
-# r7 completes the rotation program: once this window's rows land,
-# every oracle-backed entry that existed at the r7 freeze has at
-# least one driver-green row across rounds 2-7 (rotation log in
-# COVERAGE.md).  Twenty-six oracle-backed entries were born during r7
-# itself and are the natural r8 rotation:
-# sql_scalar_udf_value_bands, sql_table_udf_band_summary,
-# sql_pipe_syntax_agg, dpp_partition_pruned_join,
-# runtime_bloom_filter_join, collation_caseinsensitive_group,
-# dedup_edit_distance_pairs, python_datasink_city_fares,
-# python_stream_sink_city_fares, funnel_conversion_steps,
-# cohort_weekly_retention, event_transition_matrix,
-# window_range_trailing_stats, agg_regression_price_quantity,
-# expectations_event_quality, window_percentile_analytics,
-# agg_time_decay_weighted, lateral_topk_orders_per_customer,
-# recursive_cte_year_spine, observe_scan_audit,
-# streaming_rate_source_buckets, approx_topk_event_types,
-# parameterized_sql_priority_bands, agg_median_mode_per_type,
-# global_row_index, cbo_stats_join_reorder — plus the thirteen born
-# in the late-r7 session: map_event_type_shares, sql_scripting_p90_search,
-# session_variable_threshold_bands, transpose_event_type_metrics,
-# streaming_schema_evolution_replay, streaming_foreach_row_sink,
-# streaming_delete_change_feed, streaming_cdc_downstream_apply,
-# udtf_table_arg_user_gaps, full_outer_user_reconciliation,
-# state_metadata_operators, udtf_polymorphic_metric_extract,
-# streaming_partition_evolution_replay — plus re-verifying any entry the
-# r7 window had to drop.  Beyond that, windows are free to re-verify
-# regression-risk areas (streaming sinks, new entries) instead of
-# chasing coverage.
+# Entries born DURING r8 (oracle-backed, locally green, no driver row
+# yet) — the natural r9 rotation: streaming_timestamp_travel_replay
+# (TIMESTAMP AS OF over the in-manifest commit stamps),
+# scd2_user_type_history (SCD Type-2 interval build). Keep this list
+# current as r8 adds entries.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -2227,6 +2191,37 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_snapshot_time_travel(spark, sf_dir)
+
+
+@query(
+    "streaming_timestamp_travel_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_timestamp_travel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel on the upsert sink
+    (streaming/job.py:streaming_timestamp_travel): version resolution
+    by wall-clock instant over the commit timestamps recorded INSIDE
+    the manifests at first publish (r8 — the same record that makes
+    time-based VACUUM retention mtime-independent). A probe strictly
+    between the two commits' recorded times must return epoch 0's
+    content (oracle: the first batch's time range); the function
+    additionally pins ts>=last-commit -> live table and
+    ts<first-commit -> raises. Cite: the reference keeps only the
+    latest state (/root/reference/spark_jobs/streaming_job.py:26-53) —
+    both time-travel axes are the lakehouse capability a 100 TB
+    deployment layers on top."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_timestamp_travel(spark, sf_dir)
 
 
 @query(
@@ -6707,6 +6702,94 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events WHERE user_id % 10 = 0
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT *,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    grp AS (
+      SELECT user_id, island,
+             min(event_type)           AS event_type,
+             min(ts)                   AS valid_from,
+             CAST(count(*) AS BIGINT)  AS n_events
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             AS valid_to,
+           n_events,
+           CAST(CASE WHEN lead(valid_from)
+                          OVER (PARTITION BY user_id ORDER BY island)
+                     IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM grp
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build (the dimension-
+    versioning pattern every warehouse merge pipeline needs; the
+    reference stores only latest state — /root/reference/spark_jobs/
+    streaming_job.py:37-44): per user, CONSECUTIVE runs of the same
+    event_type collapse into validity intervals
+    [valid_from, valid_to) with an is_current flag on the open one —
+    the classic gaps-and-islands build (change flag via lag, running
+    sum numbers the islands, group per island, valid_to = next
+    island's valid_from via lead). Scale: ONE shuffle on user_id that
+    every window and the island aggregation reuse (the groupBy keys
+    are (user_id, island), a superset of the window partitioning);
+    no join, no driver-side state; at 100 TB the history build is a
+    single partitioned pass over the event log. Ties deterministic
+    via the event_id tie-break."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = ev.withColumn(
+        "island",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grp = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("island")
+    return grp.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_isl).alias("valid_to"),
+        "n_events",
+        F.when(F.lead("valid_from").over(w_isl).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
     )
 
 

@@ -1000,6 +1000,46 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     return sink.read_at(spark, sink.snapshots()[0])
 
 
+def streaming_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (Delta's second time-travel axis,
+    on the engine's own sink): the two-batch replay commits two
+    versions; a probe instant strictly between their RECORDED commit
+    times must resolve to epoch 0's content — proving version
+    resolution runs on the commit timestamps persisted inside the
+    manifests at first publish (mtime-independent: replays/heals
+    rewrite the files), not on directory state. The function also
+    pins the edges: a probe at/after the last commit resolves to the
+    live table, and one before the first commit raises (below the
+    horizon, like an expired version). Returned is the mid-probe
+    read; the oracle aggregates the first batch's time range, so the
+    value hash proves the resolved version's CONTENT, not just its
+    number."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    epochs = sink.snapshots()
+    t0 = sink._manifest_committed_at(epochs[0])
+    t1 = sink._manifest_committed_at(epochs[-1])
+    if not t0 < t1:
+        # two micro-batch commits are separated by a full trigger
+        # (>100 ms); equal stamps mean a broken clock, not a tie to
+        # resolve — fail loudly rather than return the wrong version
+        raise RuntimeError(
+            f"commit timestamps not increasing: {t0} .. {t1}"
+        )
+    live = {tuple(r) for r in sink.read(spark).collect()}
+    latest = {
+        tuple(r) for r in sink.read_at_timestamp(spark, t1).collect()
+    }
+    if latest != live:
+        raise RuntimeError("ts >= last commit must resolve the live table")
+    try:
+        sink.read_at_timestamp(spark, t0 - 1.0)
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError("ts before the first commit must raise")
+    return sink.read_at_timestamp(spark, t0 + (t1 - t0) / 2)
+
+
 def streaming_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction executed on real streaming output (the
     OPTIMIZE shape every long-lived streaming table needs at 100 TB):

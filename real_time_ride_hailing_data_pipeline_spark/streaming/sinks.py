@@ -968,6 +968,28 @@ class ParquetUpsertSink:
         ]
         return self._read_snapshot_paths(spark, paths, eligible[-1])
 
+    def read_at_timestamp(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time-travel read by WALL-CLOCK instant (the Delta
+        ``TIMESTAMP AS OF`` shape): the table as of the newest retained
+        snapshot whose recorded commit time is <= ``ts`` (epoch
+        seconds). Resolution uses the commit timestamp recorded INSIDE
+        each manifest at first publish — stable across idempotent
+        replays and migration heals, unlike file mtime — then composes
+        through the same manifest read as ``read_at``. Raises below
+        the retention horizon, exactly like an expired version."""
+        eligible = [
+            e
+            for e in self.snapshots()
+            if self._manifest_committed_at(e) <= ts
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no retained snapshot committed at or before ts={ts} "
+                f"(retained epochs: {self.snapshots()}, "
+                f"max_snapshots={self.max_snapshots})"
+            )
+        return self.read_at(spark, eligible[-1])
+
     def _read_snapshot_paths(
         self, spark: SparkSession, paths: list[str], schema_epoch: int
     ) -> DataFrame:

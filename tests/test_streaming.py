@@ -1217,11 +1217,26 @@ def test_null_partition_merge_and_delete(spark, tmp_path):
     )
 
 
+def _backdate_commit(sink, epoch: int, age_s: float) -> None:
+    """Rewrite the RECORDED commit time inside a manifest (the clock
+    retention ages against since r8 — file mtime is refreshed by
+    idempotent replays and must not matter)."""
+    import json as _json
+    import time as _time
+
+    mpath = sink._manifest_path(epoch)
+    with open(mpath) as fh:
+        data = _json.load(fh)
+    data["committed_at"] = _time.time() - age_s
+    with open(mpath, "w") as fh:
+        _json.dump(data, fh)
+
+
 def test_vacuum_time_based_retention(spark, tmp_path):
-    """vacuum(max_age_s) expires snapshots older than the age bound
-    (manifest publish mtime = commit time) while always retaining the
-    newest version; read_at below the horizon raises, at/above it
-    still serves."""
+    """vacuum(max_age_s) expires snapshots whose RECORDED commit time
+    (in-manifest, r8 — not file mtime, which replays refresh) is older
+    than the age bound, while always retaining the newest version;
+    read_at below the horizon raises, at/above it still serves."""
     sink = _evo_sink(tmp_path)
     d = dt.datetime(2024, 1, 15, 10, 0)
     for epoch in range(3):
@@ -1233,17 +1248,17 @@ def test_vacuum_time_based_retention(spark, tmp_path):
             epoch,
         )
     assert sink.snapshots() == [0, 1, 2]
-    # age epochs 0 and 1 artificially past the horizon
-    old = dt.datetime.now().timestamp() - 3600
+    # age epochs 0 and 1 artificially past the horizon; their FILE
+    # mtimes stay fresh — retention must ignore that
     for e in (0, 1):
-        os.utime(sink._manifest_path(e), (old, old))
+        _backdate_commit(sink, e, 3600)
     sink.vacuum(max_age_s=600)
     assert sink.snapshots() == [2]
     with pytest.raises(ValueError, match="retention horizon"):
         sink.read_at(spark, 1)
     assert sink.read_at(spark, 2).count() == 3
     # the newest survives even when itself past the age bound
-    os.utime(sink._manifest_path(2), (old, old))
+    _backdate_commit(sink, 2, 3600)
     sink.vacuum(max_age_s=600)
     assert sink.snapshots() == [2]
 
@@ -1550,3 +1565,31 @@ def test_staged_epoch_tolerates_torn_marker(spark, tmp_path):
     # and the next commit proceeds normally over the debris
     sink.write_batch(spark.createDataFrame([("a", d1, 5)], schema), 1)
     assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 5)}
+
+
+def test_read_at_timestamp_resolves_by_recorded_commit_time(spark, tmp_path):
+    """TIMESTAMP AS OF: resolution runs on the commit time recorded
+    inside each manifest at first publish — probes between commits
+    return the earlier version, probes at/after the last return the
+    live table, probes before the first raise, and an idempotent
+    replay's manifest rewrite must not move a version forward in
+    time."""
+    import time as _time
+
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1)], schema), 0)
+    _time.sleep(0.05)  # guarantee distinct float commit stamps
+    sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
+    t0, t1 = (sink._manifest_committed_at(e) for e in (0, 1))
+    assert t0 < t1
+    mid = t0 + (t1 - t0) / 2
+    assert [r["total"] for r in sink.read_at_timestamp(spark, mid).collect()] == [1]
+    assert [r["total"] for r in sink.read_at_timestamp(spark, t1).collect()] == [2]
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        sink.read_at_timestamp(spark, t0 - 1.0)
+    # replayed epoch 1 rewrites its manifest; the mid-probe must still
+    # resolve epoch 0 (commit time preserved, not refreshed)
+    sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
+    assert [r["total"] for r in sink.read_at_timestamp(spark, mid).collect()] == [1]
