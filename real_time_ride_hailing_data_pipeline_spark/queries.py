@@ -151,8 +151,9 @@ _VERIFY_SPARES: list[str] = [
 # Entries born DURING r8 (oracle-backed, locally green, no driver row
 # yet) — the natural r9 rotation: streaming_timestamp_travel_replay
 # (TIMESTAMP AS OF over the in-manifest commit stamps),
-# scd2_user_type_history (SCD Type-2 interval build). Keep this list
-# current as r8 adds entries.
+# scd2_user_type_history (SCD Type-2 interval build),
+# streaming_restore_version_replay (RESTORE VERSION AS OF as a new
+# crash-safe commit). Keep this list current as r8 adds entries.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -2191,6 +2192,37 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_snapshot_time_travel(spark, sf_dir)
+
+
+@query(
+    "streaming_restore_version_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_restore_version_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF on the upsert sink
+    (streaming/job.py:streaming_restore_version, r8): roll the live
+    table back to the first streaming commit as a NEW version —
+    crash-safe through the migration staging's durable
+    _MIGRATE+_RESTORE pair (any entry point completes a crashed
+    restore; an incomplete staging is discarded), history preserved,
+    the restore manifest reusing the source version's immutable
+    copies. The oracle is the first batch's aggregation — the value
+    hash proves the rollback is exact, not just that a commit
+    happened. Cite: the reference can only UPSERT forward
+    (/root/reference/spark_jobs/streaming_job.py:37-44); undo of a bad
+    write is the lakehouse op a 100 TB deployment cannot run without."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_restore_version(spark, sf_dir)
 
 
 @query(

@@ -1000,6 +1000,33 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     return sink.read_at(spark, sink.snapshots()[0])
 
 
+def streaming_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF executed on real streaming output: the
+    two-batch replay commits epochs 0 and 1; ``restore(epoch 0)``
+    rolls the LIVE table back to the first batch's state as a NEW
+    commit (epoch 2). Returned is the live table after the restore —
+    the oracle aggregates only the first batch's time range, so the
+    value hash proves the rollback is exact. The function pins the
+    log contract: history is PRESERVED (the pre-restore newest still
+    serves its full content; the restore appears as its own version)
+    and the restore epoch's manifest reuses the source version's
+    immutable copies (zero new log data — checked structurally)."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    pre = sink.snapshots()  # may include a trailing empty-commit epoch
+    e0, e1 = pre[0], pre[-1]
+    pre_full = sink.read(spark).count()
+    new_epoch = sink.restore(spark, e0)
+    if sink.snapshots() != [*pre, new_epoch]:
+        raise RuntimeError(f"history not preserved: {sink.snapshots()}")
+    if sink.read_at(spark, e1).count() != pre_full:
+        raise RuntimeError("pre-restore newest version no longer serves")
+    if set(sink._load_manifest(new_epoch).values()) - {
+        *sink._load_manifest(e0).values()
+    }:
+        raise RuntimeError("restore manifest must reuse source copies")
+    return sink.read(spark)
+
+
 def streaming_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP AS OF time travel (Delta's second time-travel axis,
     on the engine's own sink): the two-batch replay commits two

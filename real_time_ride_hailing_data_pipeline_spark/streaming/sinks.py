@@ -340,11 +340,17 @@ class ParquetUpsertSink:
         return self.path.rstrip("/") + "__migrate"
 
     def _finish_migrate(self) -> None:
-        """Complete (or discard) a migration staging: swap every staged
-        partition in, then remove old-spec partition directories not
-        in the staged set — taken from the durable ``_MIGRATE`` list,
-        never from what remains in a partially-drained staging (which
-        would misclassify already-installed partitions as old-spec)."""
+        """Complete (or discard) a migration OR restore staging: swap
+        every staged partition in, then remove partition directories
+        not in the staged set — taken from the durable ``_MIGRATE``
+        list, never from what remains in a partially-drained staging
+        (which would misclassify already-installed partitions as
+        old-spec). A RESTORE staging additionally carries a
+        ``_RESTORE`` payload (target epoch, its manifest parts, schema,
+        spec history); publishing it AFTER the swap and BEFORE the
+        staging drop makes the whole restore re-enterable from any
+        crash point — every recovery entry point (read/merge/delete/
+        compact/migrate) already funnels through here."""
         staging = self._migrate_staging()
         if not os.path.isdir(staging):
             return
@@ -357,6 +363,11 @@ class ParquetUpsertSink:
             return
         with open(manifest) as fh:
             staged_dirs = set(json.load(fh))
+        restore_file = os.path.join(staging, "_RESTORE")
+        restore = None
+        if os.path.exists(restore_file):
+            with open(restore_file) as fh:
+                restore = json.load(fh)
         for d in sorted(staged_dirs):
             src = os.path.join(staging, d)
             if not os.path.isdir(src):
@@ -364,17 +375,108 @@ class ParquetUpsertSink:
             dst = os.path.join(self.path, d)
             shutil.rmtree(dst, ignore_errors=True)
             shutil.move(src, dst)
-        for d in os.listdir(self.path):
-            if d.startswith("part_date=") and d not in staged_dirs:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith("part_date=") and d not in staged_dirs:
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
+        if restore is not None:
+            # RESTORE commit point: the restored version's schema
+            # becomes the authoritative table schema, the spec history
+            # is PRESERVED (restored dirs may live under older specs —
+            # collapsing would break cross-spec candidate derivation),
+            # and the new epoch's manifest points at the SOURCE
+            # version's existing immutable copies (zero new log data).
+            # All idempotent JSON publishes — a crash replays them.
+            if restore.get("schema") is not None:
+                self._atomic_json_write(
+                    self._schema_file(), restore["schema"]
+                )
+                self._atomic_json_write(
+                    self._epoch_schema_path(restore["epoch"]),
+                    restore["schema"],
+                )
+            self._atomic_json_write(
+                self._partspec_file(), restore["specs"]
+            )
+            if self.snapshot_dir is not None:
+                self._publish_manifest(restore["epoch"], restore["parts"])
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         shutil.rmtree(staging, ignore_errors=True)
-        # the layout is homogeneous under the current spec now —
-        # collapse the history so merges/deletes return to the
+        # post-MIGRATION the layout is homogeneous under the current
+        # spec — collapse the history so merges/deletes return to the
         # single-spec hot path (one collect, no dead old-spec
         # candidate derivations)
         self._atomic_json_write(
             self._partspec_file(), self._transforms()[-1:]
         )
+
+    def restore(
+        self, spark: SparkSession, epoch_id: int, as_epoch: int | None = None
+    ) -> int:
+        """Roll the LIVE table back to snapshot ``epoch_id``'s content
+        (the Delta ``RESTORE TABLE .. VERSION AS OF`` shape) as a NEW
+        commit: history is preserved — every retained version still
+        reads, and the restore itself appears in the log as
+        ``as_epoch`` (default: newest + 1) whose manifest points at
+        the SOURCE version's existing immutable copies (no new data in
+        the log; the live-table rewrite is O(restored partitions),
+        never O(history)). Crash-safe through the migration staging:
+        the durable ``_MIGRATE`` + ``_RESTORE`` pair makes a crashed
+        restore complete at the next entry point, and an incomplete
+        staging is discarded (the restore simply never happened —
+        re-run it). Returns the committed epoch id."""
+        if self.snapshot_dir is None:
+            raise ValueError("sink was built without snapshot_dir")
+        with self._writer_lock():
+            # same preamble as migrate: no pending work may straddle
+            # a re-layout of the table
+            self._finish_compact(self._compact_staging())
+            self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+            self._finish_pending_epoch(spark)
+            retained = self.snapshots()
+            if epoch_id not in retained:
+                raise ValueError(
+                    f"epoch {epoch_id} is not a retained snapshot "
+                    f"(retained: {retained}) — expired or never committed"
+                )
+            new_epoch = retained[-1] + 1 if as_epoch is None else as_epoch
+            if new_epoch <= retained[-1]:
+                raise ValueError(
+                    f"as_epoch {new_epoch} must exceed the newest "
+                    f"retained epoch {retained[-1]}"
+                )
+            parts = self._load_manifest(epoch_id)
+            schema = self._epoch_schema(epoch_id)
+            staging = self._migrate_staging()
+            shutil.rmtree(staging, ignore_errors=True)
+            os.makedirs(staging, exist_ok=True)
+            for d, e in parts.items():
+                shutil.copytree(
+                    os.path.join(self.snapshot_dir, "files", f"epoch={e}", d),
+                    os.path.join(staging, d),
+                )
+            self._atomic_json_write(
+                os.path.join(staging, "_RESTORE"),
+                {
+                    "epoch": new_epoch,
+                    "parts": parts,
+                    "schema": None if schema is None else schema.jsonValue(),
+                    "specs": self._transforms(),
+                },
+            )
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+            # the _MIGRATE list is the completeness marker (LAST): a
+            # staging lacking it is discarded on recovery
+            self._atomic_json_write(
+                os.path.join(staging, "_MIGRATE"), sorted(parts)
+            )
+            self._finish_migrate()
+            self._invalidate_listing(spark)
+            return new_epoch
 
     # -- single-writer guard ----------------------------------------------
     def _lock_file(self) -> str:

@@ -1593,3 +1593,99 @@ def test_read_at_timestamp_resolves_by_recorded_commit_time(spark, tmp_path):
     # resolve epoch 0 (commit time preserved, not refreshed)
     sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
     assert [r["total"] for r in sink.read_at_timestamp(spark, mid).collect()] == [1]
+
+
+def test_restore_version_rolls_back_live_table_preserving_history(spark, tmp_path):
+    """RESTORE VERSION AS OF: the live table becomes the target
+    version's content as a NEW commit; every prior version still
+    reads; the restore epoch's manifest reuses the source version's
+    immutable copies; and writes continue normally after."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1)], schema), 0)
+    sink.write_batch(
+        spark.createDataFrame([("a", d1, 2), ("b", d2, 5)], schema), 1
+    )
+    new_epoch = sink.restore(spark, 0)
+    assert new_epoch == 2
+    assert sink.snapshots() == [0, 1, 2]
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 1)}
+    # history preserved: the pre-restore newest still serves in full
+    assert {
+        (r["k"], r["total"]) for r in sink.read_at(spark, 1).collect()
+    } == {("a", 2), ("b", 5)}
+    assert {
+        (r["k"], r["total"]) for r in sink.read_at(spark, 2).collect()
+    } == {("a", 1)}
+    # life goes on: a post-restore merge commits against restored state
+    sink.write_batch(spark.createDataFrame([("c", d2, 9)], schema), 3)
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {
+        ("a", 1),
+        ("c", 9),
+    }
+    assert {
+        (r["k"], r["total"]) for r in sink.read_at(spark, 3).collect()
+    } == {("a", 1), ("c", 9)}
+
+
+def test_restore_across_schema_evolution_restores_schema(spark, tmp_path):
+    """Restoring a pre-evolution version also restores the
+    authoritative table schema (Delta semantics): the evolved column
+    disappears from live reads, and the restored version's sidecar
+    governs time travel."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2, v1, v2 = _evo_batches(spark)
+    sink.write_batch(v1, 0)
+    sink.write_batch(v2, 1)  # adds fare_cents
+    assert "fare_cents" in sink.read(spark).columns
+    sink.restore(spark, 0)
+    out = sink.read(spark)
+    assert "fare_cents" not in out.columns
+    assert {(r["k"], r["total"]) for r in out.collect()} == {("a", 10), ("b", 20)}
+
+
+def test_restore_crash_windows_recover(spark, tmp_path, monkeypatch):
+    """The two restore-specific crash windows: (a) staging complete
+    (_MIGRATE published) but swap unfinished — ANY next entry point
+    completes the restore including its manifest publish; (b) staging
+    incomplete (no _MIGRATE) — discarded, the restore never happened."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(spark.createDataFrame([("a", d1, 1)], schema), 0)
+    sink.write_batch(spark.createDataFrame([("a", d1, 2)], schema), 1)
+
+    # (a) build the staging exactly as restore would, then "crash"
+    # before the swap by not calling _finish_migrate
+    parts = sink._load_manifest(0)
+    staging = sink._migrate_staging()
+    os.makedirs(staging, exist_ok=True)
+    for d, e in parts.items():
+        shutil.copytree(
+            os.path.join(sink.snapshot_dir, "files", f"epoch={e}", d),
+            os.path.join(staging, d),
+        )
+    sch = sink._epoch_schema(0)
+    sink._atomic_json_write(
+        os.path.join(staging, "_RESTORE"),
+        {
+            "epoch": 2,
+            "parts": parts,
+            "schema": None if sch is None else sch.jsonValue(),
+            "specs": sink._transforms(),
+        },
+    )
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    sink._atomic_json_write(os.path.join(staging, "_MIGRATE"), sorted(parts))
+    # next entry point = a plain read: must finish the restore
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 1)}
+    assert sink.snapshots() == [0, 1, 2]
+
+    # (b) an incomplete staging (no _MIGRATE) is discarded
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 1)}
+    assert not os.path.isdir(staging)
+    assert sink.snapshots() == [0, 1, 2]
