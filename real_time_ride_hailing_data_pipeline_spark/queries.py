@@ -153,7 +153,10 @@ _VERIFY_SPARES: list[str] = [
 # (TIMESTAMP AS OF over the in-manifest commit stamps),
 # scd2_user_type_history (SCD Type-2 interval build),
 # streaming_restore_version_replay (RESTORE VERSION AS OF as a new
-# crash-safe commit). Keep this list current as r8 adds entries.
+# crash-safe commit), cogroup_asof_purchase_view (the
+# FlatMapCoGroupsInPandas boundary), pandas_iter_udf_doc_scores
+# (SCALAR_ITER amortized-init inference shape). Keep this list
+# current as r8 adds entries.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -1310,6 +1313,125 @@ def grouped_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").applyInPandas(
         median_fn, "event_type string, median_value double"
+    )
+
+
+@query(
+    "pandas_iter_udf_doc_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 * length(text)
+                + 3 * (length(text) - length(replace(text, ' ', '')))
+                AS BIGINT) AS quality_score
+    FROM documents
+    """,
+)
+def pandas_iter_udf_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER — the remaining
+    pandas-UDF variant): per-worker init runs ONCE and then streams
+    every Arrow batch through it — the shape for model inference over
+    a 100 TB corpus, where loading the scorer per batch (plain scalar
+    pandas_udf) or per row (Python UDF) would dominate. The 'model'
+    here is a deterministic weight table so the DuckDB oracle can
+    value-hash the scores; swap it for a real tokenizer/classifier
+    load and the plan (ArrowEvalPython, whole column pipeline intact)
+    is unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(batches):
+        weights = {"len": 2, "space": 3}  # once per worker, not per batch
+        for s in batches:
+            yield (
+                weights["len"] * s.str.len()
+                + weights["space"] * s.str.count(" ")
+            ).astype("int64")
+
+    # real annotation objects (not strings): under `from __future__
+    # import annotations` the decorator's hint resolver cannot see
+    # function-local imports, so the Iterator[Series] -> SCALAR_ITER
+    # inference needs the live types attached explicitly
+    _score.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    score = pandas_udf(_score, "long")
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", score(F.col("text")).alias("quality_score")
+    )
+
+
+@query(
+    "cogroup_asof_purchase_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def cogroup_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform (``groupBy().cogroup().
+    applyInPandas`` — the FlatMapCoGroupsInPandas plan node, the one
+    Python-boundary API the registry had not yet exercised): per user,
+    BOTH relations (purchases, views) arrive as aligned Arrow batches
+    and ``pd.merge_asof`` matches each purchase to the user's most
+    recent view at-or-before it. The matched TIMESTAMP is returned
+    (deterministic under duplicate view timestamps, where the matched
+    row's other columns would not be); DuckDB's native ASOF LEFT JOIN
+    is the oracle — users with no prior view yield NULL on both
+    sides. Scale: one shuffle of EACH side on user_id (co-partitioned
+    by the cogroup), pandas state bounded by a single user's rows;
+    the union-trick JVM-side twin is ``asof_join_last_signup`` — this
+    entry is the custom-logic escape hatch for per-key temporal
+    alignment pandas expresses and SQL does not (interpolation,
+    tolerance bands, multi-column as-of)."""
+    import pandas as pd
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+
+    def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:  # a user with views but no purchases
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_view_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts")[["ts"]].rename(
+                columns={"ts": "last_view_ts"}
+            ),
+            left_on="ts",
+            right_on="last_view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "last_view_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, ts timestamp, "
+            "last_view_ts timestamp",
+        )
     )
 
 
@@ -5033,6 +5155,43 @@ def outlier_extreme_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return pf.grouped_extremes(
         events, "event_type", "value", "event_id", top_k=5, z_threshold=3
+    )
+
+
+@query(
+    "bitmap_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via fixed-size mergeable bitmaps (Spark's
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count family —
+    the warehouse pattern for exact COUNT(DISTINCT) at scale): stage 1
+    packs each (event_type, bitmap bucket)'s ids into ONE 4 KB bitmap
+    (partial aggregation state is a fixed-size blob per bucket, never
+    a growing hash set of raw ids — what makes this exact count
+    re-aggregatable and memory-bounded where groupBy(distinct) state
+    grows with cardinality); stage 2 sums the per-bucket popcounts.
+    Both shuffles carry bitmaps/counts, not ids. The DuckDB oracle is
+    the plain exact distinct — equality proves the bitmap path is
+    exact, not approximate."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_users")
     )
 
 

@@ -654,3 +654,64 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rebalance_hint_evens_skewed_output_partitions(spark):
+    """The REBALANCE hint (AQE RebalancePartitions) — the write-layout
+    primitive for 100 TB output: a skew-partitioned result would
+    otherwise produce one giant file and many empty ones. The hint
+    lets AQE both SPLIT oversized shuffle partitions and COALESCE tiny
+    ones at runtime. Pins: the optimized plan carries the rebalance
+    node, the executed plan re-reads the shuffle through
+    AQEShuffleRead, rows survive intact, and the resulting partition
+    sizes are dramatically more even than the skewed groupBy layout."""
+    from pyspark.sql import functions as F
+
+    prev = {}
+    confs = {
+        # force visible behavior at toy size
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor": "0.2",
+    }
+    for k, v in confs.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        # 95% of rows on one key: repartition(col) alone would put
+        # them all in one shuffle partition
+        df = (
+            spark.range(100_000)
+            .withColumn(
+                "k", F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id"))
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        balanced = df.hint("rebalance", "k")
+        logical = balanced._jdf.queryExecution().optimizedPlan().toString()
+        assert "RebalancePartitions" in logical, logical
+        per_pid = (
+            balanced.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            # max(pad) keeps the incompressible md5 column in the
+            # rebalanced shuffle — column pruning would otherwise strip
+            # it, and a shuffle of bare constant longs compresses below
+            # any advisory size (same caveat as the skew-join test)
+            .agg(F.count(F.lit(1)).alias("count"), F.max("pad").alias("mp"))
+        )
+        sizes = per_pid.collect()
+        assert sum(r["count"] for r in sizes) == 100_000  # nothing lost
+        physical = per_pid._jdf.queryExecution().executedPlan().toString()
+        assert "REBALANCE_PARTITIONS_BY_COL" in physical, physical
+        assert "AQEShuffleRead" in physical, physical
+        # the hot key's rows were split across many partitions: no
+        # partition holds more than ~a quarter of the data (the skewed
+        # layout would hold 95% in one)
+        assert max(r["count"] for r in sizes) < 30_000, sorted(
+            r["count"] for r in sizes
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
