@@ -155,8 +155,11 @@ _VERIFY_SPARES: list[str] = [
 # streaming_restore_version_replay (RESTORE VERSION AS OF as a new
 # crash-safe commit), cogroup_asof_purchase_view (the
 # FlatMapCoGroupsInPandas boundary), pandas_iter_udf_doc_scores
-# (SCALAR_ITER amortized-init inference shape). Keep this list
-# current as r8 adds entries.
+# (SCALAR_ITER amortized-init inference shape),
+# bitmap_distinct_users_per_type (exact distinct via mergeable
+# bitmaps), streaming_commit_history_replay (DESCRIBE HISTORY with
+# per-commit operation types). Keep this list current as r8 adds
+# entries.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -1412,6 +1415,15 @@ def cogroup_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "last_view_ts": pd.Series([], dtype="datetime64[us]"),
                 }
             )
+        if right.empty or "ts" not in right.columns:
+            # a user with purchases but NO views: the empty cogroup
+            # side can arrive as a ZERO-COLUMN frame (observed under
+            # count(), where the pruned output lets the Arrow writer
+            # send schema-less empty batches) — merge_asof needs the
+            # key column to exist, so emit the no-match rows directly
+            out = left.sort_values("ts").copy()
+            out["last_view_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "last_view_ts"]]
         out = pd.merge_asof(
             left.sort_values("ts"),
             right.sort_values("ts")[["ts"]].rename(
@@ -2314,6 +2326,36 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_snapshot_time_travel(spark, sf_dir)
+
+
+@query(
+    "streaming_commit_history_replay",
+    oracle="""
+    WITH d AS (
+      SELECT count(DISTINCT date_trunc('day', ts))
+               FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS d0,
+             count(DISTINCT date_trunc('day', ts))        AS dall
+      FROM events
+    )
+    SELECT 'merge' AS op, CAST(d0 AS BIGINT) AS n_partitions FROM d
+    UNION ALL SELECT 'merge',   CAST(dall AS BIGINT)     FROM d
+    UNION ALL SELECT 'delete',  CAST(dall - 1 AS BIGINT) FROM d
+    UNION ALL SELECT 'restore', CAST(d0 AS BIGINT)       FROM d
+    """,
+)
+def streaming_commit_history_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY on the upsert sink
+    (streaming/job.py:streaming_commit_history, r8): every committed
+    version with its OPERATION TYPE (merge / delete / restore —
+    recorded in the manifest at publish, preserved across replays and
+    heals) and live partition count — the audit surface a lakehouse
+    table needs before anyone trusts RESTORE. The counts are fully
+    data-derived, so the DuckDB oracle value-hashes the log's content
+    against the raw events. Driver-side O(retained manifests) metadata
+    reads, never a data scan."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_commit_history(spark, sf_dir)
 
 
 @query(

@@ -932,6 +932,15 @@ def run_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(out_path)
 
 
+# The two-file split is identical for every streaming query over the
+# same fixture — build it once per (sf_dir, events size+mtime) and give
+# each query a COPY (not a hardlink: mtimes are staggered per workdir
+# to control file-stream trigger order, and links would share inodes).
+# ~15 registry entries each paid two coalesce(1) Spark writes for the
+# identical artifact; a file copy of the cached pair is ~free.
+_SPLIT_CACHE: dict[tuple, str] = {}
+
+
 def _split_events_two_files(
     spark: SparkSession, sf_dir: str, workdir: str
 ) -> str:
@@ -939,21 +948,42 @@ def _split_events_two_files(
     fixed 2024-01-16 cutoff (mtimes staggered so the file stream
     triggers them in order); returns the source dir. No 1-minute
     window straddles the midnight cutoff, so each window's rows live
-    entirely in one file."""
+    entirely in one file. Process-cached per fixture (see
+    _SPLIT_CACHE)."""
+    import shutil as _shutil
     import time as _time
 
     src_dir = os.path.join(workdir, "src")
     os.makedirs(src_dir)
-    events = catalog.load_table(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-16").cast("timestamp")
-    for name, half in (
-        ("a_half0", events.filter(F.col("ts") < cutoff)),
-        ("b_half1", events.filter(F.col("ts") >= cutoff)),
-    ):
-        tmp = os.path.join(workdir, f"tmp_{name}")
-        half.coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(os.path.join(tmp, part), os.path.join(src_dir, f"{name}.parquet"))
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(ev_path)
+        key = (ev_path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        key = None
+    cached = _SPLIT_CACHE.get(key) if key is not None else None
+    if cached is None or not os.path.isdir(cached):
+        events = catalog.load_table(spark, sf_dir, "events")
+        cutoff = F.lit("2024-01-16").cast("timestamp")
+        cache_dir = os.path.join(_workdir("rtrh_split_cache_"), "src")
+        os.makedirs(cache_dir)
+        for name, half in (
+            ("a_half0", events.filter(F.col("ts") < cutoff)),
+            ("b_half1", events.filter(F.col("ts") >= cutoff)),
+        ):
+            tmp = cache_dir + f"__tmp_{name}"
+            half.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(cache_dir, f"{name}.parquet"),
+            )
+            _shutil.rmtree(tmp, ignore_errors=True)
+        cached = cache_dir
+        if key is not None:
+            _SPLIT_CACHE[key] = cached
+    for f in sorted(os.listdir(cached)):
+        _shutil.copy(os.path.join(cached, f), os.path.join(src_dir, f))
     now = _time.time()
     for i, f in enumerate(sorted(os.listdir(src_dir))):
         os.utime(os.path.join(src_dir, f), (now + i, now + i))
@@ -998,6 +1028,37 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     per commit, and expiry VACUUMs unreferenced partition copies."""
     sink = _two_batch_snapshot_replay(spark, sf_dir)
     return sink.read_at(spark, sink.snapshots()[0])
+
+
+def streaming_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the sink's transaction log: the two-batch
+    replay commits merges, a row-level DELETE then drops the first
+    date's partition, and a RESTORE rolls back to the first version —
+    four operation types in one log. Returned are the DISTINCT
+    (op, n_partitions) rows of ``describe_history``: distinct-ness
+    makes the result independent of whether availableNow appends a
+    trailing EMPTY micro-batch (its manifest is identical to the
+    previous commit's, so it collapses into the same row), and the
+    partition counts are fully data-derived for the oracle — merge
+    rows at (pre-cutoff dates) and (all dates), the delete row at
+    (all dates - 1), the restore row back at (pre-cutoff dates)."""
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    first_date = sink.read(spark).agg(
+        F.min(F.to_date("window_start"))
+    ).collect()[0][0]
+    doomed = (
+        sink.read(spark)
+        .filter(F.to_date("window_start") == F.lit(first_date))
+        .select("event_type", "window_start")
+    )
+    epochs = sink.snapshots()
+    sink.delete_keys(doomed, epochs[-1] + 1)
+    sink.restore(spark, epochs[0])
+    return (
+        sink.describe_history(spark)
+        .select("op", "n_partitions")
+        .distinct()
+    )
 
 
 def streaming_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -332,7 +332,9 @@ class ParquetUpsertSink:
                 dst = os.path.join(epoch_files, d)
                 shutil.rmtree(dst, ignore_errors=True)
                 shutil.copytree(os.path.join(self.path, d), dst)
-            self._publish_manifest(epoch, {d: epoch for d in live})
+            self._publish_manifest(
+                epoch, {d: epoch for d in live}, op=self._manifest_op(epoch)
+            )
             self._expire_snapshots()
         os.remove(marker)
 
@@ -401,7 +403,9 @@ class ParquetUpsertSink:
                 self._partspec_file(), restore["specs"]
             )
             if self.snapshot_dir is not None:
-                self._publish_manifest(restore["epoch"], restore["parts"])
+                self._publish_manifest(
+                    restore["epoch"], restore["parts"], op="restore"
+                )
             shutil.rmtree(staging, ignore_errors=True)
             return
         shutil.rmtree(staging, ignore_errors=True)
@@ -778,7 +782,7 @@ class ParquetUpsertSink:
         if not touched_vals:
             # no key present: an empty commit, but still a committed
             # version (mirrors the empty-micro-batch snapshot path)
-            self._snapshot(spark, epoch_id, touched=[])
+            self._snapshot(spark, epoch_id, touched=[], op="delete")
             return
         survivors = self._anti_join_keys(
             existing.filter(self._part_date_filter(touched_vals)), staged_keys
@@ -787,13 +791,13 @@ class ParquetUpsertSink:
             self.merged_path
         )
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
-        self._publish_staging(touched_dirs, epoch_id)
+        self._publish_staging(touched_dirs, epoch_id, op="delete")
         # staging dropped only AFTER the snapshot publishes: a crash
         # between commit and snapshot must leave the epoch-marked
         # staging so the replay re-enters the recovery branch above
         # instead of the (manifest-diverging) empty-commit path
         self._commit(spark, drop_staging=False)
-        self._snapshot(spark, epoch_id, touched_dirs)
+        self._snapshot(spark, epoch_id, touched_dirs, op="delete")
         shutil.rmtree(self.merged_path, ignore_errors=True)
 
     @staticmethod
@@ -860,6 +864,18 @@ class ParquetUpsertSink:
                 for r in staged.select("part_date").distinct().collect()
             ]
 
+    def _staged_op(self) -> str:
+        """Operation type of a durable staging ('merge' for legacy
+        stagings written before the field existed)."""
+        try:
+            with open(self._touched_file()) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict):
+                return str(data.get("op", "merge"))
+        except (FileNotFoundError, ValueError):
+            pass
+        return "merge"
+
     def _manifest_path(self, epoch_id: int) -> str:
         return os.path.join(self.snapshot_dir, "manifest", f"epoch={epoch_id}.json")
 
@@ -896,20 +912,40 @@ class ParquetUpsertSink:
             pass
         return os.path.getmtime(self._manifest_path(epoch_id))
 
-    def _publish_manifest(self, epoch_id: int, parts: dict[str, int]) -> None:
+    def _publish_manifest(
+        self, epoch_id: int, parts: dict[str, int], op: str = "merge"
+    ) -> None:
         """Atomic manifest publish (the commit point), PRESERVING the
-        first publish's commit timestamp across replays/heals."""
+        first publish's commit timestamp across replays/heals and
+        recording the operation type (merge/delete/restore/migrate)
+        for the history view."""
         try:
             committed_at = self._manifest_committed_at(epoch_id)
         except FileNotFoundError:
             committed_at = time.time()
         self._atomic_json_write(
             self._manifest_path(epoch_id),
-            {"parts": parts, "committed_at": committed_at},
+            {"parts": parts, "committed_at": committed_at, "op": op},
         )
 
+    def _manifest_op(self, epoch_id: int) -> str:
+        """Operation recorded at a version's publish ('merge' for
+        legacy bare-map manifests)."""
+        try:
+            with open(self._manifest_path(epoch_id)) as fh:
+                data = json.load(fh)
+            if isinstance(data, dict) and "op" in data:
+                return str(data["op"])
+        except (FileNotFoundError, ValueError):
+            pass
+        return "merge"
+
     def _snapshot(
-        self, spark: SparkSession, epoch_id: int, touched: list[str] | None
+        self,
+        spark: SparkSession,
+        epoch_id: int,
+        touched: list[str] | None,
+        op: str = "merge",
     ) -> None:
         """Retain this epoch's committed state in the transaction log
         (no-op unless ``snapshot_dir`` is set): copy each TOUCHED
@@ -959,7 +995,7 @@ class ParquetUpsertSink:
             self._epoch_schema_path(epoch_id), schema.jsonValue()
         )
         # the manifest publish (last) is the commit point
-        self._publish_manifest(epoch_id, manifest)
+        self._publish_manifest(epoch_id, manifest, op=op)
         self._expire_snapshots()
 
     def vacuum(self, max_age_s: float | None = None) -> None:
@@ -1069,6 +1105,28 @@ class ParquetUpsertSink:
             for d, e in sorted(manifest.items())
         ]
         return self._read_snapshot_paths(spark, paths, eligible[-1])
+
+    def describe_history(self, spark: SparkSession) -> DataFrame:
+        """The DESCRIBE HISTORY view of the transaction log: one row
+        per retained version — epoch, the operation that committed it
+        (merge/delete/restore/migrate; 'merge' for legacy manifests),
+        its live partition count, and the recorded commit timestamp.
+        Driver-side O(retained manifests) JSON reads — metadata only,
+        bounded by the retention policy, never a data scan."""
+        if self.snapshot_dir is None:
+            raise ValueError("sink was built without snapshot_dir")
+        rows = [
+            (
+                e,
+                self._manifest_op(e),
+                len(self._load_manifest(e)),
+                float(self._manifest_committed_at(e)),
+            )
+            for e in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows, "epoch long, op string, n_partitions long, committed_at double"
+        )
 
     def read_at_timestamp(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time-travel read by WALL-CLOCK instant (the Delta
@@ -1421,11 +1479,13 @@ class ParquetUpsertSink:
             return None
         touched = self._staged_touched(spark) if self.snapshot_dir else None
         self._commit(spark, drop_staging=False)
-        self._snapshot(spark, epoch, touched)
+        self._snapshot(spark, epoch, touched, op=self._staged_op())
         shutil.rmtree(self.merged_path, ignore_errors=True)
         return epoch
 
-    def _publish_staging(self, touched_dirs: list[str], epoch_id: int) -> list[str]:
+    def _publish_staging(
+        self, touched_dirs: list[str], epoch_id: int, op: str = "merge"
+    ) -> list[str]:
         """Record the staged commit's touched and EMPTIED partition
         sets (emptied = touched dirs with no staged content — a
         delete, or a post-evolution merge that drained an old-spec
@@ -1444,7 +1504,8 @@ class ParquetUpsertSink:
         # permanent wedge the crash matrix can't even reach via the
         # shutil fault injectors
         self._atomic_json_write(
-            self._touched_file(), {"touched": touched_dirs, "emptied": emptied}
+            self._touched_file(),
+            {"touched": touched_dirs, "emptied": emptied, "op": op},
         )
         self._atomic_json_write(
             os.path.join(self.merged_path, "_EPOCH"), epoch_id

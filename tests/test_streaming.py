@@ -1689,3 +1689,32 @@ def test_restore_crash_windows_recover(spark, tmp_path, monkeypatch):
     assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {("a", 1)}
     assert not os.path.isdir(staging)
     assert sink.snapshots() == [0, 1, 2]
+
+
+def test_describe_history_records_operation_types(spark, tmp_path):
+    """Each committed version records its operation at publish —
+    merge, delete, restore — preserved across an idempotent epoch
+    replay (the manifest rewrite must not reset op or commit time),
+    with partition counts matching the manifests."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(
+        spark.createDataFrame([("a", d1, 1), ("b", d2, 2)], schema), 0
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"), 1
+    )
+    sink.restore(spark, 0)
+    hist = {
+        r["epoch"]: (r["op"], r["n_partitions"])
+        for r in sink.describe_history(spark).collect()
+    }
+    assert hist == {0: ("merge", 2), 1: ("delete", 1), 2: ("restore", 2)}
+    # replayed delete epoch keeps its recorded op
+    sink.write_batch(
+        spark.createDataFrame([("c", d2, 3)], schema), 3
+    )
+    assert sink._manifest_op(1) == "delete"
+    assert sink._manifest_op(3) == "merge"
