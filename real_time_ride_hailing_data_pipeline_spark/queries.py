@@ -158,8 +158,9 @@ _VERIFY_SPARES: list[str] = [
 # (SCALAR_ITER amortized-init inference shape),
 # bitmap_distinct_users_per_type (exact distinct via mergeable
 # bitmaps), streaming_commit_history_replay (DESCRIBE HISTORY with
-# per-commit operation types). Keep this list current as r8 adds
-# entries.
+# per-commit operation types), lakehouse_clone_divergence (zero-copy
+# SHALLOW CLONE by hardlink + divergent delete). Keep this list
+# current as r8 adds entries.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -2342,6 +2343,59 @@ def streaming_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
 
     return sj.streaming_snapshot_time_travel(spark, sf_dir)
+
+
+@query(
+    "lakehouse_clone_divergence",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE event_type <> 'view'
+    GROUP BY 1, 2, 3
+    """,
+)
+def lakehouse_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE executed end-to-end (sinks.py:clone, r8 — the
+    Delta ``SHALLOW CLONE`` shape): the city-metrics table is
+    committed once, cloned by HARDLINK (O(files) metadata, zero data
+    copied — safe because every mutation in the engine replaces whole
+    files, never appends in place, so unlinking one side's copy is
+    copy-on-write), and the CLONE then deletes every 'view' key.
+    Returned is the clone's table — the oracle is the aggregation
+    excluding 'view', so the value hash proves the divergent delete;
+    the function separately pins that the SOURCE still serves its
+    full content (the rows the clone dropped are intact). The
+    zero-copy claim itself (st_nlink > 1 on every shared file) is
+    pinned in tests/test_streaming.py."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir)
+    workdir = _workdir("rtrh_clone_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "src_table"),
+        key_cols=("event_type", "window_start"),
+    )
+    sink.write_batch(base, 0)
+    n_full = sink.read(spark).count()
+    clone = sink.clone(spark, _os.path.join(workdir, "clone_table"))
+    clone.delete_keys(
+        sink.read(spark)
+        .filter(F.col("event_type") == "view")
+        .select("event_type", "window_start"),
+        0,
+    )
+    if sink.read(spark).count() != n_full:
+        raise RuntimeError("the clone's delete leaked into the source")
+    return clone.read(spark)
 
 
 @query(

@@ -1106,6 +1106,67 @@ class ParquetUpsertSink:
         ]
         return self._read_snapshot_paths(spark, paths, eligible[-1])
 
+    def clone(
+        self,
+        spark: SparkSession,
+        dest_path: str,
+        snapshot_dir: str | None = None,
+    ) -> "ParquetUpsertSink":
+        """SHALLOW CLONE (the Delta ``CREATE TABLE .. SHALLOW CLONE``
+        shape): a new independent table sharing the source's data
+        files by HARDLINK — O(files) metadata, zero data copied. Safe
+        because every mutation in this engine replaces whole files
+        (swap commits, compaction, deletes all unlink-and-install;
+        nothing ever appends to an existing parquet file in place), so
+        a write to either table unlinks its side of the shared inode
+        and the other table is untouched — copy-on-write for free.
+        Falls back to a physical copy per file across filesystems.
+        The clone starts a FRESH snapshot log (its first commit
+        snapshots the full baseline via the existing attach-to-
+        pre-existing-table path); sidecars (authoritative schema,
+        partition-spec history) are copied so evolution state carries
+        over. Taken under the source's writer lock after completing
+        any pending work, so the clone is a consistent committed
+        state."""
+        dest_path = dest_path.rstrip("/")
+        if os.path.isdir(dest_path) and os.listdir(dest_path):
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        with self._writer_lock():
+            self._finish_compact(self._compact_staging())
+            self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+            self._finish_pending_epoch(spark)
+            os.makedirs(dest_path, exist_ok=True)
+            for d in os.listdir(self.path):
+                src_dir = os.path.join(self.path, d)
+                if d.startswith("part_date=") and os.path.isdir(src_dir):
+                    dst_dir = os.path.join(dest_path, d)
+                    os.makedirs(dst_dir)
+                    for f in os.listdir(src_dir):
+                        s = os.path.join(src_dir, f)
+                        if not os.path.isfile(s):
+                            continue
+                        try:
+                            os.link(s, os.path.join(dst_dir, f))
+                        except OSError:  # cross-device: physical copy
+                            shutil.copy2(s, os.path.join(dst_dir, f))
+                elif d in ("_schema.json", "_partspec.json") and os.path.isfile(
+                    src_dir
+                ):
+                    shutil.copy2(src_dir, os.path.join(dest_path, d))
+        return ParquetUpsertSink(
+            dest_path,
+            key_cols=tuple(self.key_cols),
+            partition_source=self.partition_source,
+            retries=self.retries,
+            retry_delay_s=self.retry_delay_s,
+            snapshot_dir=snapshot_dir,
+            max_snapshots=self.max_snapshots,
+            schema_evolution=self.schema_evolution,
+            auto_compact_files=self.auto_compact_files,
+            partition_granularity=self.partition_granularity,
+        )
+
     def describe_history(self, spark: SparkSession) -> DataFrame:
         """The DESCRIBE HISTORY view of the transaction log: one row
         per retained version — epoch, the operation that committed it

@@ -1718,3 +1718,53 @@ def test_describe_history_records_operation_types(spark, tmp_path):
     )
     assert sink._manifest_op(1) == "delete"
     assert sink._manifest_op(3) == "merge"
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: the clone shares the source's data files by
+    hardlink (st_nlink > 1 — zero bytes copied), yet writes to either
+    side never leak to the other (every mutation replaces whole
+    files, so unlinking one side's copy is copy-on-write). Sidecars
+    (schema, partition specs) carry over; the clone's snapshot log is
+    fresh and independent."""
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    d2 = dt.datetime(2024, 1, 16, 11, 0)
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(
+        spark.createDataFrame([("a", d1, 1), ("b", d2, 2)], schema), 0
+    )
+    clone = sink.clone(
+        spark, str(tmp_path / "c"), snapshot_dir=str(tmp_path / "csnap")
+    )
+    # zero-copy: every cloned parquet file is a second link to the
+    # source inode
+    linked = [
+        os.stat(os.path.join(r, f)).st_nlink
+        for r, _, fs in os.walk(clone.path)
+        for f in fs
+        if f.endswith(".parquet") and os.path.getsize(os.path.join(r, f)) > 0
+    ]
+    assert linked and all(n > 1 for n in linked)
+    assert {(r["k"], r["total"]) for r in clone.read(spark).collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+    # diverge the clone: source untouched
+    clone.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"), 0
+    )
+    assert {(r["k"], r["total"]) for r in clone.read(spark).collect()} == {("b", 2)}
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+    # diverge the source: clone untouched
+    sink.write_batch(spark.createDataFrame([("b", d2, 9)], schema), 1)
+    assert {(r["k"], r["total"]) for r in sink.read(spark).collect()} == {
+        ("a", 1),
+        ("b", 9),
+    }
+    assert {(r["k"], r["total"]) for r in clone.read(spark).collect()} == {("b", 2)}
+    # independent logs
+    assert sink.snapshots() == [0, 1] and clone.snapshots() == [0]
