@@ -459,9 +459,12 @@ def main() -> None:
         for n, runs in frozen_runs.items()
         if runs
     }
+    # totals over queries that completed ALL reps only: a query erroring
+    # in rep 2 would otherwise silently shrink that rep's total and fake
+    # a spread improvement (ADVICE r8)
+    complete = {n: runs for n, runs in frozen_runs.items() if len(runs) == 3}
     run_totals = [
-        round(sum(runs[i] for runs in frozen_runs.values() if len(runs) > i), 4)
-        for i in range(3)
+        round(sum(runs[i] for runs in complete.values()), 4) for i in range(3)
     ]
     try:
         skew = skew_bench(spark, sf_dir)
@@ -474,6 +477,7 @@ def main() -> None:
         "queries": frozen_t,
         "stat": "median-of-3-warm",
         "run_totals": run_totals,
+        "run_totals_over": len(complete),
         "spread": [min(run_totals), max(run_totals)] if run_totals else [],
         "sf": sf,
         "layout": "single-file-r1-baseline",

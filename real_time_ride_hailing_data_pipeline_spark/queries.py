@@ -50,21 +50,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r8 rotation (VERDICT r7 item 2): the 39 entries born during r7
-# (26 mid-round + 13 late-round; they postdate the r7 window freeze,
-# so they are the only oracle-backed entries with no driver row yet),
-# plus streaming_partition_evolution_replay which was the r7 red (the
-# stale-FileStatusCache defect, fixed this round — stays in-window
-# until green).  Re-verified alongside them: the snapshot-log family
-# (streaming_snapshot_history / _change_feed / _compaction_roundtrip)
-# and incremental_rollup_merge, because THIS round changed the sink's
-# manifest format (commit timestamps recorded in-manifest) and the
-# commit path (listing invalidation, atomic staging markers) — green
-# r7 rows do not cover the new code.  Out: the r7-green entries whose
-# family keeps another green row (the TPC-H tail, the source-format
-# trio, the Arrow/UDF boundary set, the text/dedup/ANN tail — all
-# remain fully oracle-checked at sf0.001 by tests/test_queries_oracle
-# .py every pytest run, and their rotation log lives in COVERAGE.md).
+# r9 rotation (VERDICT r8 items 1-4): the 8 entries born during r8
+# (they postdate the r8 window freeze, so they are the only
+# oracle-backed entries with no driver row yet) plus the 4 r9-born
+# entries (deletion-vector delete, streaming CDF source, column-mapping
+# rename/drop, multi-table transaction).  Re-verified alongside them:
+# the FULL snapshot-log / upsert-sink family, because THIS round
+# changes the sink's snapshot copy mechanism (hardlink instead of
+# copy), the read path (deletion-vector application), the schema path
+# (column mapping) and the restore commit (retention + legacy-schema
+# fixes) — green r8 rows do not cover the new code.  The remaining
+# slots rotate in the STALEST-green breadth entries (last driver rows
+# r2-r4: the TPC-H tail, the join family, the dedup/text/ANN tier, the
+# source formats, the Arrow boundary) so cumulative coverage keeps
+# refreshing; all stay fully oracle-checked at sf0.001 by
+# tests/test_queries_oracle.py every pytest run (rotation log in
+# COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -83,53 +84,55 @@ _VERIFY_FIRST: list[str] = [
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     "transform_with_state_running_totals",
-    # snapshot-log family re-verification: the r8 sink changes touched
-    # the manifest format and every commit path
+    # --- the 8 r8-born entries (VERDICT r8 item 1) ---
+    "scd2_user_type_history",
+    "streaming_timestamp_travel_replay",
+    "streaming_restore_version_replay",
+    "cogroup_asof_purchase_view",
+    "pandas_iter_udf_doc_scores",
+    "bitmap_distinct_users_per_type",
+    "streaming_commit_history_replay",
+    "lakehouse_clone_divergence",
+    # --- the 4 r9-born entries (VERDICT r8 items 2, 3, 4, 7) ---
+    "streaming_dv_delete_replay",
+    "streaming_cdf_source_replay",
+    "lakehouse_rename_drop_evolution",
+    "multi_table_txn_consistency",
+    # sink-family re-verification: the r9 sink changes touched the
+    # snapshot copy mechanism (hardlinks), every read path (deletion
+    # vectors), the schema path (column mapping) and restore
     "streaming_snapshot_history",
     "streaming_snapshot_change_feed",
+    "streaming_snapshot_time_travel",
     "streaming_compaction_roundtrip",
     "incremental_rollup_merge",
-    # --- the 26 r7-born entries (VERDICT r7 item 2) ---
-    "sql_scalar_udf_value_bands",
-    "sql_table_udf_band_summary",
-    "sql_pipe_syntax_agg",
-    "dpp_partition_pruned_join",
-    "runtime_bloom_filter_join",
-    "collation_caseinsensitive_group",
-    "dedup_edit_distance_pairs",
-    "python_datasink_city_fares",
-    "python_stream_sink_city_fares",
-    "funnel_conversion_steps",
-    "cohort_weekly_retention",
-    "event_transition_matrix",
-    "window_range_trailing_stats",
-    "agg_regression_price_quantity",
-    "expectations_event_quality",
-    "window_percentile_analytics",
-    "agg_time_decay_weighted",
-    "lateral_topk_orders_per_customer",
-    "recursive_cte_year_spine",
-    "observe_scan_audit",
-    "streaming_rate_source_buckets",
-    "approx_topk_event_types",
-    "parameterized_sql_priority_bands",
-    "agg_median_mode_per_type",
-    "global_row_index",
-    "cbo_stats_join_reorder",
-    # --- the 13 late-r7 entries ---
-    "map_event_type_shares",
-    "sql_scripting_p90_search",
-    "session_variable_threshold_bands",
-    "transpose_event_type_metrics",
+    "streaming_partition_evolution_replay",
     "streaming_schema_evolution_replay",
-    "streaming_foreach_row_sink",
     "streaming_delete_change_feed",
     "streaming_cdc_downstream_apply",
-    "udtf_table_arg_user_gaps",
-    "full_outer_user_reconciliation",
-    "state_metadata_operators",
-    "udtf_polymorphic_metric_extract",
-    "streaming_partition_evolution_replay",
+    "streaming_foreach_row_sink",
+    # --- breadth rotation: stalest-green entries (r2-r4 driver rows) ---
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_orders",
+    "tpch_q21_waiting_suppliers",
+    "sort_merge_order_revenue",
+    "asof_join_last_signup",
+    "range_join_views_before_purchase",
+    "bucketed_join_no_shuffle",
+    "shuffled_hash_join_supplier_volume",
+    "dedup_exact_documents",
+    "dedup_near_duplicates",
+    "dedup_semantic_keep_list",
+    "search_bm25_topk",
+    "pipeline_training_prep",
+    "text_tfidf_top_terms",
+    "contamination_eval_train_overlap",
+    "pack_documents_token_bins",
+    "xml_source_agg",
+    "python_datasource_city_fares",
+    "python_stream_source_city_fares",
+    "grouped_median_value",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1

@@ -957,8 +957,27 @@ def _split_events_two_files(
     os.makedirs(src_dir)
     ev_path = os.path.join(sf_dir, "events.parquet")
     try:
-        st = os.stat(ev_path)
-        key = (ev_path, st.st_size, st.st_mtime_ns)
+        # fingerprint every file the fixture resolves to: a DIRECTORY
+        # fixture (multifile layout) or an in-place regeneration with
+        # identical size and coarse mtime must not serve a stale split
+        # (ADVICE r8) — the key covers each member file's identity
+        # (name, inode, size, mtime_ns), not just the top-level path
+        if os.path.isdir(ev_path):
+            members = sorted(
+                os.path.join(ev_path, f)
+                for f in os.listdir(ev_path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            members = [ev_path]
+        key = (
+            ev_path,
+            tuple(
+                (os.path.basename(p), st.st_ino, st.st_size, st.st_mtime_ns)
+                for p in members
+                for st in (os.stat(p),)
+            ),
+        )
     except OSError:
         key = None
     cached = _SPLIT_CACHE.get(key) if key is not None else None
