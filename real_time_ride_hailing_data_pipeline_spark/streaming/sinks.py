@@ -399,6 +399,17 @@ class ParquetUpsertSink:
                     self._epoch_schema_path(restore["epoch"]),
                     restore["schema"],
                 )
+            else:
+                # restoring a legacy pre-sidecar version: its schema is
+                # whatever its homogeneous files carry — leaving the
+                # current evolved _schema.json in place would read the
+                # restored table under the POST-restore schema,
+                # diverging from the restore-schema semantics sidecar-
+                # bearing versions get (ADVICE r8)
+                try:
+                    os.remove(self._schema_file())
+                except FileNotFoundError:
+                    pass
             self._atomic_json_write(
                 self._partspec_file(), restore["specs"]
             )
@@ -406,6 +417,10 @@ class ParquetUpsertSink:
                 self._publish_manifest(
                     restore["epoch"], restore["parts"], op="restore"
                 )
+                # a restore is a commit like any other: apply the
+                # retention bound here too, or a max_snapshots table
+                # exceeds it until the next ordinary commit (ADVICE r8)
+                self._expire_snapshots()
             shutil.rmtree(staging, ignore_errors=True)
             return
         shutil.rmtree(staging, ignore_errors=True)
@@ -459,7 +474,7 @@ class ParquetUpsertSink:
             shutil.rmtree(staging, ignore_errors=True)
             os.makedirs(staging, exist_ok=True)
             for d, e in parts.items():
-                shutil.copytree(
+                self._copytree_link(
                     os.path.join(self.snapshot_dir, "files", f"epoch={e}", d),
                     os.path.join(staging, d),
                 )
@@ -582,9 +597,17 @@ class ParquetUpsertSink:
             def __exit__(self, *exc):
                 if self.owned:
                     lock = sink._lock_file()
-                    _HELD_LOCKS.pop(lock, None)
+                    # file first, dict second: a racing same-process
+                    # thread that observed the dict entry gone could
+                    # read the lock file, see its own pid, take the
+                    # stale-breaker path and acquire — after which our
+                    # os.remove would delete the NEW owner's lock. With
+                    # the dict entry still present until after the file
+                    # is gone, that thread raises ConcurrentWriterError
+                    # instead (ADVICE r8).
                     with contextlib.suppress(FileNotFoundError):
                         os.remove(lock)
+                    _HELD_LOCKS.pop(lock, None)
                 return False
 
         return _Lock()
@@ -706,11 +729,30 @@ class ParquetUpsertSink:
             self.compact(spark, files_per_partition=1, only_partitions=fat)
 
     # -- row-level DELETE --------------------------------------------------
-    def delete_keys(self, keys_df: DataFrame, epoch_id: int) -> None:
+    def delete_keys(
+        self, keys_df: DataFrame, epoch_id: int, mode: str = "copy_on_write"
+    ) -> None:
         """Row-level DELETE by key — the ``MERGE .. WHEN MATCHED THEN
         DELETE`` / GDPR-erasure half of the lakehouse write surface.
         Rows whose key appears in ``keys_df`` (key columns only) are
         removed; everything else is untouched.
+
+        Two physical tiers (the Delta/Iceberg pair):
+
+        - ``mode="copy_on_write"`` (default): rewrite every partition
+          containing a doomed key — read cost stays pristine, write
+          cost is O(touched partition bytes). Right when deletes are
+          broad or partitions narrow.
+        - ``mode="merge_on_read"``: publish DELETION VECTORS — per-file
+          row-index sets in a ``_dv.json`` sidecar next to the data
+          files — and leave every data file untouched. Write cost is
+          O(deleted rows); reads apply the DV as a broadcast anti-join
+          on ``(_metadata.file_name, _metadata.row_index)``; the next
+          merge/compaction of a DV-bearing partition FOLDS the vector
+          into a clean rewrite. Right for narrow predicate deletes
+          over wide partitions — the case where copy-on-write rewrites
+          gigabytes to remove kilobytes (BASELINE r7 measured that
+          delete at 9.4× wall for 8× rows; the DV path is flat).
 
         Same three-step crash-safe machinery as the merge: only
         partitions CONTAINING a doomed key are rewritten (a key-semi-
@@ -728,9 +770,14 @@ class ParquetUpsertSink:
         ``partition_source`` is a key column, as the streaming sink
         keys are) — the same locality the merge's per-partition
         anti-join already relies on."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"mode must be 'copy_on_write' or 'merge_on_read', got {mode!r}"
+            )
+        impl = self._delete if mode == "copy_on_write" else self._delete_dv
         with self._writer_lock():
             with_retries(
-                lambda: self._delete(keys_df, epoch_id),
+                lambda: impl(keys_df, epoch_id),
                 self.retries,
                 self.retry_delay_s,
             )
@@ -814,6 +861,196 @@ class ParquetUpsertSink:
             cond = cond | F.col("part_date").isNull()
         return cond
 
+    # -- deletion vectors (merge-on-read delete tier) -----------------------
+    def _dv_pending_file(self) -> str:
+        return self.path.rstrip("/") + "__dv_pending.json"
+
+    def _delete_dv(self, keys_df: DataFrame, epoch_id: int) -> None:
+        """Merge-on-read delete: find every (file, row-index) a doomed
+        key occupies, stage the delta as ONE atomically-published JSON
+        (the whole commit fits a single atomic write — no multi-step
+        staging protocol needed), then fold it into each touched
+        partition's ``_dv.json`` sidecar and snapshot. Zero data files
+        are read back or rewritten after discovery; the discovery scan
+        itself is partition-pruned exactly like the copy-on-write
+        delete when the key derives the partition.
+
+        Idempotent under replay because discovery runs on the RAW scan
+        (deletion vectors NOT applied): re-deleting keys whose rows are
+        already DV-hidden re-finds the same positions and the sidecar
+        union is a no-op. Driver memory holds the doomed positions
+        (O(deleted rows) ints) — the narrow-delete contract; a
+        production engine stores roaring bitmaps, this stores sorted
+        index lists with identical semantics. Broad deletes should use
+        copy_on_write (and `compact()` folds any accumulated DVs)."""
+        spark = keys_df.sparkSession
+        self._finish_compact(self._compact_staging())
+        self._finish_migrate()
+        self._heal_migration_snapshot(spark)
+        if self._finish_pending_epoch(spark) == epoch_id:
+            return  # crashed commit for this very epoch, now finished
+        if not self._table_exists():
+            return
+        keys = keys_df.select(*self.key_cols)
+        keys.write.mode("overwrite").parquet(self.staging_path)
+        staged_keys = spark.read.parquet(self.staging_path)
+        # RAW positional scan: stored-schema read (NULL-fills evolved
+        # columns) + the hidden _metadata source column; DVs are not
+        # applied so replays re-find already-hidden rows (idempotence)
+        raw = self._read_table(spark, apply_dv=False).select(
+            *self.key_cols,
+            F.col("_metadata.file_path").alias("__dv_path"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        if self.partition_source in self.key_cols:
+            # prune the discovery scan to partitions the keys derive
+            # (same locality contract as the copy-on-write delete)
+            candidates, _ = self._touched_candidates(staged_keys)
+            live = {
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            }
+            touched_vals = [
+                v for v in candidates if self._part_dirname(v) in live
+            ]
+            if not touched_vals:
+                self._snapshot(spark, epoch_id, touched=[], op="delete")
+                return
+            raw = raw.filter(self._part_date_filter(touched_vals))
+        doomed = self._semi_join_keys(raw, staged_keys).select(
+            "__dv_path", "__dv_pos"
+        )
+        # one output row per touched FILE (collect_list bounds driver
+        # traffic to the doomed positions themselves)
+        per_file = (
+            doomed.groupBy("__dv_path")
+            .agg(F.sort_array(F.collect_list("__dv_pos")).alias("__dv_positions"))
+            .collect()
+        )
+        if not per_file:
+            self._snapshot(spark, epoch_id, touched=[], op="delete")
+            return
+        delta: dict[str, dict[str, list[int]]] = {}
+        for row in per_file:
+            parts = row["__dv_path"].split("/")
+            fname = parts[-1]
+            part_dir = next(
+                p for p in reversed(parts) if p.startswith("part_date=")
+            )
+            delta.setdefault(part_dir, {})[fname] = [
+                int(p) for p in row["__dv_positions"]
+            ]
+        # the atomic commit-intent publish: present+parseable == complete
+        self._atomic_json_write(
+            self._dv_pending_file(), {"epoch": epoch_id, "dv": delta}
+        )
+        self._apply_pending_dv(spark)
+
+    def _finish_pending_dv(self, spark: SparkSession) -> int | None:
+        """Complete a crashed merge-on-read delete from its pending
+        file (atomic write — it is either absent or complete). The
+        sidecar union is idempotent, so replaying a half-applied
+        pending is safe. Returns the finished epoch or None."""
+        if not os.path.exists(self._dv_pending_file()):
+            return None
+        return self._apply_pending_dv(spark)
+
+    def _apply_pending_dv(self, spark: SparkSession) -> int:
+        """Fold the pending DV delta into each touched partition's
+        ``_dv.json`` (atomic per-partition publish, set-union with any
+        existing vector), snapshot the touched partitions (the
+        hardlink copy captures data files at zero cost plus the new
+        sidecar), then retire the pending file — the commit point
+        ordering mirrors the merge path: staging outlives the
+        manifest publish."""
+        with open(self._dv_pending_file()) as fh:
+            pending = json.load(fh)
+        epoch_id = int(pending["epoch"])
+        for part_dir, files in pending["dv"].items():
+            sidecar = os.path.join(self.path, part_dir, "_dv.json")
+            try:
+                with open(sidecar) as fh:
+                    current = json.load(fh)
+            except (FileNotFoundError, ValueError):
+                current = {}
+            for fname, positions in files.items():
+                current[fname] = sorted(
+                    set(current.get(fname, [])) | set(positions)
+                )
+            self._atomic_json_write(sidecar, current)
+        self._snapshot(
+            spark, epoch_id, sorted(pending["dv"]), op="delete"
+        )
+        os.remove(self._dv_pending_file())
+        return epoch_id
+
+    def _dv_map(self, dirs: list[str]) -> dict[str, list[int]]:
+        """file name -> deleted row indexes, unioned over the
+        ``_dv.json`` sidecars in ``dirs``. File names are globally
+        unique (Spark part files carry a per-write UUID), so keying by
+        NAME makes one vector valid for the live file AND its
+        hardlinked snapshot copies under any path."""
+        out: dict[str, list[int]] = {}
+        for d in dirs:
+            sidecar = os.path.join(d, "_dv.json")
+            if not os.path.exists(sidecar):
+                continue
+            try:
+                with open(sidecar) as fh:
+                    for fname, positions in json.load(fh).items():
+                        out[fname] = positions
+            except ValueError:
+                continue  # torn legacy artifact: atomic writes can't produce one
+        return out
+
+    def _apply_dv(
+        self, spark: SparkSession, df: DataFrame, dv: dict[str, list[int]]
+    ) -> DataFrame:
+        """Filter DV-deleted rows out of a fresh file-source scan: a
+        broadcast ANTI-join on (file name, row index) against the
+        doomed-position relation — plans as one BroadcastHashJoin, no
+        shuffle of the table side, and vanishes entirely (df returned
+        untouched) when no vectors exist, keeping the hot path free."""
+        if not dv:
+            return df
+        pairs = [(n, int(p)) for n, positions in dv.items() for p in positions]
+        doomed = spark.createDataFrame(pairs, "__dv_file string, __dv_pos bigint")
+        cols = df.columns
+        return (
+            df.withColumn(
+                "__dv_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(doomed), ["__dv_file", "__dv_pos"], "left_anti")
+            .select(*cols)
+        )
+
+    def _live_dv_map(self) -> dict[str, list[int]]:
+        if not os.path.isdir(self.path):
+            return {}
+        return self._dv_map(
+            [
+                os.path.join(self.path, d)
+                for d in os.listdir(self.path)
+                if d.startswith("part_date=")
+            ]
+        )
+
+    def _semi_join_keys(self, left: DataFrame, keys: DataFrame) -> DataFrame:
+        """``left`` restricted to rows whose key appears in ``keys`` —
+        the NULL-safe mirror of ``_anti_join_keys``."""
+        from functools import reduce
+
+        l, r = left.alias("__t"), F.broadcast(keys).alias("__b")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__t.{k}").eqNullSafe(F.col(f"__b.{k}"))
+                for k in self.key_cols
+            ],
+        )
+        return l.join(r, on=cond, how="left_semi")
+
     def _anti_join_keys(self, left: DataFrame, keys: DataFrame) -> DataFrame:
         """``left`` minus rows whose key appears in ``keys`` —
         NULL-SAFE on every key column: a plain equi-anti-join's
@@ -875,6 +1112,29 @@ class ParquetUpsertSink:
         except (FileNotFoundError, ValueError):
             pass
         return "merge"
+
+    @staticmethod
+    def _copytree_link(src: str, dst: str) -> None:
+        """copytree by HARDLINK (fallback: physical copy across
+        filesystems) — the zero-copy snapshot/restore primitive. Safe
+        for the same reason SHALLOW CLONE is: every mutation in this
+        engine replaces whole files (swap commits, compaction, deletes
+        all unlink-and-install; `_dv.json` sidecars publish via
+        os.replace), so the immutable epoch copy keeps its inode alive
+        while the live side unlinks freely. Turns the per-commit
+        snapshot cost from O(touched partition BYTES) into O(touched
+        FILES) metadata — at 100 TB the transaction log costs inode
+        churn, not data movement. On an object store the same contract
+        is a server-side copy (S3 CopyObject) or a manifest that
+        references the immutable data objects directly."""
+
+        def _link_or_copy(s: str, d: str) -> None:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+        shutil.copytree(src, dst, copy_function=_link_or_copy)
 
     def _manifest_path(self, epoch_id: int) -> str:
         return os.path.join(self.snapshot_dir, "manifest", f"epoch={epoch_id}.json")
@@ -982,7 +1242,7 @@ class ParquetUpsertSink:
                 continue
             dst = os.path.join(epoch_files, d)
             shutil.rmtree(dst, ignore_errors=True)  # replayed epoch
-            shutil.copytree(src, dst)
+            self._copytree_link(src, dst)
             manifest[d] = epoch_id
         # schema sidecar first: the manifest publish is the commit
         # point, and a committed version must know its schema AS OF
@@ -1242,8 +1502,14 @@ class ParquetUpsertSink:
                 )
             return spark.createDataFrame([], schema)
         if schema is None:  # pre-sidecar snapshot: homogeneous files
-            return spark.read.parquet(*paths)
-        return spark.read.schema(schema).parquet(*paths)
+            df = spark.read.parquet(*paths)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        # each epoch copy carries the _dv.json AS OF that commit (the
+        # sidecar republishes via os.replace, so hardlinked copies pin
+        # the old vector) — applying it here makes time travel, CDF and
+        # history all merge-on-read-aware with zero extra machinery
+        return self._apply_dv(spark, df, self._dv_map(paths))
 
     def read_history(self, spark: SparkSession) -> DataFrame:
         """Every retained snapshot as one DataFrame with an ``epoch``
@@ -1486,8 +1752,10 @@ class ParquetUpsertSink:
                     shutil.move(src, dst)
                 else:
                     # delete recovery needs the staging intact until
-                    # the snapshot publishes — copy, don't drain
-                    shutil.copytree(src, dst)
+                    # the snapshot publishes — link, don't drain (the
+                    # staging's rmtree after the snapshot only unlinks
+                    # its side of the shared inodes)
+                    self._copytree_link(src, dst)
         # partitions a DELETE emptied have no staged content to swap
         # in; the stage-time _EMPTIED list names them (inferring from
         # what remains in a partially-drained staging would wrongly
@@ -1537,7 +1805,10 @@ class ParquetUpsertSink:
         pending)."""
         epoch = self._staged_epoch()
         if epoch is None:
-            return None
+            # at most one staging kind can survive a crash (both are
+            # created under the writer lock within a single operation);
+            # a pending deletion-vector delta is the other kind
+            return self._finish_pending_dv(spark)
         touched = self._staged_touched(spark) if self.snapshot_dir else None
         self._commit(spark, drop_staging=False)
         self._snapshot(spark, epoch, touched, op=self._staged_op())
@@ -1678,16 +1949,23 @@ class ParquetUpsertSink:
         if self.snapshot_dir is not None:
             spark.catalog.refreshByPath(self.snapshot_dir)
 
-    def _read_table(self, spark: SparkSession) -> DataFrame:
+    def _read_table(
+        self, spark: SparkSession, apply_dv: bool = True
+    ) -> DataFrame:
         """Read the live table under the authoritative schema: after an
         evolution commit only the touched partitions physically carry
         the new column, and a footer-sampled read could silently drop
         it; the explicit schema makes every file NULL-fill what it
-        lacks (one tiny JSON read — never a footer sweep)."""
+        lacks (one tiny JSON read — never a footer sweep). Deletion
+        vectors are applied unless ``apply_dv=False`` (the DV delete's
+        own discovery scan, which needs the raw positions)."""
         self._invalidate_listing(spark)
         schema = self._stored_schema()
         reader = spark.read if schema is None else spark.read.schema(schema)
-        return reader.parquet(self.path)
+        df = reader.parquet(self.path)
+        if apply_dv:
+            df = self._apply_dv(spark, df, self._live_dv_map())
+        return df
 
     def _compact_staging(self) -> str:
         return self.path.rstrip("/") + "__compact"
