@@ -8223,6 +8223,41 @@ def streaming_delete_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dv_delete_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events
+    WHERE NOT (event_type = 'error'
+               AND CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events))
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_dv_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector (merge-on-read) DELETE on the upsert sink
+    (streaming/job.py:streaming_dv_delete_replay, sinks.py:_delete_dv):
+    a narrow predicate delete publishes per-file row-index sidecars —
+    O(deleted rows) commit cost — instead of rewriting the touched
+    partitions; reads/time-travel/CDF apply the vector as a broadcast
+    anti-join on ``(partition dir, _metadata.file_name, _metadata.row_index)``, and
+    the next merge or compaction folds it into a clean rewrite. The
+    query asserts in-flight that NO data file changed (name+size
+    inventory identical across the delete) and that the pre-delete
+    version still reads the doomed rows; the oracle is the raw-events
+    aggregation minus the deleted predicate. This is the tier that
+    keeps GDPR-style point deletes O(rows) at 100 TB, where the
+    copy-on-write tier rewrites every touched partition (measured
+    9.4× wall at 8× rows in BASELINE r7)."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_dv_delete_replay(spark, sf_dir)
+
+
+@query(
     "streaming_cdc_downstream_apply",
     oracle="""
     SELECT event_type,

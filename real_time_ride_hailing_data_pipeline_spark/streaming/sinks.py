@@ -747,7 +747,7 @@ class ParquetUpsertSink:
           row-index sets in a ``_dv.json`` sidecar next to the data
           files — and leave every data file untouched. Write cost is
           O(deleted rows); reads apply the DV as a broadcast anti-join
-          on ``(_metadata.file_name, _metadata.row_index)``; the next
+          on ``(partition dir, _metadata.file_name, _metadata.row_index)``; the next
           merge/compaction of a DV-bearing partition FOLDS the vector
           into a clean rewrite. Right for narrow predicate deletes
           over wide partitions — the case where copy-on-write rewrites
@@ -983,45 +983,64 @@ class ParquetUpsertSink:
         os.remove(self._dv_pending_file())
         return epoch_id
 
-    def _dv_map(self, dirs: list[str]) -> dict[str, list[int]]:
-        """file name -> deleted row indexes, unioned over the
-        ``_dv.json`` sidecars in ``dirs``. File names are globally
-        unique (Spark part files carry a per-write UUID), so keying by
-        NAME makes one vector valid for the live file AND its
-        hardlinked snapshot copies under any path."""
-        out: dict[str, list[int]] = {}
+    def _dv_map(self, dirs: list[str]) -> dict[tuple[str, str], list[int]]:
+        """(partition dirname, file name) -> deleted row indexes,
+        unioned over the ``_dv.json`` sidecars in ``dirs``. The
+        partition dirname MUST be part of the key: one Spark write
+        task emits the SAME part-file name into every partition it
+        touches (``part_date=A/part-00003-<uuid>`` and ``part_date=B/
+        part-00003-<uuid>`` coexist), so a name-only vector would
+        hide same-positioned rows in sibling partitions. The
+        (dirname, name) pair is identical for a live file and its
+        hardlinked snapshot copy (``.../epoch=N/part_date=A/part-...``
+        keeps both trailing path elements), which is what lets one
+        sidecar serve both."""
+        out: dict[tuple[str, str], list[int]] = {}
         for d in dirs:
             sidecar = os.path.join(d, "_dv.json")
             if not os.path.exists(sidecar):
                 continue
             try:
                 with open(sidecar) as fh:
-                    for fname, positions in json.load(fh).items():
-                        out[fname] = positions
+                    loaded = json.load(fh)
             except ValueError:
                 continue  # torn legacy artifact: atomic writes can't produce one
+            part_dir = os.path.basename(d.rstrip("/"))
+            for fname, positions in loaded.items():
+                out[(part_dir, fname)] = positions
         return out
 
     def _apply_dv(
-        self, spark: SparkSession, df: DataFrame, dv: dict[str, list[int]]
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        dv: dict[tuple[str, str], list[int]],
     ) -> DataFrame:
         """Filter DV-deleted rows out of a fresh file-source scan: a
-        broadcast ANTI-join on (file name, row index) against the
-        doomed-position relation — plans as one BroadcastHashJoin, no
-        shuffle of the table side, and vanishes entirely (df returned
-        untouched) when no vectors exist, keeping the hot path free."""
+        broadcast ANTI-join on (partition dirname, file name, row
+        index) against the doomed-position relation — plans as one
+        BroadcastHashJoin, no shuffle of the table side, and vanishes
+        entirely (df returned untouched) when no vectors exist,
+        keeping the hot path free."""
         if not dv:
             return df
-        pairs = [(n, int(p)) for n, positions in dv.items() for p in positions]
-        doomed = spark.createDataFrame(pairs, "__dv_file string, __dv_pos bigint")
+        pairs = [
+            (d, n, int(p)) for (d, n), positions in dv.items() for p in positions
+        ]
+        doomed = spark.createDataFrame(
+            pairs, "__dv_dir string, __dv_file string, __dv_pos bigint"
+        )
         cols = df.columns
+        split = F.split(F.col("_metadata.file_path"), "/")
         return (
-            df.withColumn(
-                "__dv_file",
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-            )
+            df.withColumn("__dv_dir", F.element_at(split, -2))
+            .withColumn("__dv_file", F.element_at(split, -1))
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(doomed), ["__dv_file", "__dv_pos"], "left_anti")
+            .join(
+                F.broadcast(doomed),
+                ["__dv_dir", "__dv_file", "__dv_pos"],
+                "left_anti",
+            )
             .select(*cols)
         )
 

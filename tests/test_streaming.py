@@ -1768,3 +1768,192 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert {(r["k"], r["total"]) for r in clone.read(spark).collect()} == {("b", 2)}
     # independent logs
     assert sink.snapshots() == [0, 1] and clone.snapshots() == [0]
+
+
+# -- deletion vectors (merge-on-read delete tier, r9) ----------------------
+
+
+def _dv_seed(spark, sink):
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d1, 20), ("c", d2, 30), ("d", d2, 40)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    return d1, d2
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    """merge_on_read publishes a _dv.json sidecar and leaves every data
+    file byte-identical; reads apply the vector; time travel to the
+    pre-delete version still sees the rows; the typed feed reports
+    them as deletes."""
+    sink = _evo_sink(tmp_path)
+    d1, _ = _dv_seed(spark, sink)
+    pdir = os.path.join(sink.path, "part_date=2024-01-15")
+    inv_before = sorted(
+        (f, os.path.getsize(os.path.join(pdir, f)), os.stat(os.path.join(pdir, f)).st_ino)
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"),
+        1,
+        mode="merge_on_read",
+    )
+    inv_after = sorted(
+        (f, os.path.getsize(os.path.join(pdir, f)), os.stat(os.path.join(pdir, f)).st_ino)
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    assert inv_before == inv_after  # zero rewrite — names, sizes, inodes
+    assert os.path.exists(os.path.join(pdir, "_dv.json"))
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["b", "c", "d"]
+    assert sorted(r["k"] for r in sink.read_at(spark, 0).collect()) == [
+        "a", "b", "c", "d",
+    ]
+    assert sorted(r["k"] for r in sink.read_at(spark, 1).collect()) == [
+        "b", "c", "d",
+    ]
+    typed = [
+        (r["change_type"], r["k"])
+        for r in sink.read_changes_typed(spark, 0, 1).collect()
+    ]
+    assert typed == [("delete", "a")]
+
+
+def test_dv_delete_is_idempotent_and_accumulates(spark, tmp_path):
+    """Replaying the same DV delete is a no-op; a second DV delete on
+    the same partition unions into the existing vector; deleting an
+    absent key is an empty commit."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = _dv_seed(spark, sink)
+    k_a = spark.createDataFrame([("a", d1)], "k string, window_start timestamp")
+    sink.delete_keys(k_a, 1, mode="merge_on_read")
+    sink.delete_keys(k_a, 1, mode="merge_on_read")  # replay
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["b", "c", "d"]
+    sink.delete_keys(
+        spark.createDataFrame([("b", d1)], "k string, window_start timestamp"),
+        2,
+        mode="merge_on_read",
+    )
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["c", "d"]
+    # both vectors live in one sidecar
+    import json as _json
+
+    with open(os.path.join(sink.path, "part_date=2024-01-15", "_dv.json")) as fh:
+        dv = _json.load(fh)
+    assert sum(len(v) for v in dv.values()) == 2
+    # absent key: empty commit, still a version
+    sink.delete_keys(
+        spark.createDataFrame([("zz", d2)], "k string, window_start timestamp"),
+        3,
+        mode="merge_on_read",
+    )
+    assert sink.snapshots() == [0, 1, 2, 3]
+
+
+def test_dv_folds_into_merge_and_compaction(spark, tmp_path):
+    """A merge touching a DV-bearing partition rewrites survivors and
+    drops the vector; compact() folds vectors table-wide; both leave
+    results identical."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = _dv_seed(spark, sink)
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"),
+        1,
+        mode="merge_on_read",
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("c", d2)], "k string, window_start timestamp"),
+        2,
+        mode="merge_on_read",
+    )
+    # merge into d1's partition: folds that vector only
+    sink.write_batch(
+        spark.createDataFrame(
+            [("b", d1, 99)], "k string, window_start timestamp, total bigint"
+        ),
+        3,
+    )
+    assert not os.path.exists(
+        os.path.join(sink.path, "part_date=2024-01-15", "_dv.json")
+    )
+    assert os.path.exists(
+        os.path.join(sink.path, "part_date=2024-01-16", "_dv.json")
+    )
+    assert sorted((r["k"], r["total"]) for r in sink.read(spark).collect()) == [
+        ("b", 99), ("d", 40),
+    ]
+    # compaction folds the rest
+    sink.compact(spark)
+    assert not os.path.exists(
+        os.path.join(sink.path, "part_date=2024-01-16", "_dv.json")
+    )
+    assert sorted((r["k"], r["total"]) for r in sink.read(spark).collect()) == [
+        ("b", 99), ("d", 40),
+    ]
+
+
+def test_dv_crash_before_apply_recovers_at_next_entry(spark, tmp_path):
+    """A DV delete that crashes after publishing the pending intent but
+    before folding the sidecars completes at the next writer entry
+    point, exactly once, with the correct version log."""
+    sink = _evo_sink(tmp_path)
+    d1, _ = _dv_seed(spark, sink)
+    keys = spark.createDataFrame([("a", d1)], "k string, window_start timestamp")
+
+    orig = sink._apply_pending_dv
+    sink._apply_pending_dv = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash")
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        sink.delete_keys(keys, 1, mode="merge_on_read", )
+    sink._apply_pending_dv = orig
+    assert os.path.exists(sink._dv_pending_file())
+    assert sink.snapshots() == [0]
+    # rows still visible (commit never applied)
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == [
+        "a", "b", "c", "d",
+    ]
+    # any next write entry finishes the pending commit first
+    sink.write_batch(
+        spark.createDataFrame(
+            [("e", dt.datetime(2024, 1, 17, 9, 0), 50)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        2,
+    )
+    assert not os.path.exists(sink._dv_pending_file())
+    assert sink.snapshots() == [0, 1, 2]
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == [
+        "b", "c", "d", "e",
+    ]
+    assert sorted(r["k"] for r in sink.read_at(spark, 1).collect()) == [
+        "b", "c", "d",
+    ]
+
+
+def test_dv_then_cow_delete_and_restore_interoperate(spark, tmp_path):
+    """Mixed tiers on one table: a DV delete then a copy-on-write
+    delete of another key in the same partition folds the vector (the
+    COW rewrite materializes DV-filtered survivors); RESTORE to the
+    DV-era version reproduces its exact visible rows."""
+    sink = _evo_sink(tmp_path)
+    d1, _ = _dv_seed(spark, sink)
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"),
+        1,
+        mode="merge_on_read",
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("b", d1)], "k string, window_start timestamp"),
+        2,  # default copy_on_write
+    )
+    # partition emptied by the pair of deletes: dropped entirely
+    assert not os.path.isdir(os.path.join(sink.path, "part_date=2024-01-15"))
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["c", "d"]
+    sink.restore(spark, 1)
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["b", "c", "d"]
