@@ -2402,6 +2402,85 @@ def lakehouse_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_rename_drop_evolution",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS fare_avg,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS fare_v0,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated_v0
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def lakehouse_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution (sinks.py:rename_column/
+    drop_column, r9 — the Delta/Iceberg column-mapping design): RENAME
+    and DROP COLUMN as METADATA-ONLY commits. The city-metrics table
+    commits once; ``average_fare`` is renamed to ``fare_avg`` and
+    ``last_updated`` is dropped — the function asserts the table's
+    data-file inventory (names+sizes, table-wide) is BYTE-IDENTICAL
+    across both commits, the zero-rewrite contract that makes renames
+    free at 100 TB (logical→physical name indirection lives in
+    StructField metadata inside the schema sidecars; a dropped
+    column's bytes are simply never scanned again — parquet column
+    pruning). A post-rename merge then re-puts the 'view' rows under
+    the NEW logical schema, proving writes map logical→physical.
+    Returned is the live table joined with the VERSION-0 time-travel
+    read, which still serves the ORIGINAL names (``average_fare``,
+    ``last_updated``) from its own schema sidecar — hash equality
+    against the one-pass oracle proves rename preserved every value
+    and the old version reads under its old identity."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir)
+    workdir = _workdir("rtrh_colmap_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap"),
+        schema_evolution=True,
+    )
+    sink.write_batch(base, 0)
+
+    def _inventory() -> list:
+        return sorted(
+            (_os.path.relpath(_os.path.join(r, f), sink.path), _os.path.getsize(_os.path.join(r, f)))
+            for r, _, fs in _os.walk(sink.path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _inventory()
+    sink.rename_column(spark, "average_fare", "fare_avg", 1)
+    sink.drop_column(spark, "last_updated", 2)
+    if _inventory() != before:
+        raise RuntimeError("rename/drop touched data files — not metadata-only")
+    sink.write_batch(
+        base.filter(F.col("event_type") == "view")
+        .withColumnRenamed("average_fare", "fare_avg")
+        .drop("last_updated"),
+        3,
+    )
+    final = sink.read(spark)
+    v0 = sink.read_at(spark, 0).select(
+        "event_type",
+        "window_start",
+        F.col("average_fare").alias("fare_v0"),
+        F.col("last_updated").alias("last_updated_v0"),
+    )
+    return final.join(v0, ["event_type", "window_start"])
+
+
+@query(
     "streaming_commit_history_replay",
     oracle="""
     WITH d AS (

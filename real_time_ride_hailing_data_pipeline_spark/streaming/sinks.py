@@ -271,10 +271,12 @@ class ParquetUpsertSink:
             data_cols = [c for c in current.columns if c != "part_date"]
             staging = self._migrate_staging()
             (
-                current.select(*data_cols)
-                .withColumn(
-                    "part_date",
-                    self._derive_part_date(self._transforms()[-1]),
+                self._to_physical(
+                    current.select(*data_cols).withColumn(
+                        "part_date",
+                        self._derive_part_date(self._transforms()[-1]),
+                    ),
+                    self._stored_schema(),
                 )
                 .write.mode("overwrite")
                 .partitionBy("part_date")
@@ -331,7 +333,7 @@ class ParquetUpsertSink:
             for d in live:
                 dst = os.path.join(epoch_files, d)
                 shutil.rmtree(dst, ignore_errors=True)
-                shutil.copytree(os.path.join(self.path, d), dst)
+                self._copytree_link(os.path.join(self.path, d), dst)
             self._publish_manifest(
                 epoch, {d: epoch for d in live}, op=self._manifest_op(epoch)
             )
@@ -834,9 +836,14 @@ class ParquetUpsertSink:
         survivors = self._anti_join_keys(
             existing.filter(self._part_date_filter(touched_vals)), staged_keys
         )
-        survivors.write.mode("overwrite").partitionBy("part_date").parquet(
-            self.merged_path
-        )
+        stored = self._stored_schema()
+        self._to_physical(survivors, stored).write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.merged_path)
+        if stored is not None:
+            self._atomic_json_write(
+                self._staged_schema_file(), stored.jsonValue()
+            )
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
         self._publish_staging(touched_dirs, epoch_id, op="delete")
         # staging dropped only AFTER the snapshot publishes: a crash
@@ -897,11 +904,9 @@ class ParquetUpsertSink:
         # RAW positional scan: stored-schema read (NULL-fills evolved
         # columns) + the hidden _metadata source column; DVs are not
         # applied so replays re-find already-hidden rows (idempotence)
-        raw = self._read_table(spark, apply_dv=False).select(
-            *self.key_cols,
-            F.col("_metadata.file_path").alias("__dv_path"),
-            F.col("_metadata.row_index").alias("__dv_pos"),
-        )
+        raw = self._read_table(
+            spark, apply_dv=False, with_positions=True
+        ).select(*self.key_cols, "part_date", "__dv_path", "__dv_pos")
         if self.partition_source in self.key_cols:
             # prune the discovery scan to partitions the keys derive
             # (same locality contract as the copy-on-write delete)
@@ -1429,9 +1434,11 @@ class ParquetUpsertSink:
                             os.link(s, os.path.join(dst_dir, f))
                         except OSError:  # cross-device: physical copy
                             shutil.copy2(s, os.path.join(dst_dir, f))
-                elif d in ("_schema.json", "_partspec.json") and os.path.isfile(
-                    src_dir
-                ):
+                elif d in (
+                    "_schema.json",
+                    "_partspec.json",
+                    "_colmap.json",
+                ) and os.path.isfile(src_dir):
                     shutil.copy2(src_dir, os.path.join(dest_path, d))
         return ParquetUpsertSink(
             dest_path,
@@ -1523,12 +1530,15 @@ class ParquetUpsertSink:
         if schema is None:  # pre-sidecar snapshot: homogeneous files
             df = spark.read.parquet(*paths)
         else:
-            df = spark.read.schema(schema).parquet(*paths)
+            df = spark.read.schema(self._physical_schema(schema)).parquet(*paths)
         # each epoch copy carries the _dv.json AS OF that commit (the
         # sidecar republishes via os.replace, so hardlinked copies pin
         # the old vector) — applying it here makes time travel, CDF and
         # history all merge-on-read-aware with zero extra machinery
-        return self._apply_dv(spark, df, self._dv_map(paths))
+        df = self._apply_dv(spark, df, self._dv_map(paths))
+        # ... and the version's own logical names (column mapping):
+        # a version below a RENAME reads its original column names
+        return self._to_logical(df, schema)
 
     def read_history(self, spark: SparkSession) -> DataFrame:
         """Every retained snapshot as one DataFrame with an ``epoch``
@@ -1731,12 +1741,66 @@ class ParquetUpsertSink:
         # batch rows NULL-fill); without evolution the column sets are
         # already proven equal so it never fires
         merged = keep.unionByName(staged, allowMissingColumns=True).select(*out_cols)
-        merged.write.mode("overwrite").partitionBy("part_date").parquet(
-            self.merged_path
-        )
+        logical = self._staged_logical_schema(existing, staged, out_cols)
+        self._to_physical(merged, logical).write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.merged_path)
+        if logical is not None:
+            # the staging must carry the LOGICAL schema (with column-
+            # mapping metadata): _commit derives the authoritative
+            # schema file from here, and the physical parquet names
+            # alone cannot reconstruct the mapping
+            self._atomic_json_write(
+                self._staged_schema_file(), logical.jsonValue()
+            )
         touched_dirs = [self._part_dirname(v) for v in touched]
         emptied = self._publish_staging(touched_dirs, epoch_id)
         return touched_dirs, emptied
+
+    def _staged_schema_file(self) -> str:
+        return os.path.join(self.merged_path, "_LOGICAL_SCHEMA.json")
+
+    def _staged_logical_schema(
+        self, existing: DataFrame, staged: DataFrame, out_cols: list[str]
+    ):
+        """The logical schema of a staged merge output: stored fields
+        keep their mapping metadata; genuinely NEW (evolved) columns
+        get a UNIQUE physical name when column mapping is active, so a
+        re-added logical name can never bind to a dropped column's
+        dead bytes still sitting in old files."""
+        import uuid as _uuid
+
+        from pyspark.sql.types import StructField, StructType
+
+        stored = self._stored_schema()
+        base = {
+            f.name: f
+            for f in (stored.fields if stored is not None else existing.schema.fields)
+        }
+        staged_fields = {f.name: f for f in staged.schema.fields}
+        active = self._colmap_active()
+        fields = []
+        for c in out_cols:
+            if c in base:
+                fields.append(base[c])
+            else:
+                src = staged_fields[c]
+                md = (
+                    {"physical": f"{c}_{_uuid.uuid4().hex[:8]}"}
+                    if active
+                    else None
+                )
+                fields.append(StructField(c, src.dataType, True, md))
+        # same VOID→DATE partition-column pinning as _write_schema_file
+        from pyspark.sql.types import DateType, NullType
+
+        fields = [
+            StructField(f.name, DateType(), True)
+            if f.name == "part_date" and isinstance(f.dataType, NullType)
+            else f
+            for f in fields
+        ]
+        return StructType(fields)
 
     def _commit(self, spark: SparkSession, drop_staging: bool = True) -> None:
         """Install the touched partitions from the durable merged copy
@@ -1761,7 +1825,16 @@ class ParquetUpsertSink:
             d for d in os.listdir(self.merged_path) if d.startswith("part_date=")
         )
         if staged_dirs:
-            self._write_schema_file(spark.read.parquet(self.merged_path).schema)
+            staged_logical = self._load_schema(self._staged_schema_file())
+            if staged_logical is not None:
+                # the stage step recorded the LOGICAL schema (column-
+                # mapping metadata included); the parquet footers carry
+                # only physical names
+                self._atomic_json_write(
+                    self._schema_file(), staged_logical.jsonValue()
+                )
+            else:  # legacy staging from before the stash existed
+                self._write_schema_file(spark.read.parquet(self.merged_path).schema)
             os.makedirs(self.path, exist_ok=True)
             for d in staged_dirs:
                 src = os.path.join(self.merged_path, d)
@@ -1955,6 +2028,185 @@ class ParquetUpsertSink:
             c for c in staged.columns if c not in set(existing.columns)
         ]
 
+    # -- column mapping (rename/drop without data rewrite) ------------------
+    #
+    # The Delta/Iceberg column-mapping design: each LOGICAL column (the
+    # name queries see, the name recorded in every schema sidecar)
+    # carries the PHYSICAL name its bytes live under in the parquet
+    # files, as StructField metadata {"physical": ...}. RENAME changes
+    # only the logical name (metadata-only commit — zero files touched
+    # at any table size); DROP removes the field (old files keep the
+    # bytes, the physical read schema simply never selects the column —
+    # parquet column pruning makes the dropped data cost nothing to
+    # skip). Because epoch schema sidecars already version the logical
+    # schema per commit, time travel reads every old version under its
+    # own names with no extra machinery. Once mapping is ACTIVE
+    # (first rename/drop, recorded in _colmap.json), newly-evolved
+    # columns get UNIQUE physical names so re-adding a dropped logical
+    # name can never resurrect the dead physical column's bytes.
+
+    def _colmap_file(self) -> str:
+        return os.path.join(self.path, "_colmap.json")
+
+    def _colmap_active(self) -> bool:
+        return os.path.exists(self._colmap_file())
+
+    def _mark_colmap_active(self, dropped_physical: str | None = None) -> None:
+        try:
+            with open(self._colmap_file()) as fh:
+                state = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            state = {"active": True, "dropped": []}
+        if dropped_physical is not None:
+            state.setdefault("dropped", []).append(dropped_physical)
+        self._atomic_json_write(self._colmap_file(), state)
+
+    @staticmethod
+    def _physical_name(field) -> str:
+        md = field.metadata or {}
+        return md.get("physical", field.name)
+
+    def _physical_schema(self, schema):
+        """The schema of the parquet BYTES for a logical schema —
+        fields renamed to their physical names (identity when mapping
+        never activated)."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(self._physical_name(f), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def _to_logical(self, df: DataFrame, schema) -> DataFrame:
+        """Alias a physical-named scan to the logical view (no-op
+        without mapping or without a stored schema). Columns of ``df``
+        outside the schema (e.g. the positional probe columns the DV
+        delete attaches) pass through untouched."""
+        if schema is None or all(
+            self._physical_name(f) == f.name for f in schema.fields
+        ):
+            return df
+        physical = {self._physical_name(f) for f in schema.fields}
+        return df.select(
+            *[F.col(self._physical_name(f)).alias(f.name) for f in schema.fields],
+            *[F.col(c) for c in df.columns if c not in physical],
+        )
+
+    def _to_physical(self, df: DataFrame, schema) -> DataFrame:
+        """Rename a logical-named frame to physical column names for
+        writing (the inverse of ``_to_logical``); columns absent from
+        ``schema`` (none in practice) would raise, which is the right
+        loud failure."""
+        if schema is None or all(
+            self._physical_name(f) == f.name for f in schema.fields
+        ):
+            return df
+        by_name = {f.name: self._physical_name(f) for f in schema.fields}
+        return df.select(
+            *[F.col(c).alias(by_name.get(c, c)) for c in df.columns]
+        )
+
+    def rename_column(
+        self, spark: SparkSession, old: str, new: str, epoch_id: int
+    ) -> None:
+        """RENAME COLUMN as a METADATA-ONLY commit (the Delta column-
+        mapping contract): no data file is read or written — the
+        logical field is renamed in the authoritative schema, its
+        physical name pinned to wherever the bytes already live, and a
+        snapshot version publishes with the previous manifest
+        unchanged. Time travel below this epoch reads the old name
+        (each version's schema sidecar is authoritative for it). Key
+        and partition columns cannot be renamed — they are the sink's
+        addressing contract (constructor parameters)."""
+        from pyspark.sql.types import StructField, StructType
+
+        if old in self.key_cols or old in (self.partition_source, "part_date"):
+            raise ValueError(
+                f"cannot rename key/partition column {old!r} — it is the "
+                f"sink's addressing contract"
+            )
+        with self._writer_lock():
+            self._finish_compact(self._compact_staging())
+            self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+            self._finish_pending_epoch(spark)
+            schema = self._stored_schema()
+            if schema is None:
+                if not self._table_exists():
+                    raise ValueError("cannot rename a column of an empty table")
+                schema = spark.read.parquet(self.path).schema
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                StructField(
+                    new,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), "physical": self._physical_name(f)},
+                )
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+            self._mark_colmap_active()
+            self._atomic_json_write(
+                self._schema_file(), StructType(fields).jsonValue()
+            )
+            if self.snapshot_dir is not None:
+                self._snapshot(spark, epoch_id, touched=[], op="rename_column")
+            self._invalidate_listing(spark)
+
+    def drop_column(
+        self, spark: SparkSession, name: str, epoch_id: int
+    ) -> None:
+        """DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+        logical schema; the physical bytes stay in the old files and
+        are never scanned again (the physical read schema omits them —
+        parquet column pruning, so the dead column costs no I/O). The
+        physical name is tombstoned in _colmap.json so a later re-add
+        of the same logical name maps to a FRESH physical column and
+        can never resurrect the dropped bytes. Time travel below this
+        epoch still reads the column."""
+        from pyspark.sql.types import StructType
+
+        if name in self.key_cols or name in (self.partition_source, "part_date"):
+            raise ValueError(
+                f"cannot drop key/partition column {name!r} — it is the "
+                f"sink's addressing contract"
+            )
+        with self._writer_lock():
+            self._finish_compact(self._compact_staging())
+            self._finish_migrate()
+            self._heal_migration_snapshot(spark)
+            self._finish_pending_epoch(spark)
+            schema = self._stored_schema()
+            if schema is None:
+                if not self._table_exists():
+                    raise ValueError("cannot drop a column of an empty table")
+                schema = spark.read.parquet(self.path).schema
+            doomed = [f for f in schema.fields if f.name == name]
+            if not doomed:
+                raise ValueError(
+                    f"no column {name!r} (have {[f.name for f in schema.fields]})"
+                )
+            self._mark_colmap_active(
+                dropped_physical=self._physical_name(doomed[0])
+            )
+            self._atomic_json_write(
+                self._schema_file(),
+                StructType(
+                    [f for f in schema.fields if f.name != name]
+                ).jsonValue(),
+            )
+            if self.snapshot_dir is not None:
+                self._snapshot(spark, epoch_id, touched=[], op="drop_column")
+            self._invalidate_listing(spark)
+
     def _invalidate_listing(self, spark: SparkSession) -> None:
         """Drop Spark's session-shared file-listing cache entries under
         the table path (and the snapshot log, if any). The swap commits
@@ -1969,7 +2221,10 @@ class ParquetUpsertSink:
             spark.catalog.refreshByPath(self.snapshot_dir)
 
     def _read_table(
-        self, spark: SparkSession, apply_dv: bool = True
+        self,
+        spark: SparkSession,
+        apply_dv: bool = True,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Read the live table under the authoritative schema: after an
         evolution commit only the touched partitions physically carry
@@ -1980,11 +2235,24 @@ class ParquetUpsertSink:
         own discovery scan, which needs the raw positions)."""
         self._invalidate_listing(spark)
         schema = self._stored_schema()
-        reader = spark.read if schema is None else spark.read.schema(schema)
+        reader = (
+            spark.read
+            if schema is None
+            else spark.read.schema(self._physical_schema(schema))
+        )
         df = reader.parquet(self.path)
+        if with_positions:
+            # the DV delete's positional probe: _metadata must bind
+            # while df is still the raw scan (mutually exclusive with
+            # apply_dv, whose anti-join names would collide)
+            df = df.withColumn(
+                "__dv_path", F.col("_metadata.file_path")
+            ).withColumn("__dv_pos", F.col("_metadata.row_index"))
         if apply_dv:
+            # DV application first, while df is still the raw scan and
+            # the hidden _metadata column resolves
             df = self._apply_dv(spark, df, self._live_dv_map())
-        return df
+        return self._to_logical(df, schema)
 
     def _compact_staging(self) -> str:
         return self.path.rstrip("/") + "__compact"
@@ -2150,7 +2418,10 @@ class ParquetUpsertSink:
             shuffled = bucketed.repartition(
                 max(4 * total, 1), "part_date", "__bucket"
             )
-        writer = shuffled.select(*data_cols).write.mode("overwrite")
+        writer = (
+            self._to_physical(shuffled.select(*data_cols), self._stored_schema())
+            .write.mode("overwrite")
+        )
         for k, v in writer_opts.items():
             writer = writer.option(k, v)
         writer.partitionBy("part_date").parquet(staging)

@@ -1957,3 +1957,125 @@ def test_dv_then_cow_delete_and_restore_interoperate(spark, tmp_path):
     assert sorted(r["k"] for r in sink.read(spark).collect()) == ["c", "d"]
     sink.restore(spark, 1)
     assert sorted(r["k"] for r in sink.read(spark).collect()) == ["b", "c", "d"]
+
+
+# -- column mapping: rename/drop without data rewrite (r9) ------------------
+
+
+def test_rename_column_is_metadata_only_and_versioned(spark, tmp_path):
+    """RENAME touches no data file; reads serve the new name; time
+    travel below the rename serves the old name; merges after the
+    rename write through the mapping."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    inv = sorted(
+        (r, f, os.path.getsize(os.path.join(r, f)))
+        for r, _, fs in os.walk(sink.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    sink.rename_column(spark, "total", "amount", 1)
+    assert inv == sorted(
+        (r, f, os.path.getsize(os.path.join(r, f)))
+        for r, _, fs in os.walk(sink.path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert sink.read(spark).columns == ["k", "window_start", "amount"]
+    assert sink.read_at(spark, 0).columns == ["k", "window_start", "total"]
+    sink.write_batch(
+        spark.createDataFrame(
+            [("c", d2, 30)], "k string, window_start timestamp, amount bigint"
+        ),
+        2,
+    )
+    assert sorted((r["k"], r["amount"]) for r in sink.read(spark).collect()) == [
+        ("a", 10), ("b", 20), ("c", 30),
+    ]
+    # key/partition columns are the addressing contract
+    with pytest.raises(ValueError, match="addressing contract"):
+        sink.rename_column(spark, "window_start", "ws", 3)
+
+
+def test_drop_column_then_readd_never_resurrects(spark, tmp_path):
+    """DROP leaves the bytes in old files but never scans them; a
+    later batch re-adding the same LOGICAL name binds to a fresh
+    physical column, so pre-drop values stay NULL instead of
+    resurrecting."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.drop_column(spark, "total", 1)
+    assert sink.read(spark).columns == ["k", "window_start"]
+    # time travel below the drop still reads the column
+    assert sorted(
+        (r["k"], r["total"]) for r in sink.read_at(spark, 0).collect()
+    ) == [("a", 10), ("b", 20)]
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 999)], "k string, window_start timestamp, total bigint"
+        ),
+        2,
+    )
+    assert sorted(
+        (r["k"], r["total"]) for r in sink.read(spark).collect()
+    ) == [("a", 999), ("b", None)]
+    # the re-added column's physical name is unique (mapping active)
+    import json as _json
+
+    with open(os.path.join(sink.path, "_schema.json")) as fh:
+        fields = {f["name"]: f.get("metadata") or {} for f in _json.load(fh)["fields"]}
+    assert fields["total"].get("physical", "total") != "total"
+
+
+def test_rename_interoperates_with_delete_compact_restore_clone(spark, tmp_path):
+    """The full mutation surface keeps working through the mapping:
+    COW delete, DV delete, compaction, restore (old schema returns),
+    clone (mapping carries over)."""
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.rename_column(spark, "total", "amount", 1)
+    sink.delete_keys(
+        spark.createDataFrame([("b", d2)], "k string, window_start timestamp"), 2
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("c", d2)], "k string, window_start timestamp"),
+        3,
+        mode="merge_on_read",
+    )
+    assert sorted((r["k"], r["amount"]) for r in sink.read(spark).collect()) == [
+        ("a", 10),
+    ]
+    sink.compact(spark)
+    assert sorted((r["k"], r["amount"]) for r in sink.read(spark).collect()) == [
+        ("a", 10),
+    ]
+    clone = sink.clone(
+        spark, str(tmp_path / "clone"), snapshot_dir=str(tmp_path / "csnap")
+    )
+    assert clone.read(spark).columns == ["k", "window_start", "amount"]
+    sink.restore(spark, 0)
+    assert sink.read(spark).columns == ["k", "window_start", "total"]
+    assert sorted((r["k"], r["total"]) for r in sink.read(spark).collect()) == [
+        ("a", 10), ("b", 20), ("c", 30),
+    ]
