@@ -8368,6 +8368,36 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_cdf_source_replay",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts)                    AS window_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
+           count(event_id)                             AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0            AS average_fare
+    FROM events WHERE event_type <> 'click'
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_cdf_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed as a STREAMING source
+    (streaming/job.py:streaming_cdf_source_replay +
+    sources/cdf_stream.py): snapshot-log epochs as stream offsets,
+    manifest-diffed change partitions as input splits, executor-side
+    pyarrow typed diffs (deletion-vector-aware) — drained under
+    Trigger.AvailableNow through a real StreamingQuery and applied to
+    the starting snapshot; the rebuilt replica must equal the live
+    table and hash-equal the oracle (events minus the DV-deleted
+    'click' type). The incremental half of the CDC story: the batch
+    feed answers "what changed between versions", this answers "keep
+    me continuously caught up" at O(churn) per trigger."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming import job as sj
+
+    return sj.streaming_cdf_source_replay(spark, sf_dir)
+
+
+@query(
     "udtf_table_arg_user_gaps",
     oracle="""
     WITH g AS (

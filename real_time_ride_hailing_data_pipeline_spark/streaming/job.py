@@ -1339,6 +1339,77 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
     return replica
 
 
+def streaming_cdf_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STREAMING SOURCE
+    (sources/cdf_stream.py — the Delta ``readChangeFeed`` stream
+    shape): after the two-batch replay commits (e0, e1) and a
+    merge-on-read DV delete erases every 'click' window, a consumer
+    tails the transaction log FROM e0 through a real StreamingQuery —
+    ``readStream.format("sink_cdf")`` with snapshot-log epochs as
+    offsets, manifest-pruned change partitions as input splits, and
+    executor-side pyarrow diffs emitting typed rows. The drained feed
+    is applied to the e0 snapshot exactly like the batch CDC consumer
+    (upserts overwrite by key, delete pre-images remove by key); the
+    replica must equal the live table (asserted via exceptAll), and
+    the oracle (raw events minus 'click') value-hashes it — proving
+    the streaming feed is complete, applyable, and deletion-vector-
+    aware. Per-trigger cost is O(changed partitions), so a 100 TB
+    consumer tracks churn, not table size."""
+    from real_time_ride_hailing_data_pipeline_spark.sources import cdf_stream
+
+    sink = _two_batch_snapshot_replay(spark, sf_dir)
+    epochs = sink.snapshots()
+    doomed = (
+        sink.read(spark)
+        .filter(F.col("event_type") == "click")
+        .select("event_type", "window_start")
+    )
+    sink.delete_keys(doomed, epochs[-1] + 1, mode="merge_on_read")
+
+    cdf_stream.register(spark)
+    data_cols = [
+        "event_type", "window_start", "last_updated", "total_trips", "average_fare",
+    ]
+    workdir = _workdir("rtrh_cdfsrc_")
+    feed_dir = os.path.join(workdir, "feed")
+    stream = (
+        spark.readStream.format("sink_cdf")
+        .option("snapshot_dir", sink.snapshot_dir)
+        .option(
+            "schema_ddl",
+            "event_type string, window_start timestamp, last_updated timestamp,"
+            " total_trips bigint, average_fare double, change_type string",
+        )
+        .option("columns", ",".join(data_cols))
+        .option("key_cols", "event_type,window_start")
+        .option("start_epoch", str(epochs[0]))
+        .load()
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", feed_dir)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    feed = spark.read.parquet(feed_dir)
+    key_cols = ["event_type", "window_start"]
+    upserts = feed.filter(F.col("change_type") == "upsert").drop("change_type")
+    dels = feed.filter(F.col("change_type") == "delete").select(*key_cols)
+    changed_keys = upserts.select(*key_cols).unionByName(dels)
+    replica = (
+        sink.read_at(spark, epochs[0])
+        .join(F.broadcast(changed_keys), key_cols, "left_anti")
+        .unionByName(upserts)
+    )
+    live = sink.read(spark)
+    if replica.exceptAll(live).count() or live.exceptAll(replica).count():
+        raise RuntimeError("streaming-CDF replica diverged from the live table")
+    return replica
+
+
 def streaming_partition_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution executed through a real streaming
     replay: batch 0 commits under daily partitioning, the spec then

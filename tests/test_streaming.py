@@ -2079,3 +2079,77 @@ def test_rename_interoperates_with_delete_compact_restore_clone(spark, tmp_path)
     assert sorted((r["k"], r["total"]) for r in sink.read(spark).collect()) == [
         ("a", 10), ("b", 20), ("c", 30),
     ]
+
+
+# -- streaming CDF source (snapshot-log epochs as offsets, r9) --------------
+
+
+def test_cdf_stream_reader_semantics_and_retention(spark, tmp_path):
+    """The stream reader's offset/partition/read contract, tested
+    directly (the registry entry runs it through a real
+    StreamingQuery): full initial load from the sentinel offset,
+    incremental typed diff across merge + DV-delete commits, manifest
+    pruning (unchanged partitions produce no input split), and a loud
+    failure when the committed offset falls below retention."""
+    from real_time_ride_hailing_data_pipeline_spark.sources.cdf_stream import (
+        SnapshotCdfStreamReader,
+    )
+
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d2, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.write_batch(
+        spark.createDataFrame(
+            [("b", d2, 25), ("c", d2, 30)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        1,
+    )
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"),
+        2,
+        mode="merge_on_read",
+    )
+    reader = SnapshotCdfStreamReader(
+        {
+            "snapshot_dir": sink.snapshot_dir,
+            "columns": "k,window_start,total",
+            "key_cols": "k,window_start",
+        }
+    )
+    assert reader.initialOffset() == {"epoch": -1}
+    assert reader.latestOffset() == {"epoch": 2}
+
+    def drain(lo, hi):
+        return sorted(
+            r
+            for p in reader.partitions({"epoch": lo}, {"epoch": hi})
+            for r in reader.read(p)
+        )
+
+    # full load from the sentinel: current state as upserts
+    assert [(r[0], r[2], r[3]) for r in drain(-1, 2)] == [
+        ("b", 25, "upsert"), ("c", 30, "upsert"),
+    ]
+    # incremental from v0: b overwritten, c inserted, a DV-deleted
+    assert [(r[0], r[2], r[3]) for r in drain(0, 2)] == [
+        ("a", 10, "delete"), ("b", 25, "upsert"), ("c", 30, "upsert"),
+    ]
+    # manifest pruning: between 1 and 2 only the DV'd partition diffs
+    parts = reader.partitions({"epoch": 1}, {"epoch": 2})
+    assert len(parts) == 1
+    assert [(r[0], r[3]) for p in parts for r in reader.read(p)] == [
+        ("a", "delete")
+    ]
+    # identical offsets: nothing
+    assert reader.partitions({"epoch": 2}, {"epoch": 2}) == []
+    # a vacuumed committed offset must raise, not silently re-emit
+    os.remove(os.path.join(sink.snapshot_dir, "manifest", "epoch=0.json"))
+    with pytest.raises(ValueError, match="retention"):
+        reader.partitions({"epoch": 0}, {"epoch": 2})
