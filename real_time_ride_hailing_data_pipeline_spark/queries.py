@@ -2481,6 +2481,124 @@ def lakehouse_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "multi_table_txn_consistency",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             count(event_id)       AS day_trips
+      FROM events GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.window_start, m.total_trips, m.average_fare,
+           d.day_trips
+    FROM m JOIN d
+      ON m.event_type = d.event_type
+     AND date_trunc('day', m.window_start) = d.day
+    """,
+)
+def multi_table_txn_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC commit (streaming/txn.py — the Iceberg/
+    Nessie catalog-commit shape): a minute-metrics table and a daily-
+    rollup table commit in lock-step through one catalog manifest per
+    transaction; readers resolve versions ONLY through the catalog, so
+    they can never join table A at txn N with table B at N-1. The
+    query commits txn 0 (first-half events) and txn 1 (full), then
+    TEARS a third transaction on purpose — table A's epoch-2 batch
+    commits but the catalog publish never happens — and asserts the
+    catalog read still serves the consistent txn-1 pair (the poison
+    row is invisible; both tables' trip totals reconcile exactly at
+    txn 0 AND at the latest txn). Returned is the catalog-resolved
+    join of both tables; the oracle recomputes it from raw events."""
+    import datetime as _dt
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.streaming.txn import (
+        MultiTableTransaction,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    workdir = _workdir("rtrh_txn_")
+
+    def metrics(ev: DataFrame) -> DataFrame:
+        agg = rp.city_window_metrics(
+            ev,
+            time_col="ts",
+            key_col="event_type",
+            id_col="event_id",
+            fare_col="value",
+            exact_cents_avg=True,
+        )
+        return agg.select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "total_trips",
+            "average_fare",
+        )
+
+    def daily(ev: DataFrame) -> DataFrame:
+        return ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("window_start")
+        ).agg(F.count("event_id").alias("day_trips"))
+
+    sink_a = ParquetUpsertSink(
+        _os.path.join(workdir, "metrics"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap_a"),
+    )
+    sink_b = ParquetUpsertSink(
+        _os.path.join(workdir, "daily"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap_b"),
+    )
+    txn = MultiTableTransaction(
+        _os.path.join(workdir, "catalog"), {"metrics": sink_a, "daily": sink_b}
+    )
+    half = events.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    txn.commit(0, {"metrics": metrics(half), "daily": daily(half)})
+    txn.commit(1, {"metrics": metrics(events), "daily": daily(events)})
+    # the torn transaction: table A commits its epoch, the catalog
+    # publish never happens (a crash between the two)
+    sink_a.write_batch(
+        spark.createDataFrame(
+            [("__torn__", _dt.datetime(2024, 2, 1), 1, 1.0)],
+            "event_type string, window_start timestamp, "
+            "total_trips bigint, average_fare double",
+        ),
+        2,
+    )
+    a = txn.read(spark, "metrics")
+    b = txn.read(spark, "daily")
+    if a.filter(F.col("event_type") == "__torn__").count():
+        raise RuntimeError("a torn transaction leaked through the catalog")
+    for tid in (0, None):
+        ta = txn.read(spark, "metrics", tid).agg(F.sum("total_trips")).collect()[0][0]
+        tb = txn.read(spark, "daily", tid).agg(F.sum("day_trips")).collect()[0][0]
+        if ta != tb:
+            raise RuntimeError(
+                f"tables inconsistent at txn {tid}: {ta} vs {tb} trips"
+            )
+    b_day = b.withColumnRenamed("window_start", "day")
+    return a.join(
+        b_day,
+        (a["event_type"] == b_day["event_type"])
+        & (F.date_trunc("day", a["window_start"]) == b_day["day"]),
+    ).select(
+        a["event_type"], "window_start", "total_trips", "average_fare", "day_trips"
+    )
+
+
+@query(
     "streaming_commit_history_replay",
     oracle="""
     WITH d AS (

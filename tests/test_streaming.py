@@ -2153,3 +2153,54 @@ def test_cdf_stream_reader_semantics_and_retention(spark, tmp_path):
     os.remove(os.path.join(sink.snapshot_dir, "manifest", "epoch=0.json"))
     with pytest.raises(ValueError, match="retention"):
         reader.partitions({"epoch": 0}, {"epoch": 2})
+
+
+# -- multi-table catalog-commit transactions (r9) ---------------------------
+
+
+def test_multi_table_txn_atomicity_and_replay(spark, tmp_path):
+    """A transaction torn between member-table commits is invisible
+    through the catalog; replaying the same txn completes it exactly
+    once (member sinks are idempotent per epoch); reads at a txn id
+    resolve a mutually consistent pair."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.txn import (
+        MultiTableTransaction,
+    )
+
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    mk = lambda name: ParquetUpsertSink(
+        str(tmp_path / name),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / f"{name}_snap"),
+    )
+    a, b = mk("a"), mk("b")
+    txn = MultiTableTransaction(str(tmp_path / "catalog"), {"a": a, "b": b})
+
+    def batch(val):
+        return spark.createDataFrame(
+            [("x", d1, val)], "k string, window_start timestamp, total bigint"
+        )
+
+    txn.commit(0, {"a": batch(1), "b": batch(10)})
+    assert txn.commits() == [0]
+    # torn txn 1: table a commits, catalog publish never happens
+    a.write_batch(batch(2), 1)
+    assert [r["total"] for r in txn.read(spark, "a").collect()] == [1]
+    assert [r["total"] for r in txn.read(spark, "b").collect()] == [10]
+    # the replay completes the transaction: a's epoch-1 is a no-op
+    txn.commit(1, {"a": batch(2), "b": batch(20)})
+    assert txn.commits() == [0, 1]
+    assert [r["total"] for r in txn.read(spark, "a").collect()] == [2]
+    assert [r["total"] for r in txn.read(spark, "b").collect()] == [20]
+    # historical txn read stays pinned
+    assert [r["total"] for r in txn.read(spark, "a", 0).collect()] == [1]
+    assert [r["total"] for r in txn.read(spark, "b", 0).collect()] == [10]
+    # a subset transaction pins untouched tables at their current version
+    txn.commit(2, {"a": batch(3)})
+    assert [r["total"] for r in txn.read(spark, "b").collect()] == [20]
+    assert [r["total"] for r in txn.read(spark, "a").collect()] == [3]
+    # guards
+    with pytest.raises(ValueError, match="monotonic"):
+        txn.commit(1, {"a": batch(9)})
+    with pytest.raises(ValueError, match="unknown table"):
+        txn.commit(3, {"zz": batch(9)})
