@@ -399,6 +399,47 @@ def main() -> None:
         )
     )
 
+    # Tail-variance bound (VERDICT r8 item 5): the same few expensive
+    # BATCH entries (dedup/self-join tier) swung 4× between same-code
+    # runs, making the single-sample registry total hard to read
+    # round-over-round. Re-time the 10 slowest non-streaming entries
+    # once more and report a total with those replaced by their
+    # min-of-2 — one extra warm sample exactly where the variance
+    # lives (~15-30 s), leaving the 180+ stable entries single-sample.
+    tail = sorted(
+        (n for n in timings if n not in split),
+        key=lambda n: timings[n],
+        reverse=True,
+    )[:10]
+    stable: dict[str, float] = {}
+    for name in tail:
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, bench_dir).collect()
+            stable[name] = round(
+                min(timings[name], time.perf_counter() - t0), 4
+            )
+        except Exception:  # noqa: BLE001 — keep the first sample
+            stable[name] = timings[name]
+    print(
+        json.dumps(
+            {
+                "metric": "registry_stable_total_wall",
+                "value": round(
+                    sum(timings.values())
+                    - sum(timings[n] for n in stable)
+                    + sum(stable.values()),
+                    4,
+                ),
+                "unit": "sec",
+                "stat": "slowest-10-batch-entries-min-of-2",
+                "retimed": stable,
+                "sf": sf,
+                "layout": layout,
+            }
+        )
+    )
+
     # Machinery-vs-operator split for the streaming queries (compact —
     # totals only, so the line survives tail capture): `add_batch` is
     # micro-batch plan execution (the operator cost a production stream
