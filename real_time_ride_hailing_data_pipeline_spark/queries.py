@@ -151,19 +151,13 @@ _VERIFY_SPARES: list[str] = [
     "tpch_q6_forecast_revenue",
 ]
 
-# Entries born DURING r8 (oracle-backed, locally green, no driver row
-# yet) — the natural r9 rotation: streaming_timestamp_travel_replay
-# (TIMESTAMP AS OF over the in-manifest commit stamps),
-# scd2_user_type_history (SCD Type-2 interval build),
-# streaming_restore_version_replay (RESTORE VERSION AS OF as a new
-# crash-safe commit), cogroup_asof_purchase_view (the
-# FlatMapCoGroupsInPandas boundary), pandas_iter_udf_doc_scores
-# (SCALAR_ITER amortized-init inference shape),
-# bitmap_distinct_users_per_type (exact distinct via mergeable
-# bitmaps), streaming_commit_history_replay (DESCRIBE HISTORY with
-# per-commit operation types), lakehouse_clone_divergence (zero-copy
-# SHALLOW CLONE by hardlink + divergent delete). Keep this list
-# current as r8 adds entries.
+# Entries born DURING r9 are IN the window above (they exist before
+# the r9 driver freeze): streaming_dv_delete_replay (deletion-vector
+# merge-on-read delete), streaming_cdf_source_replay (change feed as a
+# streaming source), lakehouse_rename_drop_evolution (column-mapping
+# RENAME/DROP), multi_table_txn_consistency (catalog-commit
+# atomicity). Should r9 add entries AFTER its freeze, list them here
+# as the r10 rotation.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
