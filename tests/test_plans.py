@@ -532,3 +532,75 @@ def test_cbo_stats_are_exact_and_reach_the_planner(spark):
             spark.conf.unset("spark.sql.cbo.enabled")
         else:
             spark.conf.set("spark.sql.cbo.enabled", saved)
+
+
+def test_dv_read_is_broadcast_anti_join_with_pushdown(spark, tmp_path):
+    """The deletion-vector read path's scale contract: the vector
+    applies as ONE BroadcastHashJoin LeftAnti on the raw scan — the
+    table side never shuffles — and a consumer predicate still reaches
+    the parquet scan as a PushedFilter THROUGH the DV anti-join. With
+    no vectors the plan is untouched (no join node at all)."""
+    import datetime as dt
+
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / "snap"),
+    )
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d1, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    clean = physical_plan(sink.read(spark).filter(F.col("total") > 5))
+    assert "Join" not in clean, clean  # no vectors -> zero overhead
+    sink.delete_keys(
+        spark.createDataFrame([("a", d1)], "k string, window_start timestamp"),
+        1,
+        mode="merge_on_read",
+    )
+    df = sink.read(spark).filter(F.col("total") > 5)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # exactly one Exchange (the broadcast); the table side stays put
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(total", plan), plan
+
+
+def test_column_mapped_read_pushes_filters_to_physical_scan(spark, tmp_path):
+    """Predicate pushdown survives column mapping: a filter written
+    against the RENAMED logical name folds through the alias Project
+    and reaches the parquet scan as a PushedFilter on the PHYSICAL
+    name — renames cost nothing at plan time either."""
+    import datetime as dt
+
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import physical_plan
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / "snap"),
+    )
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d1, 20)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    sink.rename_column(spark, "total", "amount", 1)
+    plan = physical_plan(sink.read(spark).filter(F.col("amount") > 15))
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(total", plan), plan
+    assert "ReadSchema" in plan and "amount" not in plan.split("ReadSchema")[1].split("\n")[0], plan
