@@ -98,6 +98,7 @@ _VERIFY_FIRST: list[str] = [
     "streaming_cdf_source_replay",
     "lakehouse_rename_drop_evolution",
     "multi_table_txn_consistency",
+    "lakehouse_file_skipping_read",
     # sink-family re-verification: the r9 sink changes touched the
     # snapshot copy mechanism (hardlinks), every read path (deletion
     # vectors), the schema path (column mapping) and restore
@@ -132,7 +133,6 @@ _VERIFY_FIRST: list[str] = [
     "xml_source_agg",
     "python_datasource_city_fares",
     "python_stream_source_city_fares",
-    "grouped_median_value",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -2472,6 +2472,62 @@ def lakehouse_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("last_updated").alias("last_updated_v0"),
     )
     return final.join(v0, ["event_type", "window_start"])
+
+
+@query(
+    "lakehouse_file_skipping_read",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, window_start, total_trips, average_fare
+    FROM m WHERE average_fare >= (SELECT max(average_fare) FROM m)
+    """,
+)
+def lakehouse_file_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping over clustered compaction
+    (sinks.py:compact(sort_by=...) + read_pruned — the Iceberg
+    file-stats / OPTIMIZE-ZORDER pair, 1-D): the city-metrics table is
+    rewritten range-clustered on ``average_fare`` (8 files per date
+    partition, per-file min/max recorded from the staged parquet
+    FOOTERS into a ``_stats.json`` that rides the same crash-safe
+    swap), then a top-of-range predicate (``average_fare >= max``)
+    reads ONLY the files whose recorded range overlaps — the function
+    asserts files_selected < files_total in-flight and the oracle
+    value-hashes the result, proving the skip is sound. At 100 TB
+    this is the second pruning axis after partition pruning: a
+    selective range predicate on the cluster column costs O(matching
+    files), and an absent/stale sidecar degrades to reading the file
+    (a later merge swaps stats out with the partition; deletion
+    vectors only shrink true ranges, so bounds stay valid)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    workdir = _workdir("rtrh_skip_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"), key_cols=("event_type", "window_start")
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="average_fare")
+    threshold = base.agg(F.max("average_fare")).collect()[0][0]
+    df, selected, total = sink.read_pruned(
+        spark, "average_fare", lower=threshold
+    )
+    if not selected < total:
+        raise RuntimeError(
+            f"file skipping did not prune: {selected}/{total} files read"
+        )
+    return df
 
 
 @query(

@@ -2291,6 +2291,7 @@ class ParquetUpsertSink:
         files_per_partition: int = 1,
         target_file_bytes: int | None = None,
         only_partitions: list[str] | None = None,
+        sort_by: str | None = None,
     ) -> None:
         """Small-file compaction: rewrite the table so each date
         partition holds ``files_per_partition`` files — or, with
@@ -2326,7 +2327,11 @@ class ParquetUpsertSink:
         a complete staging — never lost."""
         with self._writer_lock():
             self._compact(
-                spark, files_per_partition, target_file_bytes, only_partitions
+                spark,
+                files_per_partition,
+                target_file_bytes,
+                only_partitions,
+                sort_by,
             )
 
     def _compact(
@@ -2335,6 +2340,7 @@ class ParquetUpsertSink:
         files_per_partition: int,
         target_file_bytes: int | None,
         only_partitions: list[str] | None,
+        sort_by: str | None = None,
     ) -> None:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
@@ -2401,23 +2407,40 @@ class ParquetUpsertSink:
             writer_opts["maxRecordsPerFile"] = str(
                 max(1, target_file_bytes // avg_row)
             )
-        bucketed = current.withColumn(
-            "__bucket", F.pmod(F.xxhash64(*self.key_cols), n_files)
-        )
-        if target_file_bytes is None:
-            # column-only repartition: AQE may coalesce the tiny
-            # shuffle, which can only MERGE buckets (fewer, larger
-            # files) — fine under the "at most N files" contract
-            shuffled = bucketed.repartition("part_date", "__bucket")
+        if sort_by is not None:
+            # OPTIMIZE .. ZORDER-style clustered rewrite (1-D): range-
+            # partition on (part_date, sort_by) so files WITHIN a date
+            # carry disjoint sort_by ranges, and sort within tasks so
+            # parquet row-group min/max are tight too. File-level
+            # min/max land in a _stats.json sidecar (written from the
+            # staged footers, riding the same crash-safe swap) and
+            # power read_pruned()'s file skipping — the Iceberg
+            # manifest-stats design.
+            scope = only_partitions or [
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            ]
+            n_ranges = max(1, files_per_partition * max(1, len(scope)))
+            shuffled = current.repartitionByRange(
+                n_ranges, "part_date", F.col(sort_by)
+            ).sortWithinPartitions("part_date", sort_by)
         else:
-            # explicit partition count: AQE coalescing would defeat
-            # the per-date counts (it merges everything small into one
-            # task); over-provision so distinct (date,bucket) groups
-            # rarely collide, and the writer cap handles those that do
-            total = sum(counts.values())
-            shuffled = bucketed.repartition(
-                max(4 * total, 1), "part_date", "__bucket"
+            bucketed = current.withColumn(
+                "__bucket", F.pmod(F.xxhash64(*self.key_cols), n_files)
             )
+            if target_file_bytes is None:
+                # column-only repartition: AQE may coalesce the tiny
+                # shuffle, which can only MERGE buckets (fewer, larger
+                # files) — fine under the "at most N files" contract
+                shuffled = bucketed.repartition("part_date", "__bucket")
+            else:
+                # explicit partition count: AQE coalescing would defeat
+                # the per-date counts (it merges everything small into one
+                # task); over-provision so distinct (date,bucket) groups
+                # rarely collide, and the writer cap handles those that do
+                total = sum(counts.values())
+                shuffled = bucketed.repartition(
+                    max(4 * total, 1), "part_date", "__bucket"
+                )
         writer = (
             self._to_physical(shuffled.select(*data_cols), self._stored_schema())
             .write.mode("overwrite")
@@ -2425,7 +2448,136 @@ class ParquetUpsertSink:
         for k, v in writer_opts.items():
             writer = writer.option(k, v)
         writer.partitionBy("part_date").parquet(staging)
+        if sort_by is not None:
+            self._write_file_stats(staging, sort_by)
         self._finish_compact(staging)
+
+    def _write_file_stats(self, staging: str, sort_by: str) -> None:
+        """Per-FILE min/max of the cluster column, read from the staged
+        parquet FOOTERS (driver-side, O(files) metadata — the data was
+        just written, nothing is re-scanned) into one ``_stats.json``
+        per partition dir. The sidecar rides the compaction swap, so
+        stats are never newer or older than the files they describe;
+        a later merge swaps the whole dir out, stats included — absent
+        stats simply mean "must read", the safe degradation. Numeric
+        columns only (the JSON-comparable kind); stats are keyed by
+        the PHYSICAL column name, like the footers."""
+        import pyarrow.parquet as pq
+
+        schema = self._stored_schema()
+        phys = sort_by
+        if schema is not None:
+            for f in schema.fields:
+                if f.name == sort_by:
+                    phys = self._physical_name(f)
+        for d in os.listdir(staging):
+            pdir = os.path.join(staging, d)
+            if not d.startswith("part_date=") or not os.path.isdir(pdir):
+                continue
+            files: dict[str, list] = {}
+            for fname in os.listdir(pdir):
+                fpath = os.path.join(pdir, fname)
+                if not fname.endswith(".parquet") or os.path.getsize(fpath) == 0:
+                    continue
+                md = pq.ParquetFile(fpath).metadata
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema != phys:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        if not isinstance(st.min, (int, float)) or isinstance(
+                            st.min, bool
+                        ):
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    files[fname] = [lo, hi]
+            self._atomic_json_write(
+                os.path.join(pdir, "_stats.json"),
+                {"column": phys, "files": files},
+            )
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lower=None,
+        upper=None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping read (the Iceberg file-stats design): compose
+        the table from ONLY the files whose recorded [min, max] of
+        ``column`` (written by ``compact(sort_by=...)``) overlaps
+        [lower, upper] — after a clustered rewrite a selective range
+        predicate reads O(matching files), not O(table), which is the
+        second pruning axis on top of partition pruning at 100 TB.
+        Files or partitions without stats are always read (absence
+        degrades to correctness, never to a wrong skip; deletion-
+        vector deletes only SHRINK a file's true range, so stale
+        bounds stay valid over-approximations). The range predicate is
+        re-applied to the composed scan, so results never depend on
+        the stats. Returns (DataFrame, files_selected, files_total) —
+        the counts are the pruning proof the registry entry asserts.
+        ``column`` is the logical name; stats live under the physical
+        one."""
+        if lower is None and upper is None:
+            raise ValueError("read_pruned needs at least one bound")
+        schema = self._stored_schema()
+        phys = column
+        if schema is not None:
+            for f in schema.fields:
+                if f.name == column:
+                    phys = self._physical_name(f)
+        chosen: list[str] = []
+        total = 0
+        for d in sorted(os.listdir(self.path)):
+            pdir = os.path.join(self.path, d)
+            if not d.startswith("part_date=") or not os.path.isdir(pdir):
+                continue
+            stats = None
+            try:
+                with open(os.path.join(pdir, "_stats.json")) as fh:
+                    loaded = json.load(fh)
+                if loaded.get("column") == phys:
+                    stats = loaded.get("files", {})
+            except (FileNotFoundError, ValueError):
+                pass
+            for fname in os.listdir(pdir):
+                fpath = os.path.join(pdir, fname)
+                if not fname.endswith(".parquet") or os.path.getsize(fpath) == 0:
+                    continue
+                total += 1
+                rng = stats.get(fname) if stats is not None else None
+                if rng is not None:
+                    lo, hi = rng
+                    if (upper is not None and lo > upper) or (
+                        lower is not None and hi < lower
+                    ):
+                        continue  # provably disjoint: skip the file
+                chosen.append(fpath)
+        self._invalidate_listing(spark)
+        if not chosen:
+            base = self._read_table(spark).limit(0)
+        else:
+            reader = spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(self._physical_schema(schema))
+            df = reader.parquet(*chosen)
+            df = self._apply_dv(spark, df, self._live_dv_map())
+            base = self._to_logical(df, schema)
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (F.col(column) >= F.lit(lower))
+        if upper is not None:
+            pred = pred & (F.col(column) <= F.lit(upper))
+        return base.filter(pred).drop("part_date"), len(chosen), total
 
     def _finish_compact(self, staging: str) -> None:
         """Swap every partition out of a COMPLETE compaction staging

@@ -2204,3 +2204,61 @@ def test_multi_table_txn_atomicity_and_replay(spark, tmp_path):
         txn.commit(1, {"a": batch(9)})
     with pytest.raises(ValueError, match="unknown table"):
         txn.commit(3, {"zz": batch(9)})
+
+
+# -- clustered compaction + file-level data skipping (r9) -------------------
+
+
+def test_sorted_compact_writes_stats_and_read_pruned_skips(spark, tmp_path):
+    """compact(sort_by=...) records per-file min/max from the staged
+    footers; read_pruned composes only overlapping files, re-applies
+    the predicate, and equals the unpruned read; stats drop with the
+    partition on a later merge (safe degradation) and survive a
+    rename via the physical-name key."""
+    sink = _evo_sink(tmp_path)
+    rows = [
+        (f"k{i}", dt.datetime(2024, 1, 15 + (i % 2), 10, i % 60), i)
+        for i in range(400)
+    ]
+    sink.write_batch(
+        spark.createDataFrame(
+            rows, "k string, window_start timestamp, total bigint"
+        ),
+        0,
+    )
+    sink.compact(spark, files_per_partition=4, sort_by="total")
+    assert os.path.exists(
+        os.path.join(sink.path, "part_date=2024-01-15", "_stats.json")
+    )
+    df, sel, tot = sink.read_pruned(spark, "total", lower=390)
+    assert sel < tot
+    full = sink.read(spark).filter(F.col("total") >= 390)
+    assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
+    # upper-bound pruning too
+    df2, sel2, tot2 = sink.read_pruned(spark, "total", upper=5)
+    assert sel2 < tot2 and df2.count() == 6
+    # a DV delete shrinks the true range but bounds stay valid
+    sink.delete_keys(
+        spark.createDataFrame(
+            [("k399", dt.datetime(2024, 1, 16, 10, 39))],
+            "k string, window_start timestamp",
+        ),
+        1,
+        mode="merge_on_read",
+    )
+    df3, _, _ = sink.read_pruned(spark, "total", lower=390)
+    assert df3.count() == df.count() - 1
+    # merge swaps the touched partition's stats out: still correct
+    sink.write_batch(
+        spark.createDataFrame(
+            [("k0", dt.datetime(2024, 1, 15, 10, 0), 9999)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        2,
+    )
+    df4, sel4, tot4 = sink.read_pruned(spark, "total", lower=9000)
+    assert [r["k"] for r in df4.collect()] == ["k0"]
+    # rename: stats keyed by the physical name keep working
+    sink.rename_column(spark, "total", "amount", 3)
+    df5, sel5, tot5 = sink.read_pruned(spark, "amount", upper=5)
+    assert sel5 < tot5 and df5.count() == 5  # k0 left the <=5 range
