@@ -2139,6 +2139,17 @@ class ParquetUpsertSink:
                 schema = spark.read.parquet(self.path).schema
             names = [f.name for f in schema.fields]
             if old not in names:
+                if new in names:
+                    # replay of a crashed/duplicate rename (a restart
+                    # re-runs the epoch): the schema mutation already
+                    # landed — republish the commit so the version log
+                    # converges, exactly like a replayed merge
+                    if self.snapshot_dir is not None:
+                        self._snapshot(
+                            spark, epoch_id, touched=[], op="rename_column"
+                        )
+                    self._invalidate_listing(spark)
+                    return
                 raise ValueError(f"no column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
@@ -2191,6 +2202,14 @@ class ParquetUpsertSink:
                 schema = spark.read.parquet(self.path).schema
             doomed = [f for f in schema.fields if f.name == name]
             if not doomed:
+                if self.snapshot_dir is not None and epoch_id not in self.snapshots():
+                    # replay of a crashed drop: schema mutation landed,
+                    # commit publish didn't — converge the log
+                    self._snapshot(
+                        spark, epoch_id, touched=[], op="drop_column"
+                    )
+                    self._invalidate_listing(spark)
+                    return
                 raise ValueError(
                     f"no column {name!r} (have {[f.name for f in schema.fields]})"
                 )

@@ -334,3 +334,115 @@ def test_crash_matrix_partition_evolution_recovers(spark, tmp_path, monkeypatch)
                 f"divergence after crash at FS op #{crash_at} "
                 f"(step {crashed_step}): {exc}"
             ) from exc
+
+
+# -- r9 surfaces: DV delete, rename, post-rename merge, sorted compact ------
+
+
+def _r9_steps(spark, sink):
+    return [
+        lambda: sink.write_batch(
+            spark.createDataFrame(
+                [("a", D1, 10), ("b", D2, 20)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            0,
+        ),
+        lambda: sink.delete_keys(
+            spark.createDataFrame([("a", D1)], "k string, window_start timestamp"),
+            1,
+            mode="merge_on_read",
+        ),
+        lambda: sink.rename_column(spark, "total", "amount", 2),
+        lambda: sink.write_batch(
+            spark.createDataFrame(
+                [("c", D2, 30)], "k string, window_start timestamp, amount bigint"
+            ),
+            3,
+        ),
+        lambda: sink.delete_keys(
+            spark.createDataFrame([("b", D2)], "k string, window_start timestamp"),
+            4,
+        ),
+    ]
+
+
+_R9_AT = {
+    0: ("total", {"a": 10, "b": 20}),
+    1: ("total", {"b": 20}),
+    2: ("amount", {"b": 20}),
+    3: ("amount", {"b": 20, "c": 30}),
+    4: ("amount", {"c": 30}),
+}
+
+
+def _r9_assert_final(spark, sink):
+    live = {r["k"]: r["amount"] for r in sink.read(spark).collect()}
+    assert live == {"c": 30}
+    assert sink.snapshots() == [0, 1, 2, 3, 4]
+    for epoch, (col, want) in _R9_AT.items():
+        df = sink.read_at(spark, epoch)
+        assert col in df.columns, f"epoch {epoch}: {df.columns}"
+        got = {r["k"]: r[col] for r in df.collect()}
+        assert got == want, f"epoch {epoch}"
+
+
+def test_crash_matrix_dv_and_column_mapping_recovers(spark, tmp_path, monkeypatch):
+    """The r9 write surface under the same fault sweep: a deletion-
+    vector delete (atomic intent + sidecar fold), a metadata-only
+    RENAME (replay republishes its commit), a post-rename merge
+    (logical->physical mapping through the staging), and a
+    copy-on-write delete that folds the mapping — every orchestration
+    FS op is a crash point, the epoch replays, and the final state
+    plus every version's schema-correct read must equal the no-crash
+    run."""
+    injector = _FaultInjector(monkeypatch)
+    injector.install()
+
+    base = tmp_path / "baseline"
+    sink = ParquetUpsertSink(
+        str(base / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(base / "s"),
+        schema_evolution=True,
+        retries=0,
+    )
+    injector.arm(None)
+    for step in _r9_steps(spark, sink):
+        step()
+    total_ops = injector.count
+    _r9_assert_final(spark, sink)
+    assert total_ops > 10
+
+    crash_points = list(range(1, min(13, total_ops + 1))) + list(
+        range(13, total_ops + 1, 5)
+    )
+    for crash_at in crash_points:
+        root = tmp_path / f"crash{crash_at}"
+        sink = ParquetUpsertSink(
+            str(root / "t"),
+            key_cols=("k", "window_start"),
+            snapshot_dir=str(root / "s"),
+            schema_evolution=True,
+            retries=0,
+        )
+        steps = _r9_steps(spark, sink)
+        injector.arm(crash_at)
+        crashed_step = None
+        for i, step in enumerate(steps):
+            try:
+                step()
+            except SimulatedCrash:
+                crashed_step = i
+                break
+        assert crashed_step is not None, f"op budget moved? crash_at={crash_at}"
+        injector.arm(None)
+        for step in steps[crashed_step:]:
+            step()
+        try:
+            _r9_assert_final(spark, sink)
+        except AssertionError as exc:
+            raise AssertionError(
+                f"divergence after crash at FS op #{crash_at} "
+                f"(step {crashed_step}): {exc}"
+            ) from exc
