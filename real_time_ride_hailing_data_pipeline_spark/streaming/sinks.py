@@ -2286,6 +2286,13 @@ class ParquetUpsertSink:
         (reader rmtree-ing a partition the writer just installed —
         permanent loss). If a live writer holds the lock, the repair
         is ITS job — skip and read."""
+        self._repair_for_read(spark)
+        return self._read_table(spark).drop("part_date")
+
+    def _repair_for_read(self, spark: SparkSession) -> None:
+        """Finish a crashed compaction/migration swap before serving a
+        read (no-op when none pending; skipped when a live writer owns
+        the lock — the repair is its job)."""
         staging = self._compact_staging()
         if (
             os.path.isdir(staging)
@@ -2302,7 +2309,23 @@ class ParquetUpsertSink:
                     self._heal_migration_snapshot(spark)
             except ConcurrentWriterError:
                 pass  # the live writer owns (and will finish) the swap
-        return self._read_table(spark).drop("part_date")
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        epoch_id: int,
+        mode: str = "copy_on_write",
+    ) -> None:
+        """``DELETE FROM t WHERE <condition>`` sugar (the Delta
+        predicate-delete surface): resolve the doomed KEYS from the
+        current table state (deletion-vector-aware, so an already-
+        hidden row never re-resolves) and delegate to ``delete_keys``
+        under the same tier choice. ``condition`` is a Column or SQL
+        string over the table's logical columns."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = self._read_table(spark).filter(cond).select(*self.key_cols)
+        self.delete_keys(keys, epoch_id, mode=mode)
 
     def compact(
         self,
@@ -2548,6 +2571,7 @@ class ParquetUpsertSink:
         one."""
         if lower is None and upper is None:
             raise ValueError("read_pruned needs at least one bound")
+        self._repair_for_read(spark)
         schema = self._stored_schema()
         phys = column
         if schema is not None:

@@ -2262,3 +2262,20 @@ def test_sorted_compact_writes_stats_and_read_pruned_skips(spark, tmp_path):
     sink.rename_column(spark, "total", "amount", 3)
     df5, sel5, tot5 = sink.read_pruned(spark, "amount", upper=5)
     assert sel5 < tot5 and df5.count() == 5  # k0 left the <=5 range
+
+
+def test_delete_where_predicate_both_tiers(spark, tmp_path):
+    """DELETE WHERE sugar: a Column or SQL-string predicate resolves
+    to keys DV-aware (an already-hidden row never re-resolves) and
+    rides either tier."""
+    sink = _evo_sink(tmp_path)
+    d1, d2 = _dv_seed(spark, sink)
+    sink.delete_where(spark, "total >= 40", 1, mode="merge_on_read")
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "b", "c"]
+    sink.delete_where(spark, F.col("k") == "a", 2)
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["b", "c"]
+    typed = [
+        (r["change_type"], r["k"])
+        for r in sink.read_changes_typed(spark, 1, 2).collect()
+    ]
+    assert typed == [("delete", "a")]
