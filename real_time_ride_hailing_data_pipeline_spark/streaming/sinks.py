@@ -844,6 +844,7 @@ class ParquetUpsertSink:
             self._atomic_json_write(
                 self._staged_schema_file(), stored.jsonValue()
             )
+        self._refresh_staged_stats()
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
         self._publish_staging(touched_dirs, epoch_id, op="delete")
         # staging dropped only AFTER the snapshot publishes: a crash
@@ -1753,6 +1754,7 @@ class ParquetUpsertSink:
             self._atomic_json_write(
                 self._staged_schema_file(), logical.jsonValue()
             )
+        self._refresh_staged_stats()
         touched_dirs = [self._part_dirname(v) for v in touched]
         emptied = self._publish_staging(touched_dirs, epoch_id)
         return touched_dirs, emptied
@@ -2333,7 +2335,7 @@ class ParquetUpsertSink:
         files_per_partition: int = 1,
         target_file_bytes: int | None = None,
         only_partitions: list[str] | None = None,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
     ) -> None:
         """Small-file compaction: rewrite the table so each date
         partition holds ``files_per_partition`` files — or, with
@@ -2382,7 +2384,7 @@ class ParquetUpsertSink:
         files_per_partition: int,
         target_file_bytes: int | None,
         only_partitions: list[str] | None,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
     ) -> None:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
@@ -2450,21 +2452,24 @@ class ParquetUpsertSink:
                 max(1, target_file_bytes // avg_row)
             )
         if sort_by is not None:
-            # OPTIMIZE .. ZORDER-style clustered rewrite (1-D): range-
-            # partition on (part_date, sort_by) so files WITHIN a date
-            # carry disjoint sort_by ranges, and sort within tasks so
-            # parquet row-group min/max are tight too. File-level
-            # min/max land in a _stats.json sidecar (written from the
-            # staged footers, riding the same crash-safe swap) and
-            # power read_pruned()'s file skipping — the Iceberg
-            # manifest-stats design.
+            # OPTIMIZE .. ZORDER-style clustered rewrite: range-
+            # partition on (part_date, *sort_cols) so files WITHIN a
+            # date carry disjoint leading-column ranges (trailing
+            # columns cluster lexicographically — the multi-column
+            # liquid-clustering shape), and sort within tasks so
+            # parquet row-group min/max are tight too. Per-file
+            # min/max of EVERY sort column land in a _stats.json
+            # sidecar (written from the staged footers, riding the
+            # same crash-safe swap) and power read_pruned()'s file
+            # skipping — the Iceberg manifest-stats design.
+            sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
             scope = only_partitions or [
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             ]
             n_ranges = max(1, files_per_partition * max(1, len(scope)))
             shuffled = current.repartitionByRange(
-                n_ranges, "part_date", F.col(sort_by)
-            ).sortWithinPartitions("part_date", sort_by)
+                n_ranges, "part_date", *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions("part_date", *sort_cols)
         else:
             bucketed = current.withColumn(
                 "__bucket", F.pmod(F.xxhash64(*self.key_cols), n_files)
@@ -2491,60 +2496,113 @@ class ParquetUpsertSink:
             writer = writer.option(k, v)
         writer.partitionBy("part_date").parquet(staging)
         if sort_by is not None:
-            self._write_file_stats(staging, sort_by)
+            self._write_file_stats(staging, sort_cols)
         self._finish_compact(staging)
 
-    def _write_file_stats(self, staging: str, sort_by: str) -> None:
-        """Per-FILE min/max of the cluster column, read from the staged
-        parquet FOOTERS (driver-side, O(files) metadata — the data was
-        just written, nothing is re-scanned) into one ``_stats.json``
-        per partition dir. The sidecar rides the compaction swap, so
-        stats are never newer or older than the files they describe;
-        a later merge swaps the whole dir out, stats included — absent
-        stats simply mean "must read", the safe degradation. Numeric
-        columns only (the JSON-comparable kind); stats are keyed by
-        the PHYSICAL column name, like the footers."""
-        import pyarrow.parquet as pq
-
+    def _phys_name_of(self, logical: str) -> str:
         schema = self._stored_schema()
-        phys = sort_by
         if schema is not None:
             for f in schema.fields:
-                if f.name == sort_by:
-                    phys = self._physical_name(f)
-        for d in os.listdir(staging):
-            pdir = os.path.join(staging, d)
-            if not d.startswith("part_date=") or not os.path.isdir(pdir):
+                if f.name == logical:
+                    return self._physical_name(f)
+        return logical
+
+    @staticmethod
+    def _dir_file_stats(pdir: str, phys_cols: list[str]) -> dict[str, dict]:
+        """Per-FILE min/max of the cluster columns, read from the
+        parquet FOOTERS — driver-side O(files) metadata, no data
+        scanned. Numeric columns only (the JSON-comparable kind)."""
+        import pyarrow.parquet as pq
+
+        files: dict[str, dict] = {}
+        for fname in os.listdir(pdir):
+            fpath = os.path.join(pdir, fname)
+            if not fname.endswith(".parquet") or os.path.getsize(fpath) == 0:
                 continue
-            files: dict[str, list] = {}
-            for fname in os.listdir(pdir):
-                fpath = os.path.join(pdir, fname)
-                if not fname.endswith(".parquet") or os.path.getsize(fpath) == 0:
-                    continue
-                md = pq.ParquetFile(fpath).metadata
+            md = pq.ParquetFile(fpath).metadata
+            ranges: dict[str, list] = {}
+            for phys in phys_cols:
                 lo = hi = None
+                ok = True
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
+                    found = False
                     for ci in range(row_group.num_columns):
                         col = row_group.column(ci)
                         if col.path_in_schema != phys:
                             continue
+                        found = True
                         st = col.statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        if not isinstance(st.min, (int, float)) or isinstance(
-                            st.min, bool
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, (int, float))
+                            or isinstance(st.min, bool)
                         ):
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                if lo is not None:
-                    files[fname] = [lo, hi]
+                            ok = False
+                        else:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                        break
+                    if not found or not ok:
+                        ok = False
+                        break
+                if ok and lo is not None:
+                    ranges[phys] = [lo, hi]
+            if ranges:
+                files[fname] = ranges
+        return files
+
+    def _write_file_stats(self, staging: str, sort_cols: list[str]) -> None:
+        """One ``_stats.json`` per staged partition dir: per-file
+        min/max of every cluster column. The sidecar rides the same
+        crash-safe swap as the files it describes, so stats are never
+        newer or older than the data; absent stats simply mean "must
+        read" — the safe degradation. Keyed by PHYSICAL column names,
+        like the footers."""
+        phys_cols = [self._phys_name_of(c) for c in sort_cols]
+        for d in os.listdir(staging):
+            pdir = os.path.join(staging, d)
+            if not d.startswith("part_date=") or not os.path.isdir(pdir):
+                continue
             self._atomic_json_write(
                 os.path.join(pdir, "_stats.json"),
-                {"column": phys, "files": files},
+                {
+                    "columns": phys_cols,
+                    "files": self._dir_file_stats(pdir, phys_cols),
+                },
+            )
+
+    def _refresh_staged_stats(self) -> None:
+        """Keep file stats alive ACROSS merges and deletes: for every
+        staged partition whose LIVE counterpart carries a
+        ``_stats.json``, recompute the per-file ranges from the STAGED
+        footers and write the sidecar into the staging — the swap then
+        installs data and matching stats together. Clustering quality
+        decays as merged rows land unsorted (ranges widen), but the
+        recorded bounds stay EXACT, so ``read_pruned`` keeps skipping
+        whatever still can be skipped until the next
+        ``compact(sort_by=...)`` re-tightens the files. Driver-side
+        O(staged files) footer reads, only for stats-bearing
+        partitions."""
+        if not os.path.isdir(self.merged_path):
+            return
+        for d in os.listdir(self.merged_path):
+            staged_dir = os.path.join(self.merged_path, d)
+            if not d.startswith("part_date=") or not os.path.isdir(staged_dir):
+                continue
+            live_sidecar = os.path.join(self.path, d, "_stats.json")
+            try:
+                with open(live_sidecar) as fh:
+                    phys_cols = json.load(fh)["columns"]
+            except (FileNotFoundError, ValueError, KeyError):
+                continue
+            self._atomic_json_write(
+                os.path.join(staged_dir, "_stats.json"),
+                {
+                    "columns": phys_cols,
+                    "files": self._dir_file_stats(staged_dir, phys_cols),
+                },
             )
 
     def read_pruned(
@@ -2573,11 +2631,7 @@ class ParquetUpsertSink:
             raise ValueError("read_pruned needs at least one bound")
         self._repair_for_read(spark)
         schema = self._stored_schema()
-        phys = column
-        if schema is not None:
-            for f in schema.fields:
-                if f.name == column:
-                    phys = self._physical_name(f)
+        phys = self._phys_name_of(column)
         chosen: list[str] = []
         total = 0
         for d in sorted(os.listdir(self.path)):
@@ -2588,7 +2642,7 @@ class ParquetUpsertSink:
             try:
                 with open(os.path.join(pdir, "_stats.json")) as fh:
                     loaded = json.load(fh)
-                if loaded.get("column") == phys:
+                if phys in loaded.get("columns", []):
                     stats = loaded.get("files", {})
             except (FileNotFoundError, ValueError):
                 pass
@@ -2597,7 +2651,9 @@ class ParquetUpsertSink:
                 if not fname.endswith(".parquet") or os.path.getsize(fpath) == 0:
                     continue
                 total += 1
-                rng = stats.get(fname) if stats is not None else None
+                rng = (
+                    stats.get(fname, {}).get(phys) if stats is not None else None
+                )
                 if rng is not None:
                     lo, hi = rng
                     if (upper is not None and lo > upper) or (

@@ -2248,7 +2248,9 @@ def test_sorted_compact_writes_stats_and_read_pruned_skips(spark, tmp_path):
     )
     df3, _, _ = sink.read_pruned(spark, "total", lower=390)
     assert df3.count() == df.count() - 1
-    # merge swaps the touched partition's stats out: still correct
+    # a merge REFRESHES the touched partition's stats from the staged
+    # footers (exact bounds survive; clustering quality decays until
+    # the next sorted compact): still correct, sidecar still present
     sink.write_batch(
         spark.createDataFrame(
             [("k0", dt.datetime(2024, 1, 15, 10, 0), 9999)],
@@ -2256,8 +2258,13 @@ def test_sorted_compact_writes_stats_and_read_pruned_skips(spark, tmp_path):
         ),
         2,
     )
+    assert os.path.exists(
+        os.path.join(sink.path, "part_date=2024-01-15", "_stats.json")
+    )
     df4, sel4, tot4 = sink.read_pruned(spark, "total", lower=9000)
     assert [r["k"] for r in df4.collect()] == ["k0"]
+    # the untouched date's tight post-compact stats still prune
+    assert sel4 < tot4
     # rename: stats keyed by the physical name keep working
     sink.rename_column(spark, "total", "amount", 3)
     df5, sel5, tot5 = sink.read_pruned(spark, "amount", upper=5)
