@@ -99,6 +99,7 @@ _VERIFY_FIRST: list[str] = [
     "lakehouse_rename_drop_evolution",
     "multi_table_txn_consistency",
     "lakehouse_file_skipping_read",
+    "lakehouse_check_constraint_gate",
     # sink-family re-verification: the r9 sink changes touched the
     # snapshot copy mechanism (hardlinks), every read path (deletion
     # vectors), the schema path (column mapping) and restore
@@ -132,7 +133,6 @@ _VERIFY_FIRST: list[str] = [
     "pack_documents_token_bins",
     "xml_source_agg",
     "python_datasource_city_fares",
-    "python_stream_source_city_fares",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -2472,6 +2472,65 @@ def lakehouse_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("last_updated").alias("last_updated_v0"),
     )
     return final.join(v0, ["event_type", "window_start"])
+
+
+@query(
+    "lakehouse_check_constraint_gate",
+    oracle="""
+    SELECT event_type,
+           date_trunc('minute', ts) AS window_start,
+           count(event_id)          AS total_trips,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+             // (2 * count(value))) / 100.0 AS average_fare
+    FROM events GROUP BY 1, 2
+    """,
+)
+def lakehouse_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints with write-audit-publish enforcement
+    (sinks.py:add_constraint/_audit_batch — the Delta ``ALTER TABLE
+    ADD CONSTRAINT`` shape): constraints registered BEFORE the first
+    commit survive it, adding one requires the existing table to
+    already satisfy it (one scan), and a violating micro-batch raises
+    ``ConstraintViolationError`` at stage time — the function commits
+    the clean batch, then proves a poison batch (negative trip count)
+    is REFUSED with the table byte-untouched, and the oracle
+    value-hashes the surviving state. The audit is O(batch) with
+    first-violation short-circuit — at 100 TB a bad producer costs
+    one micro-batch probe, never a table scan or a cleanup job."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConstraintViolationError,
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    workdir = _workdir("rtrh_check_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"), key_cols=("event_type", "window_start")
+    )
+    sink.add_constraint(spark, "positive_trips", "total_trips > 0")
+    sink.write_batch(base, 0)
+    sink.add_constraint(
+        spark, "fare_bounds", "average_fare >= 0 AND average_fare <= 100000"
+    )
+    import datetime as _dt
+
+    poison = spark.createDataFrame(
+        [("__bad__", _dt.datetime(2024, 2, 1), -5, 1.0)],
+        "event_type string, window_start timestamp, "
+        "total_trips bigint, average_fare double",
+    )
+    try:
+        sink.write_batch(poison, 1)
+    except ConstraintViolationError:
+        pass
+    else:
+        raise RuntimeError("the constraint gate did not fire")
+    if sink.read(spark).filter(F.col("event_type") == "__bad__").count():
+        raise RuntimeError("a refused batch mutated the table")
+    return sink.read(spark)
 
 
 @query(

@@ -71,6 +71,13 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
+class ConstraintViolationError(ValueError):
+    """A batch violated a table CHECK constraint — the commit was
+    refused BEFORE any table mutation (write-audit-publish: the audit
+    runs against the staged batch, the table never sees the bad
+    rows)."""
+
+
 class ConcurrentWriterError(RuntimeError):
     """A second live writer holds the table's writer lock. The sink is
     single-writer by contract (one streaming query per checkpoint);
@@ -664,6 +671,8 @@ class ParquetUpsertSink:
                 self._snapshot(spark, epoch_id, touched=[])
             return
         specs = self._transforms()
+        constraints = self._constraints()
+        self._audit_batch(batch_df)  # refuse BEFORE any table mutation
         batch = batch_df.withColumn(
             "part_date", self._derive_part_date(specs[-1])
         )
@@ -682,6 +691,8 @@ class ParquetUpsertSink:
             # batch was derived under, or a restarted writer's
             # constructor default silently reverts the evolution
             self._atomic_json_write(self._partspec_file(), specs)
+            if constraints:  # same truncation hazard for constraints
+                self._atomic_json_write(self._constraints_file(), constraints)
             self._snapshot(spark, epoch_id, touched=None)
             self._auto_compact(spark, touched=None)
             return
@@ -1439,6 +1450,7 @@ class ParquetUpsertSink:
                     "_schema.json",
                     "_partspec.json",
                     "_colmap.json",
+                    "_constraints.json",
                 ) and os.path.isfile(src_dir):
                     shutil.copy2(src_dir, os.path.join(dest_path, d))
         return ParquetUpsertSink(
@@ -2029,6 +2041,56 @@ class ParquetUpsertSink:
         return list(existing.columns) + [
             c for c in staged.columns if c not in set(existing.columns)
         ]
+
+    # -- CHECK constraints (the Delta ALTER TABLE ADD CONSTRAINT shape) -----
+    def _constraints_file(self) -> str:
+        return os.path.join(self.path, "_constraints.json")
+
+    def _constraints(self) -> dict[str, str]:
+        try:
+            with open(self._constraints_file()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> None:
+        """Register a CHECK constraint (SQL boolean expression over the
+        logical columns). The EXISTING table must already satisfy it —
+        validated with one scan before the sidecar publishes (the
+        Delta contract) — and every future batch is audited against it
+        at stage time, BEFORE any table mutation: a violating
+        micro-batch raises ``ConstraintViolationError`` and the table
+        is untouched (write-audit-publish). SQL semantics: only rows
+        where the expression is FALSE violate; NULL/UNKNOWN passes."""
+        with self._writer_lock():
+            if self._table_exists():
+                bad = self._read_table(spark).filter(
+                    F.expr(expr) == F.lit(False)
+                )
+                if not bad.isEmpty():
+                    raise ConstraintViolationError(
+                        f"existing rows violate {name!r}: {expr}"
+                    )
+            cons = self._constraints()
+            cons[name] = expr
+            self._atomic_json_write(self._constraints_file(), cons)
+
+    def drop_constraint(self, name: str) -> None:
+        with self._writer_lock():
+            cons = self._constraints()
+            cons.pop(name, None)
+            self._atomic_json_write(self._constraints_file(), cons)
+
+    def _audit_batch(self, staged: DataFrame) -> None:
+        """Write-audit-publish gate: refuse the staged batch if any
+        constraint is violated. One ``isEmpty`` probe per constraint
+        over the staged micro-batch only — O(batch), never O(table) —
+        and it short-circuits at the first violating row."""
+        for name, expr in self._constraints().items():
+            if not staged.filter(F.expr(expr) == F.lit(False)).isEmpty():
+                raise ConstraintViolationError(
+                    f"batch violates CHECK constraint {name!r}: {expr}"
+                )
 
     # -- column mapping (rename/drop without data rewrite) ------------------
     #

@@ -2286,3 +2286,52 @@ def test_delete_where_predicate_both_tiers(spark, tmp_path):
         for r in sink.read_changes_typed(spark, 1, 2).collect()
     ]
     assert typed == [("delete", "a")]
+
+
+def test_check_constraints_gate_and_survive_first_commit(spark, tmp_path):
+    """CHECK constraints: pre-first-commit registration survives the
+    static-overwrite first batch; adding one validates the existing
+    table; a violating batch is refused with the table untouched;
+    NULL passes (SQL semantics); drop_constraint reopens the gate."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConstraintViolationError,
+    )
+
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    sink.add_constraint(spark, "pos", "total > 0")
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10)], "k string, window_start timestamp, total bigint"
+        ),
+        0,
+    )
+    assert sink._constraints() == {"pos": "total > 0"}  # survived overwrite
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        sink.write_batch(
+            spark.createDataFrame(
+                [("b", d1, -1)], "k string, window_start timestamp, total bigint"
+            ),
+            1,
+        )
+    assert [r["k"] for r in sink.read(spark).collect()] == ["a"]
+    assert sink.snapshots() == [0]  # no commit, no version
+    # NULL passes (SQL CHECK semantics)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("c", d1, None)], "k string, window_start timestamp, total bigint"
+        ),
+        1,
+    )
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "c"]
+    # adding a constraint the table violates is refused
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        sink.add_constraint(spark, "big", "total >= 100")
+    sink.drop_constraint("pos")
+    sink.write_batch(
+        spark.createDataFrame(
+            [("b", d1, -1)], "k string, window_start timestamp, total bigint"
+        ),
+        2,
+    )
+    assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "b", "c"]
