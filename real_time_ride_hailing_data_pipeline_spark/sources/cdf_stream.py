@@ -241,22 +241,55 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         pass  # offsets live in the checkpoint log; the table owns retention
 
 
+def _infer_from_log(snapshot_dir: str) -> tuple[str, str]:
+    """(schema_ddl, columns) derived from the NEWEST epoch schema
+    sidecar — the sink's own log already knows the logical schema, so
+    a consumer needs nothing but the snapshot_dir. part_date is the
+    physical layout column (absent from feed rows, like the batch
+    CDF); change_type is appended. Runs on the driver at plan time."""
+    from pyspark.sql.types import StructType
+
+    sdir = os.path.join(snapshot_dir, "schemas")
+    epochs = sorted(
+        int(n[len("epoch=") : -len(".json")])
+        for n in os.listdir(sdir)
+        if n.startswith("epoch=") and n.endswith(".json")
+    )
+    if not epochs:
+        raise ValueError(f"no schema sidecars under {sdir}")
+    with open(os.path.join(sdir, f"epoch={epochs[-1]}.json")) as fh:
+        schema = StructType.fromJson(json.load(fh))
+    fields = [f for f in schema.fields if f.name != "part_date"]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    return ddl + ", change_type string", ",".join(f.name for f in fields)
+
+
 class SnapshotCdfDataSource(DataSource):
     """``spark.readStream.format("sink_cdf")`` with options:
-    ``snapshot_dir`` (the sink's transaction log), ``schema_ddl`` (the
-    emitted schema INCLUDING the trailing ``change_type string``),
-    ``columns`` (comma-joined data columns in schema order, without
-    change_type), ``key_cols``, optional ``start_epoch``."""
+    ``snapshot_dir`` (the sink's transaction log — the only REQUIRED
+    option besides ``key_cols``), optional ``start_epoch``, and
+    optional explicit ``schema_ddl`` + ``columns`` overrides. Without
+    the overrides, the emitted schema is inferred from the newest
+    epoch schema sidecar (logical names, change_type appended) — the
+    log is self-describing, exactly like Delta's readChangeFeed."""
 
     @classmethod
     def name(cls) -> str:
         return "sink_cdf"
 
     def schema(self) -> str:
-        return self.options["schema_ddl"]
+        if "schema_ddl" in self.options:
+            return self.options["schema_ddl"]
+        ddl, columns = _infer_from_log(self.options["snapshot_dir"])
+        # stash for the reader (options flow through to streamReader)
+        self.options["columns"] = columns
+        return ddl
 
     def streamReader(self, schema) -> SnapshotCdfStreamReader:
-        return SnapshotCdfStreamReader(self.options)
+        opts = dict(self.options)
+        if "columns" not in opts:
+            _, opts["columns"] = _infer_from_log(opts["snapshot_dir"])
+        return SnapshotCdfStreamReader(opts)
 
 
 def register(spark) -> None:

@@ -2335,3 +2335,27 @@ def test_check_constraints_gate_and_survive_first_commit(spark, tmp_path):
         2,
     )
     assert sorted(r["k"] for r in sink.read(spark).collect()) == ["a", "b", "c"]
+
+
+def test_cdf_stream_source_infers_schema_from_log(spark, tmp_path):
+    """Without explicit schema options the CDF source derives its
+    emitted schema (and column list) from the newest epoch schema
+    sidecar — the log is self-describing; renames are reflected."""
+    from real_time_ride_hailing_data_pipeline_spark.sources.cdf_stream import (
+        _infer_from_log,
+    )
+
+    sink = _evo_sink(tmp_path)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10)], "k string, window_start timestamp, total bigint"
+        ),
+        0,
+    )
+    ddl, cols = _infer_from_log(sink.snapshot_dir)
+    assert cols == "k,window_start,total"
+    assert ddl.endswith("change_type string") and "part_date" not in ddl
+    sink.rename_column(spark, "total", "amount", 1)
+    ddl2, cols2 = _infer_from_log(sink.snapshot_dir)
+    assert cols2 == "k,window_start,amount"
