@@ -100,6 +100,7 @@ _VERIFY_FIRST: list[str] = [
     "multi_table_txn_consistency",
     "lakehouse_file_skipping_read",
     "lakehouse_check_constraint_gate",
+    "lakehouse_update_where",
     # sink-family re-verification: the r9 sink changes touched the
     # snapshot copy mechanism (hardlinks), every read path (deletion
     # vectors), the schema path (column mapping) and restore
@@ -130,7 +131,6 @@ _VERIFY_FIRST: list[str] = [
     "pipeline_training_prep",
     "text_tfidf_top_terms",
     "contamination_eval_train_overlap",
-    "pack_documents_token_bins",
     "xml_source_agg",
     "python_datasource_city_fares",
     # overflow sacrifice: with BOTH gated entries present this list has
@@ -2472,6 +2472,89 @@ def lakehouse_rename_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("last_updated").alias("last_updated_v0"),
     )
     return final.join(v0, ["event_type", "window_start"])
+
+
+@query(
+    "lakehouse_update_where",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, window_start,
+           CASE WHEN event_type = 'view'
+                 AND CAST(window_start AS DATE) =
+                     (SELECT min(CAST(ts AS DATE)) FROM events)
+                THEN total_trips * 10 ELSE total_trips END AS total_trips,
+           average_fare
+    FROM m
+    """,
+)
+def lakehouse_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (sinks.py:update_where — the Delta ``UPDATE
+    SET .. WHERE`` shape, completing the DML triad next to the keyed
+    upsert and both delete tiers): the first date's 'view' windows get
+    their trip counts scaled 10× in place, through the same
+    epoch-marked crash-safe staging as every other commit. Copy-on-
+    write scope is exact: the function asserts that a partition the
+    predicate does NOT touch keeps byte-identical files (names+sizes),
+    while the oracle value-hashes the full updated table — proving
+    both the in-place semantics (SET evaluated against original rows)
+    and the O(touched partitions) write bound that matters at 100 TB.
+    The commit records op='update' in DESCRIBE HISTORY; time travel
+    below it reads pre-update values."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    workdir = _workdir("rtrh_upd_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap"),
+    )
+    sink.write_batch(base, 0)
+    first_date = base.agg(F.min(F.to_date("window_start"))).collect()[0][0]
+    untouched = sorted(
+        d
+        for d in _os.listdir(sink.path)
+        if d.startswith("part_date=") and d != f"part_date={first_date.isoformat()}"
+    )
+    probe_dir = _os.path.join(sink.path, untouched[-1]) if untouched else None
+
+    def _inv(p):
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(p, f)))
+            for f in _os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before = _inv(probe_dir) if probe_dir else None
+    sink.update_where(
+        spark,
+        f"event_type = 'view' AND to_date(window_start) = DATE'{first_date.isoformat()}'",
+        {"total_trips": "total_trips * 10"},
+        1,
+    )
+    if probe_dir and _inv(probe_dir) != before:
+        raise RuntimeError("UPDATE rewrote a partition its predicate never touched")
+    n_matched = base.filter(
+        (F.col("event_type") == "view")
+        & (F.to_date("window_start") == F.lit(first_date))
+    ).count()
+    pre = sink.read_at(spark, 0).agg(F.sum("total_trips")).collect()[0][0]
+    post = sink.read(spark).agg(F.sum("total_trips")).collect()[0][0]
+    if n_matched and pre == post:
+        raise RuntimeError("time travel below the update shows updated values")
+    return sink.read(spark)
 
 
 @query(

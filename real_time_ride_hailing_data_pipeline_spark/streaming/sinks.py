@@ -866,6 +866,93 @@ class ParquetUpsertSink:
         self._snapshot(spark, epoch_id, touched_dirs, op="delete")
         shutil.rmtree(self.merged_path, ignore_errors=True)
 
+    # -- row-level UPDATE ----------------------------------------------------
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        set_exprs: dict,
+        epoch_id: int,
+    ) -> None:
+        """``UPDATE t SET col = expr WHERE cond`` (the Delta UPDATE
+        shape, completing the DML triad next to the keyed upsert and
+        both delete tiers): copy-on-write rewrite of ONLY the
+        partitions containing matching rows. Every SET expression is
+        evaluated against the ORIGINAL row (standard SQL UPDATE
+        semantics — one projection computes all new values, so a SET
+        can reference a column another SET changes without ordering
+        effects). Key and partition columns cannot be SET (an update
+        never moves a row between keys or partitions — that is a
+        delete + insert). CHECK constraints audit the updated content
+        before any table mutation. Crash-safe and replay-idempotent
+        through the same epoch-marked staging as merges and deletes;
+        the commit appears in DESCRIBE HISTORY as ``op='update'``."""
+        bad = set(set_exprs) & (set(self.key_cols) | {self.partition_source, "part_date"})
+        if bad:
+            raise ValueError(
+                f"cannot SET key/partition column(s) {sorted(bad)} — "
+                f"re-keying is a delete + insert"
+            )
+        with self._writer_lock():
+            with_retries(
+                lambda: self._update(spark, condition, set_exprs, epoch_id),
+                self.retries,
+                self.retry_delay_s,
+            )
+
+    def _update(
+        self, spark: SparkSession, condition, set_exprs: dict, epoch_id: int
+    ) -> None:
+        self._finish_compact(self._compact_staging())
+        self._finish_migrate()
+        self._heal_migration_snapshot(spark)
+        if self._finish_pending_epoch(spark) == epoch_id:
+            return
+        if self.snapshot_dir is not None and epoch_id in self.snapshots():
+            # an UPDATE's payload is NOT naturally idempotent (unlike
+            # the overwrite-per-key merge or a delete of absent keys:
+            # re-applying would scale matched rows again), so a replay
+            # of an already-COMMITTED epoch is a no-op by version guard
+            return
+        if not self._table_exists():
+            return
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        existing = self._read_table(spark)
+        touched_vals = [
+            r[0]
+            for r in existing.filter(cond).select("part_date").distinct().collect()
+        ]
+        if not touched_vals:
+            self._snapshot(spark, epoch_id, touched=[], op="update")
+            return
+        scoped = existing.filter(self._part_date_filter(touched_vals))
+        projections = []
+        for c in scoped.columns:
+            if c in set_exprs:
+                e = set_exprs[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                projections.append(
+                    F.when(cond, e).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                projections.append(F.col(c))
+        updated = scoped.select(*projections)
+        self._audit_batch(updated)  # constraints hold AFTER the update
+        stored = self._stored_schema()
+        self._to_physical(updated, stored).write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.merged_path)
+        if stored is not None:
+            self._atomic_json_write(
+                self._staged_schema_file(), stored.jsonValue()
+            )
+        self._refresh_staged_stats()
+        touched_dirs = [self._part_dirname(v) for v in touched_vals]
+        self._publish_staging(touched_dirs, epoch_id, op="update")
+        self._commit(spark, drop_staging=False)
+        self._snapshot(spark, epoch_id, touched_dirs, op="update")
+        shutil.rmtree(self.merged_path, ignore_errors=True)
+
     @staticmethod
     def _part_date_filter(vals: list):
         """NULL-safe ``part_date IN vals``: plain ``isin`` never

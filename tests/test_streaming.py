@@ -2359,3 +2359,52 @@ def test_cdf_stream_source_infers_schema_from_log(spark, tmp_path):
     sink.rename_column(spark, "total", "amount", 1)
     ddl2, cols2 = _infer_from_log(sink.snapshot_dir)
     assert cols2 == "k,window_start,amount"
+
+
+def test_update_where_semantics_and_interop(spark, tmp_path):
+    """UPDATE SET evaluates against ORIGINAL rows (a SET referencing a
+    column another SET changes sees the old value); key/partition
+    columns refuse to SET; constraints audit the post-update content;
+    replay is idempotent; history records op='update'."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConstraintViolationError,
+    )
+
+    sink = _evo_sink(tmp_path)
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10, 1), ("b", d2, 20, 2)],
+            "k string, window_start timestamp, total bigint, bonus bigint",
+        ),
+        0,
+    )
+    # both SETs read the ORIGINAL row: bonus becomes old total, total doubles
+    sink.update_where(
+        spark,
+        "k = 'a'",
+        {"total": "total * 2", "bonus": "total"},
+        1,
+    )
+    rows = {r["k"]: (r["total"], r["bonus"]) for r in sink.read(spark).collect()}
+    assert rows == {"a": (20, 10), "b": (20, 2)}
+    # replay of a committed epoch is a NO-OP (an UPDATE payload is not
+    # naturally idempotent, so the version guard absorbs it)
+    sink.update_where(spark, "k = 'a'", {"total": "total * 2", "bonus": "total"}, 1)
+    rows = {r["k"]: (r["total"], r["bonus"]) for r in sink.read(spark).collect()}
+    assert rows["a"] == (20, 10)
+    assert sink.snapshots() == [0, 1]
+    with pytest.raises(ValueError, match="delete \\+ insert"):
+        sink.update_where(spark, "true", {"window_start": "window_start"}, 9)
+    # history records the op
+    ops = {r["epoch"]: r["op"] for r in sink.describe_history(spark).collect()}
+    assert ops[1] == "update"
+    # time travel below the update
+    assert {r["k"]: r["total"] for r in sink.read_at(spark, 0).collect()} == {
+        "a": 10, "b": 20,
+    }
+    # constraints gate the post-update content
+    sink.add_constraint(spark, "cap", "total <= 1000")
+    with pytest.raises(ConstraintViolationError, match="cap"):
+        sink.update_where(spark, "k = 'b'", {"total": "total * 1000"}, 5)
+    assert {r["k"]: r["total"] for r in sink.read(spark).collect()}["b"] == 20
