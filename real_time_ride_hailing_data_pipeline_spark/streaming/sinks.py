@@ -2781,11 +2781,46 @@ class ParquetUpsertSink:
         self._repair_for_read(spark)
         schema = self._stored_schema()
         phys = self._phys_name_of(column)
+        chosen, total = self._select_files_by_stats(
+            [
+                os.path.join(self.path, d)
+                for d in sorted(os.listdir(self.path))
+                if d.startswith("part_date=")
+            ],
+            phys,
+            lower,
+            upper,
+        )
+        self._invalidate_listing(spark)
+        if not chosen:
+            base = self._read_table(spark).limit(0)
+        else:
+            reader = spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(self._physical_schema(schema))
+            df = reader.parquet(*chosen)
+            df = self._apply_dv(spark, df, self._live_dv_map())
+            base = self._to_logical(df, schema)
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (F.col(column) >= F.lit(lower))
+        if upper is not None:
+            pred = pred & (F.col(column) <= F.lit(upper))
+        return base.filter(pred).drop("part_date"), len(chosen), total
+
+    @staticmethod
+    def _select_files_by_stats(
+        dirs: list[str], phys: str, lower, upper
+    ) -> tuple[list[str], int]:
+        """(chosen file paths, total file count) for the given
+        partition dirs under the [lower, upper] bound on the PHYSICAL
+        column — the shared file-skipping core of ``read_pruned`` and
+        ``read_pruned_at``. Files or dirs without applicable stats are
+        always chosen (safe degradation)."""
         chosen: list[str] = []
         total = 0
-        for d in sorted(os.listdir(self.path)):
-            pdir = os.path.join(self.path, d)
-            if not d.startswith("part_date=") or not os.path.isdir(pdir):
+        for pdir in dirs:
+            if not os.path.isdir(pdir):
                 continue
             stats = None
             try:
@@ -2810,22 +2845,66 @@ class ParquetUpsertSink:
                     ):
                         continue  # provably disjoint: skip the file
                 chosen.append(fpath)
+        return chosen, total
+
+    def read_pruned_at(
+        self,
+        spark: SparkSession,
+        epoch_id: int,
+        column: str,
+        lower=None,
+        upper=None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data-skipping TIME-TRAVEL read: ``read_at`` semantics with
+        the same file-level stats pruning as ``read_pruned``. Works
+        because the hardlinked epoch copies carry each partition's
+        ``_stats.json`` (and ``_dv.json``) AS OF that commit — the
+        version's own bounds prune the version's own files. The
+        version's sidecar schema resolves the logical column to its
+        then-physical name, so pruning composes with renames across
+        the evolution boundary."""
+        if lower is None and upper is None:
+            raise ValueError("read_pruned_at needs at least one bound")
+        retained = self.snapshots()
+        eligible = [e for e in retained if e <= epoch_id]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before epoch {epoch_id}")
+        manifest = self._load_manifest(eligible[-1])
+        schema = self._epoch_schema(eligible[-1])
+        phys = column
+        if schema is not None:
+            for f in schema.fields:
+                if f.name == column:
+                    phys = self._physical_name(f)
+        dirs = [
+            os.path.join(self.snapshot_dir, "files", f"epoch={e}", d)
+            for d, e in sorted(manifest.items())
+        ]
+        chosen, total = self._select_files_by_stats(dirs, phys, lower, upper)
         self._invalidate_listing(spark)
+        from pyspark.sql.types import StructType
+
+        if schema is not None:
+            schema = StructType(
+                [f for f in schema.fields if f.name != "part_date"]
+            )
         if not chosen:
-            base = self._read_table(spark).limit(0)
+            base = self.read_at(spark, epoch_id).limit(0)
         else:
-            reader = spark.read.option("basePath", self.path)
-            if schema is not None:
-                reader = reader.schema(self._physical_schema(schema))
+            reader = (
+                spark.read
+                if schema is None
+                else spark.read.schema(self._physical_schema(schema))
+            )
             df = reader.parquet(*chosen)
-            df = self._apply_dv(spark, df, self._live_dv_map())
+            df = self._apply_dv(spark, df, self._dv_map(dirs))
             base = self._to_logical(df, schema)
         pred = F.lit(True)
         if lower is not None:
             pred = pred & (F.col(column) >= F.lit(lower))
         if upper is not None:
             pred = pred & (F.col(column) <= F.lit(upper))
-        return base.filter(pred).drop("part_date"), len(chosen), total
+        return base.filter(pred), len(chosen), total
 
     def _finish_compact(self, staging: str) -> None:
         """Swap every partition out of a COMPLETE compaction staging

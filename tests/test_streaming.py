@@ -2408,3 +2408,47 @@ def test_update_where_semantics_and_interop(spark, tmp_path):
     with pytest.raises(ConstraintViolationError, match="cap"):
         sink.update_where(spark, "k = 'b'", {"total": "total * 1000"}, 5)
     assert {r["k"]: r["total"] for r in sink.read(spark).collect()}["b"] == 20
+
+
+def test_read_pruned_at_prunes_the_versions_own_files(spark, tmp_path):
+    """Time-travel file skipping: an epoch copy carries the stats (and
+    deletion vectors) AS OF its commit, so read_pruned_at prunes with
+    the version's own bounds and equals read_at + filter; partitions
+    whose copies predate any stats are read unpruned (safe)."""
+    sink = _evo_sink(tmp_path)
+    rows = [
+        (f"k{i}", dt.datetime(2024, 1, 15 + (i % 2), 10, i % 60), i)
+        for i in range(400)
+    ]
+    sink.write_batch(
+        spark.createDataFrame(
+            rows, "k string, window_start timestamp, total bigint"
+        ),
+        0,
+    )
+    sink.compact(spark, files_per_partition=4, sort_by="total")
+    # the commit AFTER the compact snapshots the clustered files with
+    # their stats sidecars (hardlinked into the epoch copy)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("k0", dt.datetime(2024, 1, 15, 10, 0), 7)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        1,
+    )
+    sink.delete_keys(
+        spark.createDataFrame(
+            [("k399", dt.datetime(2024, 1, 16, 10, 39))],
+            "k string, window_start timestamp",
+        ),
+        2,
+        mode="merge_on_read",
+    )
+    for epoch in (1, 2):
+        df, sel, tot = sink.read_pruned_at(spark, epoch, "total", lower=300)
+        want = sink.read_at(spark, epoch).filter(F.col("total") >= 300)
+        assert df.exceptAll(want).count() == 0 and want.exceptAll(df).count() == 0
+        assert sel < tot, (epoch, sel, tot)
+    # the DV'd row is hidden at 2 but present at 1
+    assert sink.read_pruned_at(spark, 1, "total", lower=399)[0].count() == 1
+    assert sink.read_pruned_at(spark, 2, "total", lower=399)[0].count() == 0
