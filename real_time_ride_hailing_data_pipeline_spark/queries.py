@@ -93,10 +93,14 @@ _VERIFY_FIRST: list[str] = [
     "json_source_agg",
     "json_props_metrics",
     "multimodal_resize",
-    # --- the 3 r10-born entries (VERDICT r9 items 2, 3, stretch 8) ---
+    # --- the 5 r10-born entries (VERDICT r9 items 2, 3, stretch 8,
+    # plus the second-session pair: true multi-dim Z-ORDER clustering
+    # and the bloom point-lookup index) ---
     "lakehouse_merge_into_full",
     "lakehouse_time_travel_pruned_read",
     "optimize_concurrent_merge_race",
+    "lakehouse_zorder_two_dim_skipping",
+    "lakehouse_bloom_point_lookup",
     # sink-family re-verification: r10 changed the manifest format
     # (folded per-file stats/DV/file-list metadata), the consolidated
     # _sidecars.json cache on every commit path, every read path
@@ -133,13 +137,16 @@ _VERIFY_FIRST: list[str] = [
     "window_lag_user_value_delta",
     "set_union_engaged_users",
     "set_intersect_view_purchase",
+    # (cube_orders_totals and agg_percentiles_per_type yielded their
+    # slots to the two second-session r10-born entries above — their
+    # families stay covered in-window by rollup/grouping-sets and
+    # grouped-median, they keep r5-r7 driver-green rows, and both stay
+    # value-hash-verified at sf0.001 by test_queries_oracle.py)
     "rollup_orders_status_priority",
-    "cube_orders_totals",
     "pivot_user_event_matrix",
     "grouping_sets_status_priority",
     "salted_group_totals",
     "grouped_median_value",
-    "agg_percentiles_per_type",
     "resample_ohlc_bars",
     "timeseries_gap_fill",
     # overflow sacrifice: with BOTH gated entries present this list has
@@ -2998,6 +3005,111 @@ def optimize_concurrent_merge_race(spark: SparkSession, sf_dir: str) -> DataFram
         if n != 1:
             raise RuntimeError(f"{d} holds {n} files after OPTIMIZE")
     return sink.read(spark)
+
+
+@query(
+    "lakehouse_zorder_two_dim_skipping",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_id >= (SELECT max(event_id) - 99 FROM events)
+    """,
+)
+def lakehouse_zorder_two_dim_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER clustering (sinks.py:compact(
+    zorder_by=...) — the Delta OPTIMIZE .. ZORDER BY shape): the raw
+    events land in a keyed lakehouse table, are rewritten clustered
+    on the BIT-INTERLEAVED rank key of (value, event_id) — quantile
+    bucketized, skew-robust, computed entirely JVM-side — and then
+    file-level stats prune a selective predicate on EACH dimension:
+    the function asserts files_selected < files_total for a
+    top-of-range read on ``value`` AND for the trailing ``event_id``
+    range that a lexicographic sort could never skip (every
+    lexicographic file spans the trailing column's full domain).
+    Returned is the event_id-ranged pruned read; the oracle recomputes
+    it with a full scan, value-hashing that the skip was sound. At
+    100 TB this is the difference between one clustered layout
+    serving BOTH dashboard predicates at O(matching files) and
+    needing two copies of the table."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_zorder_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"), key_cols=("event_id",), partition_source="ts"
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, zorder_by=["value", "event_id"])
+    hi_value = base.agg(F.max("value")).collect()[0][0]
+    _, sel_v, tot_v = sink.read_pruned(spark, "value", lower=hi_value)
+    if not sel_v < tot_v:
+        raise RuntimeError(
+            f"z-order did not prune the leading dim: {sel_v}/{tot_v}"
+        )
+    hi_id = base.agg(F.max("event_id")).collect()[0][0]
+    df, sel_e, tot_e = sink.read_pruned(spark, "event_id", lower=hi_id - 99)
+    if not sel_e < tot_e:
+        raise RuntimeError(
+            f"z-order did not prune the trailing dim: {sel_e}/{tot_e}"
+        )
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "lakehouse_bloom_point_lookup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 5)
+    """,
+)
+def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup file skipping (sinks.py:
+    create_bloom_index + read_point — the Delta bloom-filter-index /
+    parquet-bloom design): min/max stats prune RANGES, but an
+    equality probe on a high-cardinality UNCLUSTERED key (the GDPR
+    user lookup, a trace id) overlaps nearly every file's [min, max];
+    the per-file bloom bitset answers "provably absent" for exactly
+    that shape. The table is value-clustered (so event_id is
+    scattered across files and stats alone cannot help the probe), a
+    distributed build records one 4 KB bitset per file, and a 5-id IN
+    probe composes the table from a strict subset of files —
+    asserted in-flight — with the predicate re-applied so the result
+    never depends on the index. The oracle recomputes the probe with
+    a full scan. At 100 TB this turns the needle-in-haystack lookup
+    from O(table) into O(k files) + one metadata read."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_bloom_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"), key_cols=("event_id",), partition_source="ts"
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="value")
+    sink.create_bloom_index(spark, "event_id", m=32_768, k=3)
+    probe = [
+        r["event_id"]
+        for r in base.select("event_id").orderBy("event_id").limit(5).collect()
+    ]
+    df, sel, tot = sink.read_point(spark, "event_id", probe)
+    if not sel < tot:
+        raise RuntimeError(f"bloom index did not prune: {sel}/{tot} files")
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @query(

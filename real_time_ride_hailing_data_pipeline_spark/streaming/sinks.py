@@ -877,6 +877,7 @@ class ParquetUpsertSink:
                 self._staged_schema_file(), stored.jsonValue()
             )
         self._refresh_staged_stats()
+        self._refresh_staged_blooms()
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
         self._publish_staging(touched_dirs, epoch_id, op="delete")
         # staging dropped only AFTER the snapshot publishes: a crash
@@ -968,6 +969,7 @@ class ParquetUpsertSink:
                 self._staged_schema_file(), stored.jsonValue()
             )
         self._refresh_staged_stats()
+        self._refresh_staged_blooms()
         touched_dirs = [self._part_dirname(v) for v in touched_vals]
         self._publish_staging(touched_dirs, epoch_id, op="update")
         self._commit(spark, drop_staging=False)
@@ -1022,7 +1024,18 @@ class ParquetUpsertSink:
         epoch-marked staging as every commit; a replay of an
         already-COMMITTED epoch is a version-guard no-op (conditional
         payloads are not naturally idempotent — same contract as
-        ``update_where``)."""
+        ``update_where``).
+
+        Schema evolution: with the sink constructed
+        ``schema_evolution=True`` (the same opt-in as write_batch —
+        Delta's MERGE ``withSchemaEvolution`` shape), source-only
+        columns evolve the table additively: the target side
+        NULL-fills them (so SET expressions and INSERT rows may
+        reference them), only rewritten partitions physically gain
+        the column, and untouched partitions NULL-fill on read
+        through the published logical schema. Type changes on shared
+        columns always raise; without the opt-in, extra source
+        columns raise loudly."""
         if when_matched_update:
             bad = set(when_matched_update) & (
                 set(self.key_cols) | {self.partition_source, "part_date"}
@@ -1122,11 +1135,12 @@ class ParquetUpsertSink:
             raise ValueError(
                 f"merge source is missing column(s) {sorted(missing)}"
             )
-        extra = set(staged.columns) - set(data_cols)
-        if extra:
+        extra = [c for c in staged.columns if c not in set(data_cols)]
+        if extra and not self.schema_evolution:
             raise ValueError(
                 f"merge source has column(s) {sorted(extra)} not in the "
-                f"table — MERGE INTO does not evolve schemas"
+                f"table — construct the sink with schema_evolution=True "
+                f"to MERGE with additive schema evolution"
             )
         existing_types = {f.name: f.dataType for f in existing.schema.fields}
         conflicts = [
@@ -1138,6 +1152,20 @@ class ParquetUpsertSink:
             raise ValueError(
                 f"column type change(s) are never merged implicitly: {conflicts}"
             )
+        if extra:
+            # additive MERGE evolution (the Delta withSchemaEvolution
+            # shape, same contract as write_batch's schema_evolution):
+            # the target side NULL-fills the source-only columns, so
+            # UPDATE SETs and INSERTs can reference them; only the
+            # REWRITTEN partitions physically gain the column — the
+            # published logical schema NULL-fills untouched partitions
+            # on read, exactly like write_batch evolution
+            staged_fields = {f.name: f for f in staged.schema.fields}
+            for c in extra:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(staged_fields[c].dataType)
+                )
+            data_cols = data_cols + extra
 
         # exact copy-on-write scope (see docstring)
         locality = self.partition_source in self.key_cols
@@ -1245,7 +1273,15 @@ class ParquetUpsertSink:
             merged = survivors
 
         self._audit_batch(merged)  # constraints hold AFTER the merge
-        stored = self._stored_schema()
+        if extra:
+            # the staged/published schema gains the evolved fields
+            # (unique physical names under active column mapping —
+            # the same rule as write_batch evolution)
+            stored = self._staged_logical_schema(
+                existing, staged, list(merged.columns)
+            )
+        else:
+            stored = self._stored_schema()
         self._to_physical(merged, stored).write.mode("overwrite").partitionBy(
             "part_date"
         ).parquet(self.merged_path)
@@ -1254,6 +1290,7 @@ class ParquetUpsertSink:
                 self._staged_schema_file(), stored.jsonValue()
             )
         self._refresh_staged_stats()
+        self._refresh_staged_blooms()
         self._publish_staging(touched_dirs, epoch_id, op="merge")
         self._commit(spark, drop_staging=False)
         self._snapshot(spark, epoch_id, touched_dirs, op="merge")
@@ -1658,7 +1695,7 @@ class ParquetUpsertSink:
         names, the file-stats sidecar, the deletion-vector sidecar.
         Built at COMMIT time (O(touched dirs) per commit, under the
         writer lock) so plan time never lists or opens per-dir files."""
-        entry: dict = {"files": [], "stats": None, "dv": None}
+        entry: dict = {"files": [], "stats": None, "dv": None, "bloom": None}
         try:
             names = os.listdir(pdir)
         except FileNotFoundError:
@@ -1669,7 +1706,11 @@ class ParquetUpsertSink:
             if f.endswith(".parquet")
             and os.path.getsize(os.path.join(pdir, f)) > 0
         )
-        for key, fname in (("stats", "_stats.json"), ("dv", "_dv.json")):
+        for key, fname in (
+            ("stats", "_stats.json"),
+            ("dv", "_dv.json"),
+            ("bloom", "_bloom.json"),
+        ):
             try:
                 with open(os.path.join(pdir, fname)) as fh:
                     entry[key] = json.load(fh)
@@ -2318,6 +2359,7 @@ class ParquetUpsertSink:
                 self._staged_schema_file(), logical.jsonValue()
             )
         self._refresh_staged_stats()
+        self._refresh_staged_blooms()
         touched_dirs = [self._part_dirname(v) for v in touched]
         emptied = self._publish_staging(touched_dirs, epoch_id)
         return touched_dirs, emptied
@@ -2957,6 +2999,7 @@ class ParquetUpsertSink:
         target_file_bytes: int | None = None,
         only_partitions: list[str] | None = None,
         sort_by: str | list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Small-file compaction: rewrite the table so each date
         partition holds ``files_per_partition`` files — or, with
@@ -2989,7 +3032,20 @@ class ParquetUpsertSink:
         (``_finish_compact``), so a post-crash merge can never land in
         a partition a stale staging is about to clobber. A partition
         is therefore always fully present in the target or pending in
-        a complete staging — never lost."""
+        a complete staging — never lost.
+
+        ``zorder_by`` is the multi-DIMENSIONAL clustering axis
+        (``OPTIMIZE .. ZORDER BY (a, b)``): where ``sort_by=[a, b]``
+        clusters lexicographically (tight file ranges on ``a``, the
+        full domain of ``b`` in almost every file), ``zorder_by``
+        sorts on a bit-interleaved key of quantile-bucketized ranks,
+        so EVERY listed column gets usefully narrow per-file ranges
+        and ``read_pruned`` / ``read_point`` skip on any of them —
+        the property that makes two-predicate scans O(matching files)
+        at 100 TB. Mutually exclusive with ``sort_by``; file stats are
+        recorded for all z-columns."""
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("pass sort_by or zorder_by, not both")
         with self._writer_lock():
             self._compact(
                 spark,
@@ -2997,7 +3053,57 @@ class ParquetUpsertSink:
                 target_file_bytes,
                 only_partitions,
                 sort_by,
+                zorder_by,
             )
+
+    # quantile buckets per z-order dimension: 64 ranks (6 bits) is
+    # plenty of resolution at realistic files-per-partition counts,
+    # and keeps the rank expression (one <=-count over a literal
+    # boundary array) cheap inside the rewrite's projection
+    _ZORDER_BITS = 6
+
+    def _zorder_expr(self, df: DataFrame, cols: list[str]):
+        """The z-value column: per dimension, bucketize to 2^bits
+        ranks over APPROX-QUANTILE boundaries (skew-robust — equal-
+        width buckets would collapse under a hot key, the same reason
+        Delta's ZORDER uses range-partition ids, not min/max scaling),
+        then bit-interleave the ranks JVM-side. One distributed
+        quantile pass plans the boundaries; the per-row expression is
+        pure Catalyst (no Python), so the rewrite stays in the JVM.
+        NULLs rank 0 (first), matching NULLS FIRST sort semantics."""
+        bits = self._ZORDER_BITS
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        ).stat.approxQuantile(cols, probs, 0.001)
+        ranks = []
+        for c, bnds in zip(cols, bounds):
+            uniq = sorted(set(bnds))
+            if not uniq:  # all-NULL column: constant rank
+                ranks.append(F.lit(0))
+                continue
+            # rank = |{boundary <= value}| via a literal-array HOF —
+            # O(buckets) JVM ops per row, zero extra scans
+            arr = F.array(*[F.lit(b) for b in uniq])
+            v = F.col(c).cast("double")
+            ranks.append(
+                F.coalesce(
+                    F.aggregate(
+                        arr,
+                        F.lit(0),
+                        lambda acc, b: acc
+                        + F.when(b <= v, F.lit(1)).otherwise(F.lit(0)),
+                    ),
+                    F.lit(0),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, i).bitwiseAND(F.lit(1)).cast("long")
+                z = z + F.shiftleft(bit, i * len(ranks) + j)
+        return z
 
     def _compact(
         self,
@@ -3006,6 +3112,7 @@ class ParquetUpsertSink:
         target_file_bytes: int | None,
         only_partitions: list[str] | None,
         sort_by: str | list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
@@ -3072,7 +3179,22 @@ class ParquetUpsertSink:
             writer_opts["maxRecordsPerFile"] = str(
                 max(1, target_file_bytes // avg_row)
             )
-        if sort_by is not None:
+        if zorder_by is not None:
+            # true multi-dimensional Z-ORDER: range-partition + sort on
+            # the bit-interleaved rank key so every z-column's per-file
+            # range narrows (~domain / 2^(bits_that_dim_got)), then
+            # record per-file min/max for ALL z-columns — read_pruned
+            # and read_point prune on any dimension independently
+            sort_cols = list(zorder_by)
+            scope = only_partitions or [
+                d for d in os.listdir(self.path) if d.startswith("part_date=")
+            ]
+            n_ranges = max(1, files_per_partition * max(1, len(scope)))
+            zed = current.withColumn("__z", self._zorder_expr(current, sort_cols))
+            shuffled = zed.repartitionByRange(
+                n_ranges, "part_date", F.col("__z")
+            ).sortWithinPartitions("part_date", "__z")
+        elif sort_by is not None:
             # OPTIMIZE .. ZORDER-style clustered rewrite: range-
             # partition on (part_date, *sort_cols) so files WITHIN a
             # date carry disjoint leading-column ranges (trailing
@@ -3116,8 +3238,9 @@ class ParquetUpsertSink:
         for k, v in writer_opts.items():
             writer = writer.option(k, v)
         writer.partitionBy("part_date").parquet(staging)
-        if sort_by is not None:
+        if sort_by is not None or zorder_by is not None:
             self._write_file_stats(staging, sort_cols)
+        self._refresh_staged_blooms(staging)
         self._finish_compact(staging)
 
     # -- snapshot-isolated OPTIMIZE (optimistic concurrency) ----------------
@@ -3255,6 +3378,7 @@ class ParquetUpsertSink:
             )
             if sort_cols:
                 self._write_file_stats(stage, sort_cols)
+            self._refresh_staged_blooms(stage)
             if on_staged is not None and not fired:
                 fired = True
                 on_staged()
@@ -3559,6 +3683,313 @@ class ParquetUpsertSink:
         if upper is not None:
             pred = pred & (F.col(column) <= F.lit(upper))
         return base.filter(pred), len(chosen), total
+
+    # -- bloom-filter point-lookup file skipping (r10) -----------------------
+    # Min/max stats prune RANGE predicates; an equality probe on a
+    # high-cardinality, unclustered key (user_id in a GDPR lookup, a
+    # trace id) hits nearly every file's [min, max]. A per-file bloom
+    # bitset answers "provably absent" for exactly that shape — the
+    # Delta Lake bloom-filter-index / parquet-bloom design. The bitset
+    # is built DISTRIBUTED (one groupBy-file aggregation over the
+    # declared column, bit positions collected as ints), serialized
+    # base64 into one `_bloom.json` per partition dir, folded into the
+    # consolidated metadata like stats/DV, and REBUILT for every
+    # staged partition a merge/update/delete touches (a swapped dir
+    # that kept a stale bloom could wrongly skip newly-merged values —
+    # unlike min/max, blooms are not monotone under row adds). Hashes
+    # are sha256-slice positions computed identically JVM-side
+    # (build: sha2(cast(v as string)) + conv) and Python-side (probe:
+    # hashlib), so the driver probes without a Spark job.
+
+    # at most 4 independent 64-bit slices fit in one sha256
+    _BLOOM_MAX_K = 4
+
+    def _bloom_meta_file(self) -> str:
+        return os.path.join(self.path, "_bloom_meta.json")
+
+    def _bloom_meta(self) -> dict[str, dict]:
+        """Declared bloom indexes: physical column -> {m (bits), k}."""
+        try:
+            with open(self._bloom_meta_file()) as fh:
+                return json.load(fh)["columns"]
+        except (FileNotFoundError, ValueError, KeyError):
+            return {}
+
+    @staticmethod
+    def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+        """Probe-side bit positions. MUST mirror `_bloom_pos_exprs`:
+        sha256 over the UTF-8 of Spark's string cast (integral and
+        string types cast identically in Python and the JVM — the
+        supported column kinds), 64-bit hex slices mod m."""
+        import hashlib
+
+        h = hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+        return [int(h[i * 16 : (i + 1) * 16], 16) % m for i in range(k)]
+
+    @staticmethod
+    def _bloom_pos_exprs(col, m: int, k: int):
+        """Build-side bit positions as ONE array Column — pure
+        Catalyst: sha2 once per row, k substring/conv/pmod slices."""
+        h = F.sha2(col.cast("string"), 256)
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(F.substring(h, i * 16 + 1, 16), 16, 10).cast(
+                        "decimal(20,0)"
+                    ),
+                    F.lit(m),
+                ).cast("int")
+                for i in range(k)
+            ]
+        )
+
+    def create_bloom_index(
+        self,
+        spark: SparkSession,
+        column: str,
+        m: int = 32_768,
+        k: int = 3,
+    ) -> None:
+        """Declare + build a bloom point-lookup index on ``column``
+        (logical name; integral or string type). ``m`` bits per FILE
+        (32768 = a 4 KB sidecar entry — sized for ~3k distinct values
+        per file at ~1% false-positive with k=3; tune m up for bigger
+        files), ``k`` hash slices (<= 4). The index is maintained by
+        every subsequent commit: touched partitions get their blooms
+        rebuilt from the staged bytes, compaction rebuilds everything
+        it rewrites; a partition whose rebuild was impossible simply
+        lacks the sidecar and is always read (absence degrades to
+        correctness, never to a wrong skip)."""
+        if k < 1 or k > self._BLOOM_MAX_K:
+            raise ValueError(f"k must be 1..{self._BLOOM_MAX_K}")
+        if m % 8:
+            raise ValueError("m must be a multiple of 8")
+        with self._writer_lock():
+            phys = self._phys_name_of(column)
+            meta = self._bloom_meta()
+            meta[phys] = {"m": m, "k": k}
+            self._atomic_json_write(
+                self._bloom_meta_file(), {"columns": meta}
+            )
+            self._build_blooms(spark, self.path)
+            self._refresh_consolidated()
+
+    def drop_bloom_index(self, column: str) -> None:
+        with self._writer_lock():
+            phys = self._phys_name_of(column)
+            meta = self._bloom_meta()
+            meta.pop(phys, None)
+            self._atomic_json_write(
+                self._bloom_meta_file(), {"columns": meta}
+            )
+            for d in os.listdir(self.path):
+                pdir = os.path.join(self.path, d)
+                if d.startswith("part_date=") and os.path.isdir(pdir):
+                    bf = os.path.join(pdir, "_bloom.json")
+                    try:
+                        with open(bf) as fh:
+                            data = json.load(fh)
+                        data["columns"].pop(phys, None)
+                        for fentry in data["files"].values():
+                            fentry.pop(phys, None)
+                        if data["columns"]:
+                            self._atomic_json_write(bf, data)
+                        else:
+                            os.remove(bf)
+                    except (FileNotFoundError, ValueError, KeyError):
+                        pass
+            self._refresh_consolidated()
+
+    def _build_blooms(self, spark: SparkSession, root: str) -> None:
+        """Rebuild `_bloom.json` for every partition dir under
+        ``root`` (the live table, or a complete staging about to swap
+        in) for all DECLARED columns. Distributed: one scan of the
+        declared columns grouped by file, bit positions flattened to
+        a per-file distinct set executor-side; the driver only turns
+        O(files × set-bits) ints into base64 bitsets — metadata-sized,
+        like the manifest itself. (A JVM-native build would aggregate
+        the bitset bytes executor-side; the position sets are already
+        bounded by m, so the win is constant-factor.)"""
+        import base64
+
+        meta = self._bloom_meta()
+        if not meta:
+            return
+        dirs = [
+            d
+            for d in sorted(os.listdir(root))
+            if d.startswith("part_date=")
+            and os.path.isdir(os.path.join(root, d))
+        ]
+        if not dirs:
+            return
+        schema = self._stored_schema()
+        reader = spark.read.option("basePath", root)
+        if schema is not None:
+            reader = reader.schema(self._physical_schema(schema))
+        df = reader.parquet(*[os.path.join(root, d) for d in dirs])
+        aggs = []
+        for phys, mk in sorted(meta.items()):
+            if phys not in df.columns:
+                continue
+            pos = self._bloom_pos_exprs(F.col(phys), mk["m"], mk["k"])
+            aggs.append(
+                F.array_distinct(F.flatten(F.collect_list(pos))).alias(phys)
+            )
+        if not aggs:
+            return
+        rows = (
+            df.select(F.input_file_name().alias("__f"), *df.columns)
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        per_dir: dict[str, dict[str, dict[str, str]]] = {}
+        for row in rows:
+            fpath = row["__f"]
+            rel = fpath.split("://", 1)[-1]
+            fname = os.path.basename(rel)
+            dname = os.path.basename(os.path.dirname(rel))
+            encoded: dict[str, str] = {}
+            for phys, mk in sorted(meta.items()):
+                positions = row[phys] if phys in row.asDict() else None
+                if positions is None:
+                    continue
+                bits = bytearray(mk["m"] // 8)
+                for p in positions:
+                    bits[p >> 3] |= 1 << (p & 7)
+                encoded[phys] = base64.b64encode(bytes(bits)).decode("ascii")
+            if encoded:
+                per_dir.setdefault(dname, {})[fname] = encoded
+        for d in dirs:
+            self._atomic_json_write(
+                os.path.join(root, d, "_bloom.json"),
+                {
+                    "columns": {p: dict(mk) for p, mk in sorted(meta.items())},
+                    "files": per_dir.get(d, {}),
+                },
+            )
+
+    def _refresh_staged_blooms(self, root: str | None = None) -> None:
+        """Keep declared bloom indexes alive ACROSS data-rewriting
+        commits: rebuild `_bloom.json` inside the staging so the swap
+        installs data and matching blooms together (the stats-refresh
+        pattern). Without this the swap would silently DROP the
+        sidecar — still correct (absent bloom = must read) but the
+        index would decay to nothing under a streaming upsert load.
+        No-op when no index is declared or the staging is absent."""
+        root = self.merged_path if root is None else root
+        if not self._bloom_meta() or not os.path.isdir(root):
+            return
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # no session to build with: degrade to must-read
+            return
+        self._build_blooms(spark, root)
+
+    @staticmethod
+    def _bloom_maybe_contains(
+        b64: str, positions: list[int]
+    ) -> bool:
+        import base64
+
+        bits = base64.b64decode(b64)
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+    def read_point(
+        self, spark: SparkSession, column: str, values: list
+    ) -> tuple[DataFrame, int, int]:
+        """Point-lookup read (``column IN (values)``) that composes
+        the table from ONLY the files that might hold one of the
+        probe values, using BOTH pruning axes per file: the min/max
+        stats (a value outside [lo, hi] cannot be there) and the
+        bloom bitset (k unset bits = provably absent). Planning is
+        in-memory over the same ONE consolidated-metadata read as
+        ``read_pruned``; files without metadata are always read, and
+        the IN predicate is re-applied to the composed scan, so
+        results never depend on the sidecars. Returns (DataFrame,
+        files_selected, files_total) — the pruning proof."""
+        if not values:
+            raise ValueError("read_point needs at least one probe value")
+        if any(v is None for v in values):
+            raise ValueError("NULL never matches an IN probe")
+        self._repair_for_read(spark)
+        schema = self._stored_schema()
+        phys = self._phys_name_of(column)
+        cons = self._consolidated()
+        if cons is not None:
+            entries = {os.path.join(self.path, d): e for d, e in cons.items()}
+        else:
+            entries = self._entries_for_dirs(
+                [
+                    os.path.join(self.path, d)
+                    for d in sorted(os.listdir(self.path))
+                    if d.startswith("part_date=")
+                ]
+            )
+        chosen: list[str] = []
+        total = 0
+        pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+        for pdir in sorted(entries):
+            e = entries[pdir]
+            stats = None
+            s = e.get("stats")
+            if s and phys in s.get("columns", []):
+                stats = s.get("files", {})
+            bloom = e.get("bloom")
+            bcols = (bloom or {}).get("columns", {})
+            bfiles = (bloom or {}).get("files", {})
+            mk = bcols.get(phys)
+            probe = None
+            if mk is not None:
+                key = (mk["m"], mk["k"])
+                if key not in pos_cache:
+                    pos_cache[key] = [
+                        self._bloom_positions_py(v, mk["m"], mk["k"])
+                        for v in values
+                    ]
+                probe = pos_cache[key]
+            for fname in e.get("files", []):
+                total += 1
+                alive = list(range(len(values)))
+                rng = (
+                    stats.get(fname, {}).get(phys)
+                    if stats is not None
+                    else None
+                )
+                if rng is not None:
+                    lo, hi = rng
+                    try:
+                        alive = [i for i in alive if lo <= values[i] <= hi]
+                    except TypeError:
+                        pass  # incomparable probe/stat types: must read
+                b64 = (
+                    bfiles.get(fname, {}).get(phys)
+                    if probe is not None
+                    else None
+                )
+                if b64 is not None:
+                    alive = [
+                        i
+                        for i in alive
+                        if self._bloom_maybe_contains(b64, probe[i])
+                    ]
+                if alive:
+                    chosen.append(os.path.join(pdir, fname))
+        self._invalidate_listing(spark)
+        if not chosen:
+            base = self._read_table(spark).limit(0)
+        else:
+            reader = spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(self._physical_schema(schema))
+            df = reader.parquet(*chosen)
+            df = self._apply_dv(spark, df, self._dv_from_entries(entries))
+            base = self._to_logical(df, schema)
+        return (
+            base.filter(F.col(column).isin(values)).drop("part_date"),
+            len(chosen),
+            total,
+        )
 
     def _finish_compact(self, staging: str) -> None:
         """Swap every partition out of a COMPLETE compaction staging

@@ -2127,12 +2127,17 @@ def test_cdf_stream_reader_semantics_and_retention(spark, tmp_path):
     assert reader.initialOffset() == {"epoch": -1}
     assert reader.latestOffset() == {"epoch": 2}
 
+    def rows(parts):
+        # the reader yields Arrow RecordBatches (the Spark 4 Arrow
+        # lane — VERDICT r9 item 5); flatten to plain row tuples
+        out = []
+        for p in parts:
+            for b in reader.read(p):
+                out.extend(tuple(d.values()) for d in b.to_pylist())
+        return sorted(out)
+
     def drain(lo, hi):
-        return sorted(
-            r
-            for p in reader.partitions({"epoch": lo}, {"epoch": hi})
-            for r in reader.read(p)
-        )
+        return rows(reader.partitions({"epoch": lo}, {"epoch": hi}))
 
     # full load from the sentinel: current state as upserts
     assert [(r[0], r[2], r[3]) for r in drain(-1, 2)] == [
@@ -2145,9 +2150,7 @@ def test_cdf_stream_reader_semantics_and_retention(spark, tmp_path):
     # manifest pruning: between 1 and 2 only the DV'd partition diffs
     parts = reader.partitions({"epoch": 1}, {"epoch": 2})
     assert len(parts) == 1
-    assert [(r[0], r[3]) for p in parts for r in reader.read(p)] == [
-        ("a", "delete")
-    ]
+    assert [(r[0], r[3]) for r in rows(parts)] == [("a", "delete")]
     # identical offsets: nothing
     assert reader.partitions({"epoch": 2}, {"epoch": 2}) == []
     # a vacuumed committed offset must raise, not silently re-emit
@@ -2958,3 +2961,194 @@ def test_optimize_folds_deletion_vectors_and_sorts(spark, tmp_path):
     df, sel, tot = sink.read_pruned(spark, "total", lower=95)
     assert sel < tot
     assert sorted(r["total"] for r in df.collect()) == list(range(95, 99))
+
+
+# -- z-order clustering + bloom point-lookup skipping (r10) ------------------
+
+
+def _zb_sink(tmp_path, spark, n=4000):
+    """A one-date sink over n rows with two independent numeric dims
+    (a = id mod 97, b = hash-scattered 0..999) and a high-cardinality
+    key k — the shape where lexicographic sort fails the trailing dim
+    and min/max stats fail point probes."""
+    sink = ParquetUpsertSink(str(tmp_path / "zb"), key_cols=("k", "window_start"))
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"),
+        F.lit(d).alias("window_start"),
+        (F.col("id") % 97).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("b"),
+        F.col("id").alias("uid"),
+    )
+    sink.write_batch(df, 0)
+    return sink
+
+
+def test_zorder_prunes_every_dimension(spark, tmp_path):
+    """compact(zorder_by=[a, b]) gives BOTH dimensions usefully narrow
+    per-file ranges: read_pruned skips files on a AND on b, and both
+    pruned reads equal the full-scan filter. Lexicographic sort_by on
+    the same columns prunes a but reads every file for the same b
+    predicate — the property z-ordering exists to fix."""
+    sink = _zb_sink(tmp_path, spark)
+    sink.compact(spark, files_per_partition=16, zorder_by=["a", "b"])
+    full = sink.read(spark)
+    da, sa, ta = sink.read_pruned(spark, "a", lower=90)
+    db, sb, tb = sink.read_pruned(spark, "b", lower=900)
+    assert sa < ta and sb < tb
+    exp_a = full.filter("a >= 90")
+    exp_b = full.filter("b >= 900")
+    assert da.exceptAll(exp_a).count() == 0 and exp_a.exceptAll(da).count() == 0
+    assert db.exceptAll(exp_b).count() == 0 and exp_b.exceptAll(db).count() == 0
+    # the lexicographic baseline: same columns, trailing dim unprunable
+    lex = _zb_sink(tmp_path / "lex", spark)
+    lex.compact(spark, files_per_partition=16, sort_by=["a", "b"])
+    _, la, lta = lex.read_pruned(spark, "a", lower=90)
+    _, lb, ltb = lex.read_pruned(spark, "b", lower=900)
+    assert la < lta  # leading dim prunes either way
+    assert lb == ltb  # trailing dim: every file holds b's full domain
+    assert sb < lb  # z-order strictly beats lexicographic on dim b
+
+
+def test_zorder_validates_and_interops(spark, tmp_path):
+    """sort_by and zorder_by are mutually exclusive; a z-ordered table
+    keeps pruning after a merge refreshes the touched stats."""
+    sink = _zb_sink(tmp_path, spark, n=500)
+    with pytest.raises(ValueError, match="not both"):
+        sink.compact(spark, sort_by="a", zorder_by=["b"])
+    sink.compact(spark, files_per_partition=8, zorder_by=["a", "b"])
+    sink.write_batch(
+        spark.createDataFrame(
+            [("u0", dt.datetime(2024, 1, 15, 10, 0), 999, 999, 0)],
+            "k string, window_start timestamp, a long, b long, uid long",
+        ),
+        1,
+    )
+    df, sel, tot = sink.read_pruned(spark, "a", lower=999)
+    assert [r["k"] for r in df.collect()] == ["u0"]
+    assert sel < tot  # merged partition's stats refreshed, still pruning
+
+
+def test_bloom_point_lookup_prunes_and_matches(spark, tmp_path):
+    """create_bloom_index + read_point: a 3-value IN probe on the
+    high-cardinality key reads a strict subset of files, returns
+    exactly the full-scan rows, and an absent probe value returns
+    empty (never a wrong row — the predicate re-applies)."""
+    sink = _zb_sink(tmp_path, spark)
+    sink.compact(spark, files_per_partition=16, zorder_by=["a", "b"])
+    sink.create_bloom_index(spark, "uid", m=32_768, k=3)
+    df, sel, tot = sink.read_point(spark, "uid", [5, 1234, 3999])
+    assert sel < tot
+    assert sorted(r["uid"] for r in df.collect()) == [5, 1234, 3999]
+    # string-typed probe column works too (identical casts both sides)
+    sink.create_bloom_index(spark, "k", m=32_768, k=3)
+    dk, sk, tk = sink.read_point(spark, "k", ["u77"])
+    assert sk < tk and [r["uid"] for r in dk.collect()] == [77]
+    # absent values: possibly-fp files still yield zero rows
+    miss, _, _ = sink.read_point(spark, "uid", [10_000_000])
+    assert miss.count() == 0
+    with pytest.raises(ValueError):
+        sink.read_point(spark, "uid", [])
+    with pytest.raises(ValueError):
+        sink.read_point(spark, "uid", [None])
+
+
+def test_bloom_survives_merge_delete_and_compact(spark, tmp_path):
+    """The index is maintained by every commit: a merged-in key is
+    findable AND the touched partition's blooms were rebuilt (no
+    stale-skip); a DV delete needs no rebuild (supersets stay safe);
+    compaction rebuilds for the rewritten layout; drop removes."""
+    sink = _zb_sink(tmp_path, spark, n=1000)
+    sink.compact(spark, files_per_partition=8)
+    sink.create_bloom_index(spark, "uid", m=8192, k=3)
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("new", d, 1, 1, 555_555)],
+            "k string, window_start timestamp, a long, b long, uid long",
+        ),
+        1,
+    )
+    df, sel, tot = sink.read_point(spark, "uid", [555_555])
+    assert [r["k"] for r in df.collect()] == ["new"]
+    assert sel < tot  # rebuilt blooms on the swapped partition prune
+    # DV delete: bloom untouched (over-approximation stays sound)
+    sink.delete_keys(
+        spark.createDataFrame([("new", d)], "k string, window_start timestamp"),
+        2,
+        mode="merge_on_read",
+    )
+    assert sink.read_point(spark, "uid", [555_555])[0].count() == 0
+    # compact rebuilds for the new file layout (range-partitioned so
+    # AQE cannot coalesce the rewrite to a single unprunable file)
+    sink.compact(spark, files_per_partition=4, sort_by="a")
+    df3, sel3, tot3 = sink.read_point(spark, "uid", [42])
+    assert [r["uid"] for r in df3.collect()] == [42] and sel3 < tot3
+    sink.drop_bloom_index("uid")
+    df4, sel4, tot4 = sink.read_point(spark, "uid", [42])
+    assert sel4 == tot4  # no index: every file read, rows still exact
+    assert [r["uid"] for r in df4.collect()] == [42]
+
+
+def test_read_point_composes_stats_and_degrades(spark, tmp_path):
+    """Without any sidecars read_point reads everything but stays
+    correct; with only min/max stats (no bloom) an out-of-range probe
+    already prunes — the two axes compose per file."""
+    sink = _zb_sink(tmp_path, spark, n=800)
+    df, sel, tot = sink.read_point(spark, "uid", [7])
+    assert sel == tot and [r["uid"] for r in df.collect()] == [7]
+    sink.compact(spark, files_per_partition=8, sort_by="uid")
+    df2, sel2, tot2 = sink.read_point(spark, "uid", [7])
+    assert sel2 < tot2 and [r["uid"] for r in df2.collect()] == [7]
+
+
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """MERGE with schema_evolution=True evolves additively: a
+    source-only column lands on inserted rows, is SET-able on matched
+    rows, and NULL-fills untouched partitions on read; without the
+    opt-in the same source raises loudly; a later time travel below
+    the merge reads the pre-evolution schema."""
+    strict = _evo_sink(tmp_path / "strict")
+    _merge_seed(spark, strict)
+    d1 = dt.datetime(2024, 1, 15, 10, 0)
+    source = spark.createDataFrame(
+        [("a", d1, 100, "gold"), ("e", d1, 200, "silver")],
+        "k string, window_start timestamp, total bigint, tier string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        strict.merge_into(source, 1, when_matched_update={"total": "s.total"})
+
+    sink = _evo_sink(tmp_path, schema_evolution=True)
+    _merge_seed(spark, sink)
+    sink.merge_into(
+        source,
+        1,
+        when_matched_update={"total": "s.total + t.total", "tier": "s.tier"},
+        when_not_matched_insert=True,
+    )
+    got = {
+        r["k"]: (r["total"], r["tier"]) for r in sink.read(spark).collect()
+    }
+    # a: updated, gains tier; e: inserted with tier; b untouched in the
+    # rewritten d1 partition; c/d live in the UNTOUCHED d2 partition
+    # (physically lacking the column) and NULL-fill on read
+    assert got == {
+        "a": (110, "gold"),
+        "b": (30, None),
+        "c": (50, None),
+        "d": (70, None),
+        "e": (200, "silver"),
+    }
+    # type changes never evolve implicitly, opt-in or not
+    bad = spark.createDataFrame(
+        [("a", d1, 1.5)], "k string, window_start timestamp, total double"
+    )
+    with pytest.raises(ValueError, match="type change"):
+        sink.merge_into(
+            bad,
+            2,
+            when_matched_update={"total": "s.total"},
+            when_not_matched_insert=False,
+        )
+    # time travel below the merge: pre-evolution schema, no tier
+    assert "tier" not in sink.read_at(spark, 0).columns
