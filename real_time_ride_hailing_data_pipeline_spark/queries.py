@@ -3079,8 +3079,10 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-file bloom bitset answers "provably absent" for exactly
     that shape. The table is value-clustered (so event_id is
     scattered across files and stats alone cannot help the probe), a
-    distributed build records one 4 KB bitset per file, and a 5-id IN
-    probe composes the table from a strict subset of files —
+    distributed build records one bitset per file (auto-sized to
+    ~9.6 bits per row of the fattest file — ~1% false-positive — so
+    compaction fattening the files re-sizes instead of saturating),
+    and a 5-id IN probe composes the table from a strict subset of files —
     asserted in-flight — with the predicate re-applied so the result
     never depends on the index. The oracle recomputes the probe with
     a full scan. At 100 TB this turns the needle-in-haystack lookup
@@ -3101,7 +3103,7 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink.write_batch(base, 0)
     sink.compact(spark, files_per_partition=8, sort_by="value")
-    sink.create_bloom_index(spark, "event_id", m=32_768, k=3)
+    sink.create_bloom_index(spark, "event_id", k=3)  # auto-sized m
     probe = [
         r["event_id"]
         for r in base.select("event_id").orderBy("event_id").limit(5).collect()

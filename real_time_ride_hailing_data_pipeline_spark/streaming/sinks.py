@@ -3747,22 +3747,28 @@ class ParquetUpsertSink:
         self,
         spark: SparkSession,
         column: str,
-        m: int = 32_768,
+        m: int | None = None,
         k: int = 3,
     ) -> None:
         """Declare + build a bloom point-lookup index on ``column``
-        (logical name; integral or string type). ``m`` bits per FILE
-        (32768 = a 4 KB sidecar entry — sized for ~3k distinct values
-        per file at ~1% false-positive with k=3; tune m up for bigger
-        files), ``k`` hash slices (<= 4). The index is maintained by
-        every subsequent commit: touched partitions get their blooms
-        rebuilt from the staged bytes, compaction rebuilds everything
-        it rewrites; a partition whose rebuild was impossible simply
-        lacks the sidecar and is always read (absence degrades to
-        correctness, never to a wrong skip)."""
+        (logical name; integral or string type). ``m`` bits per FILE;
+        the default (None) AUTO-SIZES every build to ~9.6 bits per
+        row of the largest file being built (the standard ~1%
+        false-positive sizing) — a fixed m silently SATURATES when
+        compaction fattens files (an all-ones bloom skips nothing and
+        the index degrades to a must-read no-op, measured in
+        BASELINE r10), so auto is the right default and re-sizing
+        rides every rebuild. ``k`` hash slices (<= 4). The index is
+        maintained by every subsequent commit: touched partitions get
+        their blooms rebuilt from the staged bytes, compaction
+        rebuilds everything it rewrites; a partition whose rebuild
+        was impossible simply lacks the sidecar and is always read
+        (absence degrades to correctness, never to a wrong skip).
+        Probes recover each file's m from its bitset length, so
+        mixed-size blooms across rebuilds are fine."""
         if k < 1 or k > self._BLOOM_MAX_K:
             raise ValueError(f"k must be 1..{self._BLOOM_MAX_K}")
-        if m % 8:
+        if m is not None and m % 8:
             raise ValueError("m must be a multiple of 8")
         with self._writer_lock():
             phys = self._phys_name_of(column)
@@ -3828,11 +3834,29 @@ class ParquetUpsertSink:
         if schema is not None:
             reader = reader.schema(self._physical_schema(schema))
         df = reader.parquet(*[os.path.join(root, d) for d in dirs])
+        auto = any(mk.get("m") is None for mk in meta.values())
+        max_rows = 0
+        if auto:
+            # size for the FATTEST file in this build: ~9.6 bits/row
+            # is the classic ~1% false-positive bloom sizing; one
+            # count-by-file pass, metadata-cheap
+            max_rows = (
+                df.groupBy(F.input_file_name())
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+                or 0
+            )
+        m_used: dict[str, int] = {}
         aggs = []
         for phys, mk in sorted(meta.items()):
             if phys not in df.columns:
                 continue
-            pos = self._bloom_pos_exprs(F.col(phys), mk["m"], mk["k"])
+            m = mk.get("m")
+            if m is None:
+                m = max(8_192, -(-int(max_rows * 9.6) // 64) * 64)
+            m_used[phys] = m
+            pos = self._bloom_pos_exprs(F.col(phys), m, mk["k"])
             aggs.append(
                 F.array_distinct(F.flatten(F.collect_list(pos))).alias(phys)
             )
@@ -3855,19 +3879,20 @@ class ParquetUpsertSink:
                 positions = row[phys] if phys in row.asDict() else None
                 if positions is None:
                     continue
-                bits = bytearray(mk["m"] // 8)
+                bits = bytearray(m_used[phys] // 8)
                 for p in positions:
                     bits[p >> 3] |= 1 << (p & 7)
                 encoded[phys] = base64.b64encode(bytes(bits)).decode("ascii")
             if encoded:
                 per_dir.setdefault(dname, {})[fname] = encoded
+        cols_meta = {
+            p: {"m": m_used.get(p, mk.get("m")), "k": mk["k"]}
+            for p, mk in sorted(meta.items())
+        }
         for d in dirs:
             self._atomic_json_write(
                 os.path.join(root, d, "_bloom.json"),
-                {
-                    "columns": {p: dict(mk) for p, mk in sorted(meta.items())},
-                    "files": per_dir.get(d, {}),
-                },
+                {"columns": cols_meta, "files": per_dir.get(d, {})},
             )
 
     def _refresh_staged_blooms(self, root: str | None = None) -> None:
@@ -3886,15 +3911,6 @@ class ParquetUpsertSink:
             return
         self._build_blooms(spark, root)
 
-    @staticmethod
-    def _bloom_maybe_contains(
-        b64: str, positions: list[int]
-    ) -> bool:
-        import base64
-
-        bits = base64.b64decode(b64)
-        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
-
     def read_point(
         self, spark: SparkSession, column: str, values: list
     ) -> tuple[DataFrame, int, int]:
@@ -3912,6 +3928,7 @@ class ParquetUpsertSink:
             raise ValueError("read_point needs at least one probe value")
         if any(v is None for v in values):
             raise ValueError("NULL never matches an IN probe")
+        import base64
         self._repair_for_read(spark)
         schema = self._stored_schema()
         phys = self._phys_name_of(column)
@@ -3938,16 +3955,7 @@ class ParquetUpsertSink:
             bloom = e.get("bloom")
             bcols = (bloom or {}).get("columns", {})
             bfiles = (bloom or {}).get("files", {})
-            mk = bcols.get(phys)
-            probe = None
-            if mk is not None:
-                key = (mk["m"], mk["k"])
-                if key not in pos_cache:
-                    pos_cache[key] = [
-                        self._bloom_positions_py(v, mk["m"], mk["k"])
-                        for v in values
-                    ]
-                probe = pos_cache[key]
+            k_hashes = (bcols.get(phys) or {}).get("k")
             for fname in e.get("files", []):
                 total += 1
                 alive = list(range(len(values)))
@@ -3963,15 +3971,25 @@ class ParquetUpsertSink:
                     except TypeError:
                         pass  # incomparable probe/stat types: must read
                 b64 = (
-                    bfiles.get(fname, {}).get(phys)
-                    if probe is not None
-                    else None
+                    bfiles.get(fname, {}).get(phys) if k_hashes else None
                 )
-                if b64 is not None:
+                if b64 is not None and alive:
+                    bits = base64.b64decode(b64)
+                    # m recovers from the bitset length, so blooms of
+                    # different (auto-sized) m coexist across rebuilds
+                    key = (len(bits) * 8, k_hashes)
+                    if key not in pos_cache:
+                        pos_cache[key] = [
+                            self._bloom_positions_py(v, key[0], k_hashes)
+                            for v in values
+                        ]
+                    probe = pos_cache[key]
                     alive = [
                         i
                         for i in alive
-                        if self._bloom_maybe_contains(b64, probe[i])
+                        if all(
+                            bits[p >> 3] & (1 << (p & 7)) for p in probe[i]
+                        )
                     ]
                 if alive:
                     chosen.append(os.path.join(pdir, fname))

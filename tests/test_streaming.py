@@ -3152,3 +3152,32 @@ def test_merge_into_schema_evolution(spark, tmp_path):
         )
     # time travel below the merge: pre-evolution schema, no tier
     assert "tier" not in sink.read_at(spark, 0).columns
+
+
+def test_bloom_auto_sizes_to_file_rows(spark, tmp_path):
+    """Default (auto) bloom sizing scales m to ~9.6 bits per row of
+    the fattest file in each build, so compaction fattening the files
+    RE-SIZES the blooms instead of saturating them (an all-ones bloom
+    prunes nothing); probes recover m from the bitset length, so
+    mixed sizes across rebuilds coexist."""
+    import base64 as _b64
+    import json as _json
+
+    sink = _zb_sink(tmp_path, spark, n=4000)
+    sink.compact(spark, files_per_partition=16, sort_by="a")
+    sink.create_bloom_index(spark, "uid")  # auto m
+    pdir = os.path.join(sink.path, "part_date=2024-01-15")
+    with open(os.path.join(pdir, "_bloom.json")) as fh:
+        small = _json.load(fh)["columns"]["uid"]["m"]
+    # fatten: 16 files -> 2 files per date; the rebuild must re-size
+    sink.compact(spark, files_per_partition=2, sort_by="a")
+    with open(os.path.join(pdir, "_bloom.json")) as fh:
+        data = _json.load(fh)
+    big = data["columns"]["uid"]["m"]
+    assert big > small  # ~8x the rows per file -> a bigger bitset
+    # not saturated: a healthy bloom is mostly zeros at ~1% fp sizing
+    bits = _b64.b64decode(next(iter(data["files"].values()))["uid"])
+    ones = sum(bin(b).count("1") for b in bits)
+    assert ones < len(bits) * 8 * 0.6
+    df, sel, tot = sink.read_point(spark, "uid", [17])
+    assert [r["uid"] for r in df.collect()] == [17] and sel < tot
