@@ -170,8 +170,15 @@ _VERIFY_SPARES: list[str] = [
 # Entries born DURING r10 are IN the window above (they exist before
 # the r10 driver freeze): lakehouse_merge_into_full (generalized MERGE
 # INTO), lakehouse_time_travel_pruned_read (data-skipping time travel),
-# optimize_concurrent_merge_race (snapshot-isolated OPTIMIZE). Should
-# r10 add entries AFTER its freeze, list them here as the r11 rotation.
+# optimize_concurrent_merge_race (snapshot-isolated OPTIMIZE), plus the
+# second-session pair lakehouse_zorder_two_dim_skipping and
+# lakehouse_bloom_point_lookup.
+#
+# r11 rotation candidates (born late-r10, full oracles, verified
+# locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
+# already at 50): lakehouse_merge_schema_evolution. Also still owed a
+# first driver-green row per VERDICT r9: none (all four never-verified
+# entries are in the r10 window above).
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -3112,6 +3119,89 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not sel < tot:
         raise RuntimeError(f"bloom index did not prune: {sel}/{tot} files")
     return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "lakehouse_merge_schema_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, ts, user_id, event_type,
+             value * 2 AS value, 'hot' AS flag
+      FROM events ORDER BY event_id DESC LIMIT 100
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           coalesce(s.value, e.value) AS value, s.flag AS flag
+    FROM events e LEFT JOIN src s USING (event_id)
+    UNION ALL
+    SELECT (SELECT max(event_id) FROM events) + 1 AS event_id,
+           TIMESTAMP '2024-06-01 00:00:00' AS ts,
+           CAST(-1 AS BIGINT) AS user_id,
+           'synthetic' AS event_type,
+           CAST(1.23 AS DOUBLE) AS value,
+           'new' AS flag
+    """,
+)
+def lakehouse_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with additive schema evolution (sinks.py:merge_into
+    under schema_evolution=True — Delta's ``withSchemaEvolution``
+    shape): the source carries a column the table lacks (``flag``);
+    the merge updates the matched top-100 events (SET reads the
+    source side), inserts one genuinely new key, and the evolved
+    column lands on updated and inserted rows while every other row
+    reads NULL — the oracle recomputes the whole final state with a
+    LEFT JOIN + UNION. Type changes still refuse loudly (pytest);
+    evolution is additive-only, the contract that survives 100 TB
+    (a silent type coercion corrupts at scale)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_mevo_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id",),
+        partition_source="ts",
+        schema_evolution=True,
+    )
+    sink.write_batch(base, 0)
+    hot = (
+        base.orderBy(F.desc("event_id"))
+        .limit(100)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("flag", F.lit("hot"))
+    )
+    import datetime as _dt
+
+    max_id = base.agg(F.max("event_id")).collect()[0][0]
+    newrow = spark.createDataFrame(
+        [
+            (
+                max_id + 1,
+                _dt.datetime(2024, 6, 1, 0, 0),
+                -1,
+                "synthetic",
+                1.23,
+                "new",
+            )
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, flag string",
+    )
+    sink.merge_into(
+        hot.unionByName(newrow),
+        1,
+        when_matched_update={"value": "s.value", "flag": "s.flag"},
+        when_not_matched_insert=True,
+    )
+    return sink.read(spark).select(
+        "event_id", "ts", "user_id", "event_type", "value", "flag"
+    )
 
 
 @query(
