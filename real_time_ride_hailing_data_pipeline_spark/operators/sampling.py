@@ -104,3 +104,90 @@ def weighted_mix(
     for name, r in rates.items():
         rate = F.when(F.col(source_col) == name, F.lit(r)).otherwise(rate)
     return df.filter(b < (rate * BUCKETS).cast("bigint"))
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_cond: Column,
+    buckets: int = 1024,
+    salt: str = "dsir-v1",
+    gumbel_salt: str = "dsir-g",
+) -> DataFrame:
+    """DSIR-style importance weights + resampling scores (Data
+    Selection via Importance Resampling, Xie et al. 2023): score every
+    document by how much more likely its hashed bag-of-words is under
+    the TARGET distribution (rows matching ``target_cond``) than under
+    the RAW corpus, then add a deterministic Gumbel so top-k by score
+    IS sampling-without-replacement proportional to the importance
+    weight — the standard pretraining-corpus selection recipe.
+
+    Distributed shape (all JVM expressions, three shuffles total, none
+    keyed on anything wider than the hash-bucket/doc id):
+
+    1. tokenize + hash each term into ``buckets`` buckets (map-only);
+    2. ONE grouped count over buckets yields both models (raw count,
+       target count via a conditional sum) — the model is O(buckets),
+       not O(vocabulary), which is the entire point of hashed DSIR at
+       100 TB;
+    3. per-bucket Laplace-smoothed log-ratio in MICRO FIXED POINT
+       (floor at 1e-6 — per-term integer scores make the per-doc sum
+       order-independent and engine-portable);
+    4. broadcast the O(buckets) ratio table back onto the token
+       stream, one grouped integer sum per doc;
+    5. Gumbel perturbation from the md5 bucket of the doc id (same
+       primitive as hash_split: reproducible, growth-stable).
+
+    Returns (id_col, logw_micro, score_micro) — one row per document
+    that has at least one token."""
+    flagged = df.select(
+        F.col(id_col),
+        F.when(target_cond, F.lit(1)).otherwise(F.lit(0)).alias("__is_tgt"),
+        F.col(text_col).alias("__text"),
+    )
+    toks = flagged.select(
+        id_col,
+        "__is_tgt",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("__text"))), r"\s+")
+        ).alias("__term"),
+    )
+    tb = toks.select(
+        id_col,
+        "__is_tgt",
+        hash_bucket(F.col("__term"), salt, buckets).alias("__bucket"),
+    )
+    stats = tb.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum("__is_tgt").alias("__c_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("__c_raw").alias("__n_raw"), F.sum("__c_tgt").alias("__n_tgt")
+    )
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "__bucket",
+        F.floor(
+            (
+                F.log((F.col("__c_tgt") + 1.0) / (F.col("__n_tgt") + buckets))
+                - F.log((F.col("__c_raw") + 1.0) / (F.col("__n_raw") + buckets))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__r_micro"),
+    )
+    logw = (
+        tb.join(F.broadcast(ratio), "__bucket")
+        .groupBy(id_col)
+        .agg(F.sum("__r_micro").alias("logw_micro"))
+    )
+    u = (
+        hash_bucket(F.col(id_col), gumbel_salt, BUCKETS) + F.lit(0.5)
+    ) / F.lit(float(BUCKETS))
+    gumbel_micro = F.floor(-F.log(-F.log(u)) * 1_000_000).cast("bigint")
+    return logw.select(
+        id_col,
+        "logw_micro",
+        (F.col("logw_micro") + gumbel_micro).alias("score_micro"),
+    )

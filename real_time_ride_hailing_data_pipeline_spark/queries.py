@@ -4141,6 +4141,83 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_resample",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tb AS (
+      SELECT doc_id, is_tgt,
+             CAST(('0x' || substr(md5('dsir-v1' || term), 1, 8)) AS BIGINT)
+               % 1024 AS bucket
+      FROM tk
+    ), st AS (
+      SELECT bucket, count(*) AS c_raw, sum(is_tgt) AS c_tgt
+      FROM tb GROUP BY 1
+    ), tot AS (
+      SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM st
+    ), ratio AS (
+      SELECT bucket,
+             CAST(floor((ln((c_tgt + 1.0) / (n_tgt + 1024))
+                       - ln((c_raw + 1.0) / (n_raw + 1024))) * 1000000)
+               AS BIGINT) AS r_micro
+      FROM st CROSS JOIN tot
+    ), w AS (
+      SELECT tb.doc_id, sum(r_micro) AS logw_micro
+      FROM tb JOIN ratio USING (bucket) GROUP BY 1
+    ), g AS (
+      SELECT doc_id, logw_micro,
+             logw_micro + CAST(floor(-ln(-ln(
+               (CAST(('0x' || substr(md5('dsir-g' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 10000 + 0.5)
+               / 10000.0)) * 1000000) AS BIGINT) AS score_micro
+      FROM w
+    ), rk AS (
+      SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS sel_rank
+      FROM g
+    )
+    SELECT rk.doc_id, d.lang, d.source, logw_micro, score_micro,
+           CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM rk JOIN documents d ON rk.doc_id = d.doc_id
+    WHERE sel_rank <= 50
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pretraining-corpus selection (smp.dsir_importance_weights
+    — Data Selection via Importance Resampling, Xie et al. 2023): the
+    English documents define the TARGET hashed-unigram distribution;
+    every document scores by its summed per-bucket log-likelihood
+    ratio (Laplace-smoothed, micro fixed point so the integer per-doc
+    sum is order-independent), a deterministic md5-derived Gumbel
+    turns top-k into importance-proportional sampling without
+    replacement, and the top 50 selected docs return with their
+    weights. The model is O(buckets) — never O(vocabulary) — and the
+    ratio table broadcasts back onto the token stream, so the only
+    wide shuffles are two grouped integer sums: the shape that holds
+    at a 100 TB crawl."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = smp.dsir_importance_weights(
+        docs, "text", "doc_id", F.col("lang") == "en"
+    )
+    ranked = scored.withColumn(
+        "sel_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        ),
+    ).filter(F.col("sel_rank") <= 50)
+    return ranked.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select(
+        "doc_id", "lang", "source", "logw_micro", "score_micro",
+        F.col("sel_rank").cast("bigint").alias("sel_rank"),
+    )
+
+
+@query(
     "stratified_sample_per_lang",
     oracle="""
     SELECT lang, doc_id, sample_rank

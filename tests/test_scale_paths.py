@@ -715,3 +715,37 @@ def test_rebalance_hint_evens_skewed_output_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_importance_weights_prefer_target_like_docs(spark):
+    """DSIR contract (sampling.py:dsir_importance_weights): documents
+    drawn from the target distribution score strictly higher on
+    average than off-target documents; scores are deterministic
+    across invocations; every doc gets exactly one row."""
+    from real_time_ride_hailing_data_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = []
+    for i in range(60):  # target-like: English function words
+        rows.append((i, "the quick brown fox and the lazy dog run", "en"))
+    for i in range(60, 120):  # off-target: distinct vocabulary
+        rows.append((i, "zug blitz krawatte fenster strasse baum wolke", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scored = dsir_importance_weights(
+        docs, "text", "doc_id", F.col("lang") == "en"
+    )
+    got = {r["doc_id"]: (r["logw_micro"], r["score_micro"]) for r in scored.collect()}
+    assert len(got) == 120
+    en = [got[i][0] for i in range(60)]
+    de = [got[i][0] for i in range(60, 120)]
+    # every English doc outweighs every German doc (disjoint vocab)
+    assert min(en) > max(de)
+    # deterministic: a second run produces identical integers
+    again = {
+        r["doc_id"]: (r["logw_micro"], r["score_micro"])
+        for r in dsir_importance_weights(
+            docs, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    assert got == again
