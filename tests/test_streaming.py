@@ -3181,3 +3181,19 @@ def test_bloom_auto_sizes_to_file_rows(spark, tmp_path):
     assert ones < len(bits) * 8 * 0.6
     df, sel, tot = sink.read_point(spark, "uid", [17])
     assert [r["uid"] for r in df.collect()] == [17] and sel < tot
+
+
+def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
+    """optimize(zorder_by=...) z-clusters under the optimistic
+    protocol: both dimensions prune afterwards, content is identical,
+    and the stats sidecars rode the conflict-checked swap."""
+    sink = _zb_sink(tmp_path, spark, n=2000)
+    before = sorted(tuple(r) for r in sink.read(spark).collect())
+    res = sink.optimize(spark, files_per_partition=8, zorder_by=["a", "b"])
+    assert not res["skipped"]
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+    _, sa, ta = sink.read_pruned(spark, "a", lower=90)
+    _, sb, tb = sink.read_pruned(spark, "b", lower=900)
+    assert sa < ta and sb < tb
+    with pytest.raises(ValueError, match="not both"):
+        sink.optimize(spark, sort_by="a", zorder_by=["b"])
