@@ -176,9 +176,10 @@ _VERIFY_SPARES: list[str] = [
 #
 # r11 rotation candidates (born late-r10, full oracles, verified
 # locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
-# already at 50): lakehouse_merge_schema_evolution. Also still owed a
-# first driver-green row per VERDICT r9: none (all four never-verified
-# entries are in the r10 window above).
+# already at 50): lakehouse_merge_schema_evolution,
+# dsir_importance_resample. Also still owed a first driver-green row
+# per VERDICT r9: none (all four never-verified entries are in the
+# r10 window above).
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:

@@ -3946,7 +3946,6 @@ class ParquetUpsertSink:
             raise ValueError("read_point needs at least one probe value")
         if any(v is None for v in values):
             raise ValueError("NULL never matches an IN probe")
-        import base64
         self._repair_for_read(spark)
         schema = self._stored_schema()
         phys = self._phys_name_of(column)
@@ -3961,6 +3960,36 @@ class ParquetUpsertSink:
                     if d.startswith("part_date=")
                 ]
             )
+        chosen, total = self._select_files_point(entries, phys, values)
+        self._invalidate_listing(spark)
+        if not chosen:
+            base = self._read_table(spark).limit(0)
+        else:
+            reader = spark.read.option("basePath", self.path)
+            if schema is not None:
+                reader = reader.schema(self._physical_schema(schema))
+            df = reader.parquet(*chosen)
+            df = self._apply_dv(spark, df, self._dv_from_entries(entries))
+            base = self._to_logical(df, schema)
+        return (
+            base.filter(F.col(column).isin(values)).drop("part_date"),
+            len(chosen),
+            total,
+        )
+
+    @classmethod
+    def _select_files_point(
+        cls, entries: dict[str, dict], phys: str, values: list
+    ) -> tuple[list[str], int]:
+        """(chosen file paths, total files) for an IN probe over
+        consolidated metadata entries — the shared point-selection
+        core of ``read_point`` and ``read_point_at``. Per file, a
+        probe value stays alive only while the min/max range admits
+        it AND the bloom bitset might contain it; a file with no
+        live value is provably irrelevant. Missing metadata always
+        degrades to reading the file."""
+        import base64
+
         chosen: list[str] = []
         total = 0
         pos_cache: dict[tuple[int, int], list[list[int]]] = {}
@@ -3998,7 +4027,7 @@ class ParquetUpsertSink:
                     key = (len(bits) * 8, k_hashes)
                     if key not in pos_cache:
                         pos_cache[key] = [
-                            self._bloom_positions_py(v, key[0], k_hashes)
+                            cls._bloom_positions_py(v, key[0], k_hashes)
                             for v in values
                         ]
                     probe = pos_cache[key]
@@ -4011,21 +4040,60 @@ class ParquetUpsertSink:
                     ]
                 if alive:
                     chosen.append(os.path.join(pdir, fname))
+        return chosen, total
+
+    def read_point_at(
+        self, spark: SparkSession, epoch_id: int, column: str, values: list
+    ) -> tuple[DataFrame, int, int]:
+        """Point-lookup TIME TRAVEL: ``read_at`` semantics with the
+        same per-file stats + bloom skipping as ``read_point`` — the
+        hardlinked epoch copies carry each partition's sidecars AS OF
+        that commit (and the manifest folds them, so planning is one
+        JSON read), which makes "find these keys as of last Tuesday"
+        O(matching files) instead of O(version). The version's own
+        schema resolves the logical column through any later renames,
+        and the IN predicate re-applies, so results never depend on
+        the sidecars."""
+        if not values:
+            raise ValueError("read_point_at needs at least one probe value")
+        if any(v is None for v in values):
+            raise ValueError("NULL never matches an IN probe")
+        retained = self.snapshots()
+        eligible = [e for e in retained if e <= epoch_id]
+        if not eligible:
+            raise ValueError(f"no snapshot at or before epoch {epoch_id}")
+        manifest = self._load_manifest(eligible[-1])
+        schema = self._epoch_schema(eligible[-1])
+        phys = column
+        if schema is not None:
+            for f in schema.fields:
+                if f.name == column:
+                    phys = self._physical_name(f)
+        folded = self._load_manifest_sidecars(eligible[-1]) or {}
+        entries = {}
+        for d, e in sorted(manifest.items()):
+            pdir = os.path.join(self.snapshot_dir, "files", f"epoch={e}", d)
+            entries[pdir] = folded.get(d) or self._dir_entry(pdir)
+        chosen, total = self._select_files_point(entries, phys, values)
         self._invalidate_listing(spark)
+        from pyspark.sql.types import StructType
+
+        if schema is not None:
+            schema = StructType(
+                [f for f in schema.fields if f.name != "part_date"]
+            )
         if not chosen:
-            base = self._read_table(spark).limit(0)
+            base = self.read_at(spark, epoch_id).limit(0)
         else:
-            reader = spark.read.option("basePath", self.path)
-            if schema is not None:
-                reader = reader.schema(self._physical_schema(schema))
+            reader = (
+                spark.read
+                if schema is None
+                else spark.read.schema(self._physical_schema(schema))
+            )
             df = reader.parquet(*chosen)
             df = self._apply_dv(spark, df, self._dv_from_entries(entries))
             base = self._to_logical(df, schema)
-        return (
-            base.filter(F.col(column).isin(values)).drop("part_date"),
-            len(chosen),
-            total,
-        )
+        return base.filter(F.col(column).isin(values)), len(chosen), total
 
     def _finish_compact(self, staging: str) -> None:
         """Swap every partition out of a COMPLETE compaction staging

@@ -3197,3 +3197,54 @@ def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
     assert sa < ta and sb < tb
     with pytest.raises(ValueError, match="not both"):
         sink.optimize(spark, sort_by="a", zorder_by=["b"])
+
+
+def test_read_point_at_travels_with_bloom_and_rename(spark, tmp_path):
+    """Point lookup at a PAST version: the epoch copies carry the
+    bloom/stats sidecars as of that commit, the manifest fold plans
+    the probe, a later poisoning merge is invisible, and the
+    version's own schema resolves the probe column through a
+    subsequent rename."""
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / "snap"),
+    )
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    base = spark.createDataFrame(
+        [(i, d, i * 10) for i in range(400)],
+        "k long, window_start timestamp, total bigint",
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="total")
+    sink.create_bloom_index(spark, "k")
+    # epoch 1 pins the indexed layout into the log
+    sink.write_batch(
+        spark.createDataFrame(
+            [(400, d, 4000)], "k long, window_start timestamp, total bigint"
+        ),
+        1,
+    )
+    # poison the live table (epoch 2), then rename a value column
+    sink.write_batch(
+        spark.createDataFrame(
+            [(7, d, -1)], "k long, window_start timestamp, total bigint"
+        ),
+        2,
+    )
+    sink.rename_column(spark, "total", "amount", 3)
+    df, sel, tot = sink.read_point_at(spark, 1, "k", [7, 399])
+    assert sel < tot  # the epoch copy's bloom pruned the probe
+    got = sorted((r["k"], r["total"]) for r in df.collect())
+    assert got == [(7, 70), (399, 3990)]  # pre-poison values
+    # absent key: zero rows even through bloom false positives
+    assert sink.read_point_at(spark, 1, "k", [999_999])[0].count() == 0
+    # probing the version under its THEN-name works across the later
+    # rename (the version's schema sidecar resolves it), and the
+    # clustered stats prune the equality probe
+    dft, selt, tott = sink.read_point_at(spark, 1, "total", [70])
+    assert selt < tott
+    assert [(r["k"], r["total"]) for r in dft.collect()] == [(7, 70)]
+    # the LIVE probe on k sees the poison under the NEW value name
+    live, _, _ = sink.read_point(spark, "k", [7])
+    assert [r["amount"] for r in live.collect()] == [-1]
