@@ -83,7 +83,8 @@ filters on the selective scans, BroadcastHashJoin on dim joins,
 SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
 below are *intended* tiny-side broadcasts (the query vector in
 ann_cosine_topk and the Q-row query set in ann_batch_topk; the scalar
-threshold in tpch_q22; the corpus-stats row in search_bm25_topk);
+threshold in tpch_q22; the corpus-stats row in search_bm25_topk;
+the one-row token-totals in dsir_importance_resample);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
 queries and the embedding-pair candidate stage (a per-cell numpy

@@ -4204,12 +4204,16 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = smp.dsir_importance_weights(
         docs, "text", "doc_id", F.col("lang") == "en"
     )
-    ranked = scored.withColumn(
+    # distributed top-k (TakeOrderedAndProject) FIRST — a global
+    # row_number window would funnel every doc through one partition;
+    # ranking runs after the limit, over 50 rows
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(50)
+    ranked = top.withColumn(
         "sel_rank",
         F.row_number().over(
             Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
         ),
-    ).filter(F.col("sel_rank") <= 50)
+    )
     return ranked.join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     ).select(
