@@ -446,3 +446,117 @@ def test_crash_matrix_dv_and_column_mapping_recovers(spark, tmp_path, monkeypatc
                 f"divergence after crash at FS op #{crash_at} "
                 f"(step {crashed_step}): {exc}"
             ) from exc
+
+
+# -- r10 surface: bloom index + z-order compact + MERGE evolution -----------
+
+
+def _r10_steps(spark, sink):
+    rows = [
+        (f"k{i}", D1 if i % 2 == 0 else D2, i % 7, (i * 37) % 11)
+        for i in range(40)
+    ]
+    source = [
+        ("k5", D2, 99, 99, "hot"),     # matched (k5 is odd -> D2): update
+        ("new1", D1, 1, 1, "fresh"),   # not matched: insert
+    ]
+    return [
+        lambda: sink.write_batch(
+            spark.createDataFrame(
+                rows, "k string, window_start timestamp, a long, b long"
+            ),
+            0,
+        ),
+        lambda: sink.create_bloom_index(spark, "k"),
+        lambda: sink.compact(spark, files_per_partition=4, zorder_by=["a", "b"]),
+        lambda: sink.merge_into(
+            spark.createDataFrame(
+                source,
+                "k string, window_start timestamp, a long, b long, tier string",
+            ),
+            1,
+            when_matched_update={"a": "s.a", "b": "s.b", "tier": "s.tier"},
+            when_not_matched_insert=True,
+        ),
+        lambda: sink.delete_keys(
+            spark.createDataFrame([("k6", D1)], "k string, window_start timestamp"),
+            2,
+            mode="merge_on_read",
+        ),
+    ]
+
+
+def _r10_assert_final(spark, sink):
+    live = {r["k"]: (r["a"], r["b"], r["tier"]) for r in sink.read(spark).collect()}
+    assert len(live) == 40  # 40 seeded - k6 deleted + new1 inserted
+    assert "k6" not in live
+    assert live["k5"] == (99, 99, "hot")
+    assert live["new1"] == (1, 1, "fresh")
+    assert live["k0"] == (0, 0, None)  # untouched rows NULL-fill tier
+    assert sink.snapshots() == [0, 1, 2]
+    # the bloom index survived compact + merge + DV delete: the point
+    # probe is correct (and the deleted key is invisible through it)
+    df, sel, tot = sink.read_point(spark, "k", ["k5", "k6", "absent"])
+    got = {r["k"] for r in df.collect()}
+    assert got == {"k5"} and sel <= tot
+    for d in ("part_date=2024-01-15", "part_date=2024-01-16"):
+        assert os.path.exists(os.path.join(sink.path, d, "_bloom.json")), d
+    # z-order stats survived the merge refresh: both dims still prune
+    dfa, sa, ta = sink.read_pruned(spark, "a", lower=99)
+    assert {r["k"] for r in dfa.collect()} == {"k5"} and sa < ta
+    dfb, sb, tb = sink.read_pruned(spark, "b", lower=99)
+    assert {r["k"] for r in dfb.collect()} == {"k5"} and sb < tb
+
+
+def test_crash_matrix_bloom_zorder_merge_recovers(spark, tmp_path, monkeypatch):
+    """The r10 write surface under the fault sweep: bloom-index build,
+    z-order clustered compaction (staged swap), a schema-evolving
+    MERGE INTO (staged logical schema + bloom/stats refresh), and a
+    DV delete — every orchestration FS op is a crash point, the
+    sequence replays, and the final state INCLUDING both pruning
+    axes' correctness must equal the no-crash run."""
+    injector = _FaultInjector(monkeypatch)
+    injector.install()
+
+    base = tmp_path / "baseline"
+    mk = lambda root: ParquetUpsertSink(  # noqa: E731
+        str(root / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(root / "s"),
+        schema_evolution=True,
+        retries=0,
+    )
+    sink = mk(base)
+    injector.arm(None)
+    for step in _r10_steps(spark, sink):
+        step()
+    total_ops = injector.count
+    _r10_assert_final(spark, sink)
+    assert total_ops > 10
+
+    crash_points = list(range(1, min(10, total_ops + 1))) + list(
+        range(10, total_ops + 1, 7)
+    )
+    for crash_at in crash_points:
+        root = tmp_path / f"r10crash{crash_at}"
+        sink = mk(root)
+        steps = _r10_steps(spark, sink)
+        injector.arm(crash_at)
+        crashed_step = None
+        for i, step in enumerate(steps):
+            try:
+                step()
+            except SimulatedCrash:
+                crashed_step = i
+                break
+        assert crashed_step is not None, f"op budget moved? crash_at={crash_at}"
+        injector.arm(None)
+        for step in steps[crashed_step:]:
+            step()
+        try:
+            _r10_assert_final(spark, sink)
+        except AssertionError as exc:
+            raise AssertionError(
+                f"divergence after crash at FS op #{crash_at} "
+                f"(step {crashed_step}): {exc}"
+            ) from exc
