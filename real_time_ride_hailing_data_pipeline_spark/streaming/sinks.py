@@ -3875,8 +3875,17 @@ class ParquetUpsertSink:
                 m = max(8_192, -(-int(max_rows * 9.6) // 64) * 64)
             m_used[phys] = m
             pos = self._bloom_pos_exprs(F.col(phys), m, mk["k"])
+            # NULL values never match an IN probe, so they set no bits;
+            # collect_list skips the NULL-gated arrays (an ungated NULL
+            # would surface as None positions and crash the assembly)
             aggs.append(
-                F.array_distinct(F.flatten(F.collect_list(pos))).alias(phys)
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col(phys).isNotNull(), pos)
+                        )
+                    )
+                ).alias(phys)
             )
         if not aggs:
             return
