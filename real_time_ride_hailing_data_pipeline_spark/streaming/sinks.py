@@ -2072,6 +2072,54 @@ class ParquetUpsertSink:
             rows, "epoch long, op string, n_partitions long, committed_at double"
         )
 
+    def describe_files(self, spark: SparkSession) -> DataFrame:
+        """The DESCRIBE DETAIL / `table_files()` metadata view: one row
+        per live data file — partition, name, bytes, whether min/max
+        stats and a bloom bitset cover it, and how many rows its
+        deletion vector hides. Sourced from the SAME consolidated
+        metadata the query planner reads (one JSON open; per-dir
+        fallback for pre-fold tables) plus one stat() per file for the
+        size, so the view costs O(files) metadata and never scans
+        data — the operational surface for "is this table compacted /
+        indexed / carrying delete debt?" that OPTIMIZE decisions need
+        at 100 TB."""
+        cons = self._consolidated()
+        if cons is not None:
+            entries = dict(cons)
+        else:
+            entries = {
+                d: self._dir_entry(os.path.join(self.path, d))
+                for d in sorted(os.listdir(self.path))
+                if d.startswith("part_date=")
+            }
+        rows = []
+        for d in sorted(entries):
+            e = entries[d]
+            stats_files = (e.get("stats") or {}).get("files", {})
+            bloom_files = (e.get("bloom") or {}).get("files", {})
+            dv = e.get("dv") or {}
+            for fname in e.get("files", []):
+                fpath = os.path.join(self.path, d, fname)
+                try:
+                    size = os.path.getsize(fpath)
+                except OSError:
+                    size = None
+                rows.append(
+                    (
+                        d.split("=", 1)[1],
+                        fname,
+                        size,
+                        fname in stats_files,
+                        fname in bloom_files,
+                        len(dv.get(fname, [])),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "part_date string, file string, bytes long, "
+            "has_stats boolean, has_bloom boolean, dv_deleted_rows long",
+        )
+
     def read_at_timestamp(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time-travel read by WALL-CLOCK instant (the Delta
         ``TIMESTAMP AS OF`` shape): the table as of the newest retained

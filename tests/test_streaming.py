@@ -3248,3 +3248,26 @@ def test_read_point_at_travels_with_bloom_and_rename(spark, tmp_path):
     # the LIVE probe on k sees the poison under the NEW value name
     live, _, _ = sink.read_point(spark, "k", [7])
     assert [r["amount"] for r in live.collect()] == [-1]
+
+
+def test_describe_files_reports_layout_and_debt(spark, tmp_path):
+    """describe_files: one metadata-only row per live data file with
+    size, stats/bloom coverage, and DV delete debt — consistent with
+    the planner's consolidated view across compact/index/delete."""
+    sink = _zb_sink(tmp_path, spark, n=500)
+    sink.compact(spark, files_per_partition=4, sort_by="a")
+    sink.create_bloom_index(spark, "uid")
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    sink.delete_keys(
+        spark.createDataFrame([("u7", d)], "k string, window_start timestamp"),
+        1,
+        mode="merge_on_read",
+    )
+    det = sink.describe_files(spark).collect()
+    assert len(det) == 4  # one date partition, 4 files
+    assert all(r["bytes"] > 0 for r in det)
+    assert all(r["has_stats"] and r["has_bloom"] for r in det)
+    assert sum(r["dv_deleted_rows"] for r in det) == 1
+    # the view agrees with the planner's file census
+    _, _, tot = sink.read_pruned(spark, "a", lower=10**9)
+    assert tot == len(det)
