@@ -690,6 +690,7 @@ class ParquetUpsertSink:
             return
         specs = self._transforms()
         constraints = self._constraints()
+        clustering = self._clustering()
         self._audit_batch(batch_df)  # refuse BEFORE any table mutation
         batch = batch_df.withColumn(
             "part_date", self._derive_part_date(specs[-1])
@@ -711,6 +712,11 @@ class ParquetUpsertSink:
             self._atomic_json_write(self._partspec_file(), specs)
             if constraints:  # same truncation hazard for constraints
                 self._atomic_json_write(self._constraints_file(), constraints)
+            if clustering is not None:  # and for recorded clustering
+                self._atomic_json_write(
+                    self._clustering_file(),
+                    {"columns": clustering[0], "mode": clustering[1]},
+                )
             # the overwrite truncated _sidecars.json with everything
             # else — rebuild the cache from the fresh layout
             self._refresh_consolidated()
@@ -1113,15 +1119,24 @@ class ParquetUpsertSink:
             if ins_rows.isEmpty():
                 return
             self._audit_batch(ins_rows)
+            clustering = self._clustering()
+            # capture BEFORE the overwrite truncates the table dir —
+            # reading the sidecar afterwards always yields {} and the
+            # republish below could never fire
+            cons = self._constraints()
             batch = ins_rows.withColumn(
                 "part_date", self._derive_part_date(specs[-1])
             )
             batch.write.mode("overwrite").partitionBy("part_date").parquet(self.path)
             self._write_schema_file(batch.schema)
             self._atomic_json_write(self._partspec_file(), specs)
-            cons = self._constraints()
             if cons:
                 self._atomic_json_write(self._constraints_file(), cons)
+            if clustering is not None:  # survives the overwrite too
+                self._atomic_json_write(
+                    self._clustering_file(),
+                    {"columns": clustering[0], "mode": clustering[1]},
+                )
             self._refresh_consolidated()
             self._snapshot(spark, epoch_id, touched=None, op="merge")
             return
@@ -3162,6 +3177,14 @@ class ParquetUpsertSink:
         sort_by: str | list[str] | None = None,
         zorder_by: list[str] | None = None,
     ) -> None:
+        if sort_by is None and zorder_by is None:
+            rec = self._clustering()
+            if rec is not None:  # recorded clustering is the default
+                cols, mode = rec
+                if mode == "zorder":
+                    zorder_by = cols
+                else:
+                    sort_by = cols
         # finish (or discard, if incomplete) a previous crashed commit
         staging = self._compact_staging()
         self._finish_compact(staging)
@@ -3354,6 +3377,14 @@ class ParquetUpsertSink:
         still uncompacted after the last retry."""
         if sort_by is not None and zorder_by is not None:
             raise ValueError("pass sort_by or zorder_by, not both")
+        if sort_by is None and zorder_by is None:
+            rec = self._clustering()
+            if rec is not None:  # recorded clustering is the default
+                cols, mode = rec
+                if mode == "zorder":
+                    zorder_by = cols
+                else:
+                    sort_by = cols
         pin_root = self.path.rstrip("/") + "__optimize_pin"
         stage = self.path.rstrip("/") + "__optimize"
         sort_cols = (
@@ -3749,6 +3780,48 @@ class ParquetUpsertSink:
         if upper is not None:
             pred = pred & (F.col(column) <= F.lit(upper))
         return base.filter(pred), len(chosen), total
+
+    # -- recorded clustering (the liquid-clustering UX, r10) -----------------
+    def _clustering_file(self) -> str:
+        return os.path.join(self.path, "_clustering.json")
+
+    def _clustering(self) -> tuple[list[str], str] | None:
+        try:
+            with open(self._clustering_file()) as fh:
+                data = json.load(fh)
+            return list(data["columns"]), str(data["mode"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def set_clustering(
+        self, columns: list[str], mode: str = "zorder"
+    ) -> None:
+        """Record the table's clustering ONCE (Delta liquid-clustering
+        shape): every later ``compact()`` / auto-compaction /
+        ``optimize()`` that is not given an explicit ``sort_by`` /
+        ``zorder_by`` re-applies it — so the post-merge auto-compact
+        keeps the touched partitions CLUSTERED instead of hash-packed,
+        and the file-skipping indexes stay tight continuously rather
+        than decaying until someone remembers the right OPTIMIZE
+        arguments. ``mode`` is 'zorder' (multi-dimensional) or 'sort'
+        (lexicographic). Declaration is metadata-only; the next
+        rewrite applies it."""
+        if mode not in ("zorder", "sort"):
+            raise ValueError("mode must be 'zorder' or 'sort'")
+        if not columns:
+            raise ValueError("clustering needs at least one column")
+        with self._writer_lock():
+            self._atomic_json_write(
+                self._clustering_file(),
+                {"columns": list(columns), "mode": mode},
+            )
+
+    def clear_clustering(self) -> None:
+        with self._writer_lock():
+            try:
+                os.remove(self._clustering_file())
+            except FileNotFoundError:
+                pass
 
     # -- bloom-filter point-lookup file skipping (r10) -----------------------
     # Min/max stats prune RANGE predicates; an equality probe on a

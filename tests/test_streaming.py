@@ -3271,3 +3271,79 @@ def test_describe_files_reports_layout_and_debt(spark, tmp_path):
     # the view agrees with the planner's file census
     _, _, tot = sink.read_pruned(spark, "a", lower=10**9)
     assert tot == len(det)
+
+
+def test_recorded_clustering_is_maintained_by_every_rewrite(spark, tmp_path):
+    """set_clustering (the liquid-clustering UX): declared once,
+    every compact/auto-compact/optimize without explicit arguments
+    re-applies it — the post-merge auto-compaction keeps BOTH z-order
+    dimensions pruning without anyone passing zorder_by again; the
+    declaration survives the first-batch overwrite and explicit
+    arguments still override."""
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        auto_compact_files=6,
+    )
+    with pytest.raises(ValueError, match="mode"):
+        sink.set_clustering(["a"], mode="hilbert")
+    sink.set_clustering(["a", "b"], mode="zorder")  # BEFORE the table exists
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"),
+        F.lit(d).alias("window_start"),
+        (F.col("id") % 97).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("b"),
+    )
+    sink.write_batch(df, 0)
+    assert os.path.exists(os.path.join(sink.path, "_clustering.json"))
+    sink.compact(spark, files_per_partition=8)  # no explicit clustering
+    _, sa, ta = sink.read_pruned(spark, "a", lower=90)
+    _, sb, tb = sink.read_pruned(spark, "b", lower=900)
+    assert sa < ta and sb < tb  # recorded z-order applied
+    # a merge fattens the partition past auto_compact_files: the auto
+    # compaction re-clusters (file count collapses AND stats stay)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("u0", d, 999, 999)],
+            "k string, window_start timestamp, a long, b long",
+        ),
+        1,
+    )
+    df2, s2, t2 = sink.read_pruned(spark, "a", lower=999)
+    assert [r["k"] for r in df2.collect()] == ["u0"]
+    # explicit arguments still override the recorded clustering
+    sink.compact(spark, files_per_partition=8, sort_by="b")
+    _, sb2, tb2 = sink.read_pruned(spark, "b", lower=900)
+    assert sb2 < tb2
+    sink.clear_clustering()
+    assert sink._clustering() is None
+
+
+def test_merge_into_first_commit_republishes_constraints(spark, tmp_path):
+    """A pre-table CHECK constraint must survive a merge_into FIRST
+    commit (the overwrite truncates the table dir; the sidecar was
+    captured before — previously it was re-read afterwards and
+    silently lost)."""
+    sink = _evo_sink(tmp_path)
+    sink.add_constraint(spark, "positive", "total >= 0")
+    d = dt.datetime(2024, 1, 15, 10, 0)
+    sink.merge_into(
+        spark.createDataFrame(
+            [("a", d, 5)], "k string, window_start timestamp, total bigint"
+        ),
+        0,
+        when_not_matched_insert=True,
+    )
+    assert sink._constraints() == {"positive": "total >= 0"}
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConstraintViolationError,
+    )
+
+    with pytest.raises(ConstraintViolationError):
+        sink.write_batch(
+            spark.createDataFrame(
+                [("bad", d, -1)], "k string, window_start timestamp, total bigint"
+            ),
+            1,
+        )
