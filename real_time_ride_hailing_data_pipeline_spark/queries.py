@@ -3164,9 +3164,12 @@ def lakehouse_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
         "event_id", "ts", "user_id", "event_type", "value"
     )
     workdir = _workdir("rtrh_mevo_")
+    # ts in the key gives key->partition locality: the merge rewrites
+    # ONLY the partitions holding source keys or inserts (the exact
+    # copy-on-write scope), never the whole table
     sink = ParquetUpsertSink(
         _os.path.join(workdir, "t"),
-        key_cols=("event_id",),
+        key_cols=("event_id", "ts"),
         partition_source="ts",
         schema_evolution=True,
     )
