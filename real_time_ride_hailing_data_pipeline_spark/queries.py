@@ -4168,7 +4168,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS r_micro
       FROM st CROSS JOIN tot
     ), w AS (
-      SELECT tb.doc_id, sum(r_micro) AS logw_micro
+      SELECT tb.doc_id, CAST(sum(r_micro) AS BIGINT) AS logw_micro
       FROM tb JOIN ratio USING (bucket) GROUP BY 1
     ), g AS (
       SELECT doc_id, logw_micro,
