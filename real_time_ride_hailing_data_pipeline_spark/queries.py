@@ -177,9 +177,9 @@ _VERIFY_SPARES: list[str] = [
 # r11 rotation candidates (born late-r10, full oracles, verified
 # locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
 # already at 50): lakehouse_merge_schema_evolution,
-# dsir_importance_resample. Also still owed a first driver-green row
-# per VERDICT r9: none (all four never-verified entries are in the
-# r10 window above).
+# dsir_importance_resample, lakehouse_clustered_ingest_maintained.
+# Also still owed a first driver-green row per VERDICT r9: none (all
+# four never-verified entries are in the r10 window above).
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -3120,6 +3120,64 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not sel < tot:
         raise RuntimeError(f"bloom index did not prune: {sel}/{tot} files")
     return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@query(
+    "lakehouse_clustered_ingest_maintained",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE value >= (SELECT max(value) FROM events) * 0.99
+       OR event_id >= (SELECT max(event_id) - 49 FROM events)
+    """,
+)
+def lakehouse_clustered_ingest_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorded clustering maintained ACROSS ingest (sinks.py:
+    set_clustering — the Delta liquid-clustering UX): the z-order
+    clustering is declared ONCE, before the table even exists; the
+    events then land in two micro-batches with a routine argless
+    ``compact()`` after each — NO clustering arguments appear
+    anywhere after the declaration — and BOTH declared dimensions
+    still prune a selective predicate, asserted in-flight. This is
+    the difference between an index that decays until someone
+    remembers the right OPTIMIZE invocation and clustering that is a
+    property of the TABLE, re-applied by every maintenance pass. The
+    oracle recomputes the disjunctive probe with a full scan."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_liquid_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id", "ts"),
+        partition_source="ts",
+    )
+    sink.set_clustering(["value", "event_id"], mode="zorder")
+    half = base.filter(F.col("event_id") % 2 == 0)
+    sink.write_batch(half, 0)
+    sink.compact(spark, files_per_partition=8)  # recorded z-order applies
+    sink.write_batch(base.subtract(half), 1)  # merge decays clustering...
+    sink.compact(spark, files_per_partition=8)  # ...argless pass re-tightens
+    hi_value = base.agg(F.max("value")).collect()[0][0]
+    dfv, sel_v, tot_v = sink.read_pruned(spark, "value", lower=hi_value * 0.99)
+    if not sel_v < tot_v:
+        raise RuntimeError(f"value dim stopped pruning: {sel_v}/{tot_v}")
+    hi_id = base.agg(F.max("event_id")).collect()[0][0]
+    dfe, sel_e, tot_e = sink.read_pruned(spark, "event_id", lower=hi_id - 49)
+    if not sel_e < tot_e:
+        raise RuntimeError(f"event_id dim stopped pruning: {sel_e}/{tot_e}")
+    return (
+        dfv.unionByName(dfe)
+        .distinct()
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
 
 
 @query(
