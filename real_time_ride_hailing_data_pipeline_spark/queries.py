@@ -177,9 +177,10 @@ _VERIFY_SPARES: list[str] = [
 # r11 rotation candidates (born late-r10, full oracles, verified
 # locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
 # already at 50): lakehouse_merge_schema_evolution,
-# dsir_importance_resample, lakehouse_clustered_ingest_maintained.
-# Also still owed a first driver-green row per VERDICT r9: none (all
-# four never-verified entries are in the r10 window above).
+# dsir_importance_resample, lakehouse_clustered_ingest_maintained,
+# lakehouse_point_lookup_time_travel. Also still owed a first
+# driver-green row per VERDICT r9: none (all four never-verified
+# entries are in the r10 window above).
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -2932,6 +2933,72 @@ def lakehouse_time_travel_pruned_read(spark: SparkSession, sf_dir: str) -> DataF
             f"{selected}/{total} files read"
         )
     return df
+
+
+@query(
+    "lakehouse_point_lookup_time_travel",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (SELECT event_id FROM events ORDER BY event_id LIMIT 3)
+      AND event_id > (SELECT min(event_id) FROM events)
+    """,
+)
+def lakehouse_point_lookup_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned point lookup (sinks.py:read_point_at): "find these
+    keys AS OF version N" through the hardlinked sidecar copies.
+    Timeline: epoch 0 writes the events table; a value-clustered
+    compact + a bloom index on event_id equip the live layout; epoch
+    1 DV-deletes the smallest event_id (merge-on-read — the touched
+    partition's epoch copy carries the blooms, stats AND the fresh
+    deletion vector); epoch 2 poisons every value. ``read_point_at
+    (epoch 1, event_id IN smallest-3)`` must then return the two
+    surviving probes with their PRE-poison values, hide the DV'd key,
+    and skip at least the indexed partition's non-matching files —
+    files_selected < files_total asserted in-query. Epoch copies
+    written before the index existed simply lack blooms and are read
+    (absence degrades to correctness). The oracle recomputes the
+    probe minus the deleted key with a full scan."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_ttpoint_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id", "ts"),
+        partition_source="ts",
+        snapshot_dir=_os.path.join(workdir, "snap"),
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="value")
+    sink.create_bloom_index(spark, "event_id")
+    smallest = (
+        base.select("event_id", "ts").orderBy("event_id").limit(3).collect()
+    )
+    probes = [r["event_id"] for r in smallest]
+    sink.delete_keys(
+        spark.createDataFrame(
+            [(smallest[0]["event_id"], smallest[0]["ts"])],
+            "event_id bigint, ts timestamp",
+        ),
+        1,
+        mode="merge_on_read",
+    )
+    # live table diverges: every value poisoned at epoch 2
+    sink.write_batch(base.withColumn("value", F.col("value") + 100000.0), 2)
+    df, selected, total = sink.read_point_at(spark, 1, "event_id", probes)
+    if not selected < total:
+        raise RuntimeError(
+            f"versioned point lookup did not prune: {selected}/{total}"
+        )
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @query(
