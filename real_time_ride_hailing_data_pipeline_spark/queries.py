@@ -178,7 +178,8 @@ _VERIFY_SPARES: list[str] = [
 # locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
 # already at 50): lakehouse_merge_schema_evolution,
 # dsir_importance_resample, lakehouse_clustered_ingest_maintained,
-# lakehouse_point_lookup_time_travel. Also still owed a first
+# lakehouse_point_lookup_time_travel,
+# lakehouse_partition_file_skipping_stack. Also still owed a first
 # driver-green row per VERDICT r9: none (all four never-verified
 # entries are in the r10 window above).
 
@@ -2933,6 +2934,69 @@ def lakehouse_time_travel_pruned_read(spark: SparkSession, sf_dir: str) -> DataF
             f"{selected}/{total} files read"
         )
     return df
+
+
+@query(
+    "lakehouse_partition_file_skipping_stack",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE value >= (SELECT value FROM events
+                    ORDER BY value DESC LIMIT 1 OFFSET 49)
+      AND ts >= (SELECT min(ts) FROM events)
+      AND ts <= (SELECT min(ts) FROM events) + INTERVAL 7 DAY
+    """,
+)
+def lakehouse_partition_file_skipping_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pruning stack in one planned read (sinks.py:
+    read_pruned with ``source_lower``/``source_upper``): partition
+    pruning first — date dirs provably outside the 7-day window skip
+    WHOLE, no per-file check even runs for them — then file-level
+    min/max skipping inside the eligible dirs, both bounds re-applied
+    as predicates so the result never depends on the metadata. The
+    function asserts the composition strictly beats the file axis
+    alone (fewer files than the same value predicate without the time
+    bound) and that both prune (selected < total). At 100 TB this
+    ordering is the whole game: partition pruning removes the bulk
+    for free, file skipping handles the remainder, and the scan costs
+    O(matching files of matching partitions). Oracle: the equivalent
+    full-scan conjunctive filter."""
+    import datetime as _dt
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = _workdir("rtrh_stack_")
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id", "ts"),
+        partition_source="ts",
+    )
+    sink.write_batch(base, 0)
+    sink.compact(spark, files_per_partition=8, sort_by="value")
+    threshold = (
+        base.orderBy(F.desc("value")).limit(50).collect()[-1]["value"]
+    )
+    lo = base.agg(F.min("ts")).collect()[0][0]
+    hi = lo + _dt.timedelta(days=7)
+    _, sel_files_only, _ = sink.read_pruned(spark, "value", lower=threshold)
+    df, sel, tot = sink.read_pruned(
+        spark, "value", lower=threshold, source_lower=lo, source_upper=hi
+    )
+    if not sel < tot:
+        raise RuntimeError(f"the stack did not prune: {sel}/{tot}")
+    if not sel < sel_files_only:
+        raise RuntimeError(
+            f"partition axis added nothing: {sel} vs {sel_files_only} "
+            f"files without the time bound"
+        )
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @query(

@@ -3622,12 +3622,75 @@ class ParquetUpsertSink:
                 },
             )
 
+    def _partition_disjoint(self, dirname: str, lower, upper) -> bool:
+        """True only when the partition dir's time period PROVABLY
+        does not overlap [lower, upper] on the partition source — the
+        first pruning axis, composed in front of the per-file checks.
+        Handles every historical granularity by the dir value's own
+        layout (YYYY / YYYY-MM / YYYY-MM-DD); an unparseable value or
+        the NULL partition is never skipped when it could matter
+        (NULL never satisfies a bound, so bounds exclude it; with no
+        bounds everything is read)."""
+        import datetime as _dtm
+
+        if lower is None and upper is None:
+            return False
+        val = dirname.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            return True  # NULL source never satisfies a range bound
+        try:
+            if len(val) == 4:
+                start = _dtm.datetime(int(val), 1, 1)
+                end = _dtm.datetime(int(val) + 1, 1, 1)
+            elif len(val) == 7:
+                y, m = int(val[:4]), int(val[5:7])
+                start = _dtm.datetime(y, m, 1)
+                end = (
+                    _dtm.datetime(y + 1, 1, 1)
+                    if m == 12
+                    else _dtm.datetime(y, m + 1, 1)
+                )
+            else:
+                d = _dtm.date.fromisoformat(val)
+                start = _dtm.datetime(d.year, d.month, d.day)
+                end = start + _dtm.timedelta(days=1)
+        except ValueError:
+            return False  # unknown layout: must read
+        def _ts(b):
+            if isinstance(b, _dtm.datetime):
+                return b
+            if isinstance(b, _dtm.date):
+                return _dtm.datetime(b.year, b.month, b.day)
+            return None
+        lo, hi = _ts(lower), _ts(upper)
+        if lower is not None and lo is None:
+            return False  # incomparable bound type: must read
+        if upper is not None and hi is None:
+            return False
+        if hi is not None and start > hi:
+            return True
+        if lo is not None and end <= lo:
+            return True
+        return False
+
+    def _source_bound_pred(self, lower, upper):
+        """The re-applied partition-source predicate: results never
+        depend on the dir skipping being right."""
+        pred = F.lit(True)
+        if lower is not None:
+            pred = pred & (F.col(self.partition_source) >= F.lit(lower))
+        if upper is not None:
+            pred = pred & (F.col(self.partition_source) <= F.lit(upper))
+        return pred
+
     def read_pruned(
         self,
         spark: SparkSession,
         column: str,
         lower=None,
         upper=None,
+        source_lower=None,
+        source_upper=None,
     ) -> tuple[DataFrame, int, int]:
         """Data-skipping read (the Iceberg file-stats design): compose
         the table from ONLY the files whose recorded [min, max] of
@@ -3640,7 +3703,12 @@ class ParquetUpsertSink:
         vector deletes only SHRINK a file's true range, so stale
         bounds stay valid over-approximations). The range predicate is
         re-applied to the composed scan, so results never depend on
-        the stats. Returns (DataFrame, files_selected, files_total) —
+        the stats. ``source_lower``/``source_upper`` additionally
+        bound the PARTITION source column: dirs whose time period is
+        provably disjoint are skipped whole (the first pruning axis —
+        at 100 TB partition pruning removes the bulk before any
+        per-file check runs) and the bound re-applies as a predicate.
+        Returns (DataFrame, files_selected, files_total) —
         the counts are the pruning proof the registry entry asserts.
         ``column`` is the logical name; stats live under the physical
         one."""
@@ -3663,9 +3731,21 @@ class ParquetUpsertSink:
                     if d.startswith("part_date=")
                 ]
             )
+        skipped_files = 0
+        if source_lower is not None or source_upper is not None:
+            eligible = {}
+            for pdir, e in entries.items():
+                if self._partition_disjoint(
+                    os.path.basename(pdir.rstrip("/")), source_lower, source_upper
+                ):
+                    skipped_files += len(e.get("files", []))
+                else:
+                    eligible[pdir] = e
+            entries = eligible
         chosen, total = self._select_files_from_entries(
             entries, phys, lower, upper
         )
+        total += skipped_files
         self._invalidate_listing(spark)
         if not chosen:
             base = self._read_table(spark).limit(0)
@@ -3676,7 +3756,7 @@ class ParquetUpsertSink:
             df = reader.parquet(*chosen)
             df = self._apply_dv(spark, df, self._dv_from_entries(entries))
             base = self._to_logical(df, schema)
-        pred = F.lit(True)
+        pred = self._source_bound_pred(source_lower, source_upper)
         if lower is not None:
             pred = pred & (F.col(column) >= F.lit(lower))
         if upper is not None:
@@ -4060,7 +4140,12 @@ class ParquetUpsertSink:
         self._build_blooms(spark, root)
 
     def read_point(
-        self, spark: SparkSession, column: str, values: list
+        self,
+        spark: SparkSession,
+        column: str,
+        values: list,
+        source_lower=None,
+        source_upper=None,
     ) -> tuple[DataFrame, int, int]:
         """Point-lookup read (``column IN (values)``) that composes
         the table from ONLY the files that might hold one of the
@@ -4090,7 +4175,19 @@ class ParquetUpsertSink:
                     if d.startswith("part_date=")
                 ]
             )
+        skipped_files = 0
+        if source_lower is not None or source_upper is not None:
+            eligible = {}
+            for pdir, e in entries.items():
+                if self._partition_disjoint(
+                    os.path.basename(pdir.rstrip("/")), source_lower, source_upper
+                ):
+                    skipped_files += len(e.get("files", []))
+                else:
+                    eligible[pdir] = e
+            entries = eligible
         chosen, total = self._select_files_point(entries, phys, values)
+        total += skipped_files
         self._invalidate_listing(spark)
         if not chosen:
             base = self._read_table(spark).limit(0)
@@ -4102,7 +4199,10 @@ class ParquetUpsertSink:
             df = self._apply_dv(spark, df, self._dv_from_entries(entries))
             base = self._to_logical(df, schema)
         return (
-            base.filter(F.col(column).isin(values)).drop("part_date"),
+            base.filter(
+                self._source_bound_pred(source_lower, source_upper)
+                & F.col(column).isin(values)
+            ).drop("part_date"),
             len(chosen),
             total,
         )

@@ -3372,3 +3372,45 @@ def test_zorder_three_dimensions(spark, tmp_path):
         exp = full.filter(F.col(col) >= 95)
         assert pruned.exceptAll(exp).count() == 0
         assert exp.exceptAll(pruned).count() == 0
+
+
+def test_partition_axis_composes_with_file_skipping(spark, tmp_path):
+    """source_lower/source_upper on read_pruned / read_point: dirs
+    whose period is provably outside the bound skip WHOLE (the first
+    pruning axis), the per-file checks run only inside, the bound
+    re-applies as a predicate, and results equal the full-scan
+    filter; the NULL partition is excluded by any bound; a
+    month-granularity dir parses by its own layout."""
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"), key_cols=("k", "ts"), partition_source="ts"
+    )
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("v"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+         F.make_interval(days=(F.col("id") % 8).cast("int"))).alias("ts"),
+    )
+    sink.write_batch(df, 0)
+    sink.compact(spark, files_per_partition=4, sort_by="v")
+    full = sink.read(spark)
+    lo = dt.datetime(2024, 1, 3)
+    hi = dt.datetime(2024, 1, 4, 23, 59, 59)
+    got, sel, tot = sink.read_pruned(
+        spark, "v", lower=990, source_lower=lo, source_upper=hi
+    )
+    exp = full.filter((F.col("v") >= 990) & (F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # 2 of 8 dirs eligible, then stats prune within them: at most
+    # 2*4 files chosen of 32 total
+    assert sel <= 8 and tot == 32
+    # point probe with the same partition bound
+    sink.create_bloom_index(spark, "k")
+    pg, ps, pt = sink.read_point(
+        spark, "k", [2, 3999], source_lower=lo, source_upper=hi
+    )
+    # k=2 falls on 2024-01-03 (in range), k=3999 on 2024-01-08 (out)
+    assert [r["k"] for r in pg.collect()] == [2]
+    assert ps < pt
+    # no bounds: unchanged behavior
+    allp, s0, t0 = sink.read_pruned(spark, "v", lower=990)
+    assert allp.count() == full.filter("v >= 990").count()
