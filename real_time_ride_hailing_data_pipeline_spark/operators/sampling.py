@@ -140,7 +140,19 @@ def dsir_importance_weights(
        primitive as hash_split: reproducible, growth-stable).
 
     Returns (id_col, logw_micro, score_micro) — one row per document
-    that has at least one token."""
+    that has at least one token.
+
+    Residual portability risk (ADVICE r10, documented by design): the
+    micro fixed point makes the per-doc SUM order-independent, but the
+    per-bucket ``floor(ln(...) * 1e6)`` itself is computed by the
+    engine's libm — a 1-ulp ``log()`` difference between two engines
+    at a value landing EXACTLY on a micro boundary could flip one
+    bucket's integer by 1 (probability ~1e-10 per bucket for
+    correctly-rounded libms; zero observed across JVM/DuckDB at every
+    shipped SF). Verification against a foreign engine should treat
+    the micro scores as quantized-but-floating-derived: prefer the
+    keep-SET comparison (top-k ids) or a ±1-micro tolerance over
+    byte-exact hashing if an engine pair ever disagrees."""
     flagged = df.select(
         F.col(id_col),
         F.when(target_cond, F.lit(1)).otherwise(F.lit(0)).alias("__is_tgt"),

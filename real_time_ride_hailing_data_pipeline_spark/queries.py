@@ -2989,13 +2989,34 @@ def lakehouse_partition_file_skipping_stack(spark: SparkSession, sf_dir: str) ->
     df, sel, tot = sink.read_pruned(
         spark, "value", lower=threshold, source_lower=lo, source_upper=hi
     )
-    if not sel < tot:
-        raise RuntimeError(f"the stack did not prune: {sel}/{tot}")
-    if not sel < sel_files_only:
+    # the pruning proof, gated on the data actually admitting it
+    # (ADVICE r10): strict improvement over the file axis alone is
+    # GUARANTEED only when some matching row lives a full partition
+    # granule past the window — its file is value-selected but its
+    # whole date dir is provably disjoint, so the stack must drop it.
+    # At every shipped SF this holds (events span months); a ≤7-day
+    # table simply skips the strict checks instead of raising on a
+    # correct result. Composition may never be WORSE, unconditionally.
+    if sel > sel_files_only:
         raise RuntimeError(
-            f"partition axis added nothing: {sel} vs {sel_files_only} "
-            f"files without the time bound"
+            f"partition axis made selection WORSE: {sel} vs "
+            f"{sel_files_only} files without the time bound"
         )
+    provably_prunable = (
+        base.filter(
+            (F.col("value") >= threshold)
+            & (F.col("ts") >= F.lit(hi + _dt.timedelta(days=1)))
+        ).limit(1).count()
+        > 0
+    )
+    if provably_prunable:
+        if not sel < tot:
+            raise RuntimeError(f"the stack did not prune: {sel}/{tot}")
+        if not sel < sel_files_only:
+            raise RuntimeError(
+                f"partition axis added nothing: {sel} vs {sel_files_only} "
+                f"files without the time bound"
+            )
     return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 

@@ -2098,15 +2098,27 @@ class ParquetUpsertSink:
         data — the operational surface for "is this table compacted /
         indexed / carrying delete debt?" that OPTIMIZE decisions need
         at 100 TB."""
+        schema_ddl = (
+            "part_date string, file string, bytes long, "
+            "has_stats boolean, has_bloom boolean, dv_deleted_rows long"
+        )
+        # heal a crashed swap first — every other read path does, and
+        # without it this view could describe a mid-crash staging
+        # state; a never-written table is an empty view, not an error
+        # (ADVICE r10)
+        self._repair_for_read(spark)
         cons = self._consolidated()
         if cons is not None:
             entries = dict(cons)
         else:
-            entries = {
-                d: self._dir_entry(os.path.join(self.path, d))
-                for d in sorted(os.listdir(self.path))
-                if d.startswith("part_date=")
-            }
+            try:
+                entries = {
+                    d: self._dir_entry(os.path.join(self.path, d))
+                    for d in sorted(os.listdir(self.path))
+                    if d.startswith("part_date=")
+                }
+            except FileNotFoundError:
+                return spark.createDataFrame([], schema_ddl)
         rows = []
         for d in sorted(entries):
             e = entries[d]
@@ -2129,11 +2141,7 @@ class ParquetUpsertSink:
                         len(dv.get(fname, [])),
                     )
                 )
-        return spark.createDataFrame(
-            rows,
-            "part_date string, file string, bytes long, "
-            "has_stats boolean, has_bloom boolean, dv_deleted_rows long",
-        )
+        return spark.createDataFrame(rows, schema_ddl)
 
     def read_at_timestamp(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time-travel read by WALL-CLOCK instant (the Delta
@@ -3125,21 +3133,37 @@ class ParquetUpsertSink:
     # boundary array) cheap inside the rewrite's projection
     _ZORDER_BITS = 6
 
-    def _zorder_expr(self, df: DataFrame, cols: list[str]):
+    def _zorder_bounds(self, df: DataFrame, cols: list[str]) -> list[list[float]]:
+        """The per-dimension quantile boundaries a z-order rewrite
+        bucketizes against: ONE distributed approxQuantile pass."""
+        bits = self._ZORDER_BITS
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        return df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        ).stat.approxQuantile(cols, probs, 0.001)
+
+    def _zorder_expr(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        bounds: list[list[float]] | None = None,
+    ):
         """The z-value column: per dimension, bucketize to 2^bits
         ranks over APPROX-QUANTILE boundaries (skew-robust — equal-
         width buckets would collapse under a hot key, the same reason
         Delta's ZORDER uses range-partition ids, not min/max scaling),
         then bit-interleave the ranks JVM-side. One distributed
-        quantile pass plans the boundaries; the per-row expression is
-        pure Catalyst (no Python), so the rewrite stays in the JVM.
-        NULLs rank 0 (first), matching NULLS FIRST sort semantics."""
+        quantile pass plans the boundaries (skipped when the caller
+        passes cached ``bounds`` — scoped auto-compactions reuse the
+        last full rewrite's boundaries so routine lock-held
+        maintenance costs zero extra scans, ADVICE r10); the per-row
+        expression is pure Catalyst (no Python), so the rewrite stays
+        in the JVM. NULLs rank 0 (first), matching NULLS FIRST sort
+        semantics."""
+        if bounds is None:
+            bounds = self._zorder_bounds(df, cols)
         bits = self._ZORDER_BITS
-        n_buckets = 1 << bits
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = df.select(
-            *[F.col(c).cast("double").alias(c) for c in cols]
-        ).stat.approxQuantile(cols, probs, 0.001)
         ranks = []
         for c, bnds in zip(cols, bounds):
             uniq = sorted(set(bnds))
@@ -3177,10 +3201,12 @@ class ParquetUpsertSink:
         sort_by: str | list[str] | None = None,
         zorder_by: list[str] | None = None,
     ) -> None:
+        from_recorded = False
         if sort_by is None and zorder_by is None:
             rec = self._clustering()
             if rec is not None:  # recorded clustering is the default
                 cols, mode = rec
+                from_recorded = True
                 if mode == "zorder":
                     zorder_by = cols
                 else:
@@ -3261,7 +3287,25 @@ class ParquetUpsertSink:
                 d for d in os.listdir(self.path) if d.startswith("part_date=")
             ]
             n_ranges = max(1, files_per_partition * max(1, len(scope)))
-            zed = current.withColumn("__z", self._zorder_expr(current, sort_cols))
+            # recorded-clustering maintenance must stay cheap under
+            # the writer lock (ADVICE r10): a SCOPED auto-compaction
+            # reuses the quantile boundaries the last FULL rewrite
+            # cached in the clustering sidecar (bucket boundaries only
+            # steer file layout — staleness costs pruning tightness,
+            # never correctness); a full rewrite recomputes and
+            # refreshes the cache.
+            bounds = (
+                self._clustering_bounds(sort_cols)
+                if from_recorded and only_partitions is not None
+                else None
+            )
+            if bounds is None:
+                bounds = self._zorder_bounds(current, sort_cols)
+                if from_recorded and only_partitions is None:
+                    self._save_clustering_bounds(sort_cols, bounds)
+            zed = current.withColumn(
+                "__z", self._zorder_expr(current, sort_cols, bounds)
+            )
             shuffled = zed.repartitionByRange(
                 n_ranges, "part_date", F.col("__z")
             ).sortWithinPartitions("part_date", "__z")
@@ -3873,6 +3917,31 @@ class ParquetUpsertSink:
         except (FileNotFoundError, ValueError, KeyError):
             return None
 
+    def _clustering_bounds(self, cols: list[str]) -> list[list[float]] | None:
+        """Cached z-order quantile boundaries from the last FULL
+        recorded-clustering rewrite, or None. Keyed by the column
+        list, so a re-declared clustering invalidates the cache."""
+        try:
+            with open(self._clustering_file()) as fh:
+                data = json.load(fh)
+            if list(data.get("columns", [])) != list(cols):
+                return None
+            bounds = data["bounds"]
+            return [list(map(float, b)) for b in bounds]
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return None
+
+    def _save_clustering_bounds(
+        self, cols: list[str], bounds: list[list[float]]
+    ) -> None:
+        rec = self._clustering()
+        if rec is None or list(rec[0]) != list(cols):
+            return
+        self._atomic_json_write(
+            self._clustering_file(),
+            {"columns": rec[0], "mode": rec[1], "bounds": bounds},
+        )
+
     def set_clustering(
         self, columns: list[str], mode: str = "zorder"
     ) -> None:
@@ -3989,6 +4058,29 @@ class ParquetUpsertSink:
             raise ValueError(f"k must be 1..{self._BLOOM_MAX_K}")
         if m is not None and m % 8:
             raise ValueError("m must be a multiple of 8")
+        # the probe side hashes Python str(value) and the build side
+        # hashes Spark's CAST(col AS STRING); those renderings agree
+        # ONLY for integral and string types (doubles: '1e+16' vs
+        # '1.0E16'; timestamps: microsecond padding; booleans: 'True'
+        # vs 'true') — a mismatched rendering would set different bit
+        # positions than the probe checks and silently skip files that
+        # DO contain matches, so refuse the declaration up front
+        # (ADVICE r10)
+        schema = self._stored_schema()
+        if schema is not None:
+            from pyspark.sql.types import IntegralType, StringType
+
+            field = next(
+                (f for f in schema.fields if f.name == column), None
+            )
+            if field is not None and not isinstance(
+                field.dataType, (IntegralType, StringType)
+            ):
+                raise TypeError(
+                    f"bloom index on {column!r} ({field.dataType.simpleString()}) "
+                    f"unsupported: only integral and string columns render "
+                    f"identically under Python str() and Spark CAST AS STRING"
+                )
         with self._writer_lock():
             phys = self._phys_name_of(column)
             meta = self._bloom_meta()
@@ -4223,6 +4315,17 @@ class ParquetUpsertSink:
         chosen: list[str] = []
         total = 0
         pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+        # a probe value whose Python str() may not match Spark's
+        # string CAST (anything but int/str — bool is an int subclass
+        # but renders 'True' vs 'true') must never be bloom-skipped:
+        # the bitset was built from the CAST rendering, so a mismatch
+        # would wrongly prove absence. Such values degrade to the
+        # stats axis + must-read (ADVICE r10).
+        bloomable = [
+            isinstance(v, str)
+            or (isinstance(v, int) and not isinstance(v, bool))
+            for v in values
+        ]
         for pdir in sorted(entries):
             e = entries[pdir]
             stats = None
@@ -4264,7 +4367,8 @@ class ParquetUpsertSink:
                     alive = [
                         i
                         for i in alive
-                        if all(
+                        if not bloomable[i]
+                        or all(
                             bits[p >> 3] & (1 << (p & 7)) for p in probe[i]
                         )
                     ]
