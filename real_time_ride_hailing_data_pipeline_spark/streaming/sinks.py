@@ -3560,6 +3560,361 @@ class ParquetUpsertSink:
                 }
             scope = skipped  # retry only the conflicted dirs
 
+    # -- concurrent disjoint-partition writers (full OCC, r11) --------------
+    # optimize() brought snapshot isolation to MAINTENANCE; ingest
+    # itself still serialized on the writer lock for the whole
+    # read-merge-write. write_batch_occ generalizes the fingerprint
+    # protocol to DATA commits (the Delta OCC model): the lock is held
+    # only to PIN the touched partitions and to CONFLICT-CHECK + swap
+    # at commit; the O(bytes) merge runs lock-free against the
+    # immutable pin. Two writers touching DISJOINT partitions both
+    # commit concurrently; writers that raced on a partition retry
+    # from a fresh pin. At 100 TB this is the difference between one
+    # ingest stream per table and N backfill jobs landing together.
+
+    def _writer_lock_blocking(self, timeout_s: float = 120.0):
+        """A waiting variant of ``_writer_lock`` for the OCC phases:
+        a live holder means 'brief metadata moment in progress', so
+        the right move is a short jittered wait, not the single-writer
+        refusal. Same lock file, same crash recovery."""
+        import contextlib
+        import random
+        import time
+
+        sink = self
+
+        @contextlib.contextmanager
+        def _cm():
+            deadline = time.monotonic() + timeout_s
+            while True:
+                lk = sink._writer_lock()
+                try:
+                    lk.__enter__()
+                except ConcurrentWriterError:
+                    if time.monotonic() >= deadline:
+                        raise
+                    time.sleep(0.02 + random.random() * 0.08)
+                    continue
+                try:
+                    yield
+                finally:
+                    lk.__exit__(None, None, None)
+                return
+
+        return _cm()
+
+    def _meta_fingerprint(self):
+        """Conflict fingerprint of the TABLE-LEVEL metadata an OCC
+        commit depends on (schema, partition specs, constraints,
+        column mapping, clustering, bloom declarations): any
+        concurrent change to these invalidates the staged merge even
+        if no touched partition moved. CONTENT-hashed, not mtime'd:
+        every commit republishes the (unchanged) schema file, and a
+        disjoint writer's commit must not read as a conflict."""
+        import hashlib
+
+        out = []
+        for p in (
+            self._schema_file(),
+            self._partspec_file(),
+            self._constraints_file(),
+            self._colmap_file(),
+            self._clustering_file(),
+            self._bloom_meta_file(),
+        ):
+            try:
+                with open(p, "rb") as fh:
+                    digest = hashlib.sha256(fh.read()).hexdigest()
+            except FileNotFoundError:
+                digest = None
+            out.append((os.path.basename(p), digest))
+        return out
+
+    def _occ_applied_file(self) -> str:
+        return os.path.join(self.path, "_occ_applied.json")
+
+    def _occ_applied(self) -> dict[str, int]:
+        """Idempotence ledger: OCC epoch key -> committed snapshot
+        version (bounded; see ``write_batch_occ``)."""
+        try:
+            with open(self._occ_applied_file()) as fh:
+                return {str(k): int(v) for k, v in json.load(fh).items()}
+        except (FileNotFoundError, ValueError, TypeError):
+            return {}
+
+    def _occ_record_applied(self, key: int, version: int) -> None:
+        applied = self._occ_applied()
+        applied[str(key)] = version
+        if len(applied) > 512:  # bounded ledger: oldest keys age out
+            for k in sorted(applied, key=lambda s: applied[s])[
+                : len(applied) - 512
+            ]:
+                applied.pop(k, None)
+        self._atomic_json_write(self._occ_applied_file(), applied)
+
+    def _occ_gc(self) -> None:
+        """Remove private OCC work dirs left by DEAD writers (named
+        ``<table>__occ_<pid>_<hex>``; a crash before the commit rename
+        orphans them — nothing downstream references an uncommitted
+        private staging, so removal is always safe once the pid is
+        gone)."""
+        parent = os.path.dirname(self.path.rstrip("/")) or "."
+        prefix = os.path.basename(self.path.rstrip("/")) + "__occ_"
+        try:
+            names = os.listdir(parent)
+        except FileNotFoundError:
+            return
+        for n in names:
+            if not n.startswith(prefix):
+                continue
+            try:
+                pid = int(n[len(prefix) :].split("_", 1)[0])
+            except ValueError:
+                continue
+            if pid != os.getpid() and not _pid_alive(pid):
+                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+
+    def write_batch_occ(
+        self,
+        batch_df: DataFrame,
+        epoch_id: int,
+        max_retries: int = 5,
+        on_staged: Callable[[], None] | None = None,
+    ) -> dict:
+        """MERGE one batch under OPTIMISTIC concurrency (Delta-style
+        full OCC — VERDICT r10 item 4). Protocol per attempt:
+
+        - **pin** (brief blocking lock): crash recovery, then
+          hardlink-pin the batch's touched partitions and record their
+          conflict fingerprints plus the table-metadata fingerprint.
+        - **merge** (NO lock): keep ∪ batch computed from the
+          immutable pin (deletion vectors folded, stats/blooms
+          refreshed) into a PRIVATE staging — the expensive O(bytes)
+          work, concurrent with other writers' merges.
+        - **commit** (brief blocking lock): re-check every
+          fingerprint. Untouched-by-others ⇒ rename the private
+          staging onto the canonical staging path and run the
+          EXISTING crash-safe commit + snapshot protocol (all recovery
+          entry points apply unchanged). Any touched dir or metadata
+          changed ⇒ drop the staging and retry from a fresh pin.
+
+        Writers touching DISJOINT partitions therefore commit
+        concurrently — neither sees the other's fingerprints move.
+        The committed snapshot VERSION is allocated at commit (next
+        after the newest committed version, or ``epoch_id`` when it is
+        already newer), so versions are monotone in COMMIT order even
+        when callers' epochs race; ``epoch_id`` itself is the
+        IDEMPOTENCE key, recorded in a bounded ledger — a replayed key
+        returns the original version without re-applying. A crash
+        between the ledger write and the data commit replays as a
+        content-idempotent re-merge (overwrite-per-key), the same
+        at-least-once versioning the streaming replay path has.
+
+        Scope guards (these shapes take the serialized ``write_batch``
+        path): first write to a new table, evolved partition specs,
+        active column mapping, and schema evolution — each raises
+        ValueError naming the fallback. Returns ``{"version": v,
+        "attempts": n, "touched": [...]}``."""
+        import uuid as _uuid
+
+        spark = batch_df.sparkSession
+        if not self._table_exists():
+            raise ValueError(
+                "write_batch_occ needs an existing table; create it "
+                "with write_batch first"
+            )
+        if len(self._transforms()) != 1:
+            raise ValueError(
+                "write_batch_occ does not span partition-spec "
+                "evolution; use write_batch"
+            )
+        if self._colmap_active():
+            raise ValueError(
+                "write_batch_occ does not support column-mapped "
+                "tables; use write_batch"
+            )
+        schema = self._stored_schema()
+        stored_cols = {f.name for f in schema.fields} if schema else set()
+        batch_cols = set(batch_df.columns) | {"part_date"}
+        if schema is not None and stored_cols != batch_cols:
+            raise ValueError(
+                f"write_batch_occ is evolution-free: batch columns "
+                f"{sorted(batch_cols)} != table columns "
+                f"{sorted(stored_cols)}; use write_batch("
+                f"schema_evolution=True)"
+            )
+        applied = self._occ_applied()
+        if str(epoch_id) in applied:
+            return {
+                "version": applied[str(epoch_id)],
+                "attempts": 0,
+                "touched": [],
+            }
+        if batch_df.isEmpty():
+            # empty micro-batch: nothing to pin or merge — one empty
+            # snapshot commit under the lock, same as write_batch
+            with self._writer_lock_blocking():
+                self._finish_pending_epoch(spark)
+                committed = self.snapshots()
+                version = (
+                    max(committed) + 1
+                    if committed and max(committed) >= epoch_id
+                    else epoch_id
+                )
+                self._snapshot(spark, version, touched=[])
+                self._occ_record_applied(epoch_id, version)
+            return {"version": version, "attempts": 1, "touched": []}
+        occ_root = (
+            f"{self.path.rstrip('/')}__occ_{os.getpid()}_{_uuid.uuid4().hex}"
+        )
+        batch_dir = os.path.join(occ_root, "batch")
+        pin_root = os.path.join(occ_root, "pin")
+        merged = os.path.join(occ_root, "merged")
+        specs = self._transforms()
+        batch = batch_df.withColumn(
+            "part_date", self._derive_part_date(specs[-1])
+        )
+        batch.write.mode("overwrite").parquet(batch_dir)
+        staged = spark.read.parquet(batch_dir)
+        touched = sorted(
+            self._part_dirname(r[0])
+            for r in staged.select("part_date").distinct().collect()
+        )
+        out_cols = [f.name for f in schema.fields] if schema else None
+        attempts = 0
+        fired = False
+        try:
+            while True:
+                attempts += 1
+                # -- pin (brief blocking lock) ------------------------
+                with self._writer_lock_blocking():
+                    self._finish_compact(self._compact_staging())
+                    self._finish_migrate()
+                    self._heal_migration_snapshot(spark)
+                    self._finish_pending_epoch(spark)
+                    self._occ_gc()
+                    if str(epoch_id) in self._occ_applied():
+                        return {
+                            "version": self._occ_applied()[str(epoch_id)],
+                            "attempts": attempts,
+                            "touched": [],
+                        }
+                    shutil.rmtree(pin_root, ignore_errors=True)
+                    shutil.rmtree(merged, ignore_errors=True)
+                    os.makedirs(pin_root, exist_ok=True)
+                    pinned_fp = {}
+                    for d in touched:
+                        src = os.path.join(self.path, d)
+                        if os.path.isdir(src):
+                            self._copytree_link(
+                                src, os.path.join(pin_root, d)
+                            )
+                        pinned_fp[d] = self._dir_fingerprint(src)
+                    meta_fp = self._meta_fingerprint()
+                # -- merge (NO lock: reads only batch + immutable pin) --
+                # audit per ATTEMPT against the constraints as pinned
+                # (a constraint added mid-flight flips the metadata
+                # fingerprint and forces this re-audit via retry)
+                self._audit_batch(staged)
+                pin_dirs = [
+                    os.path.join(pin_root, d)
+                    for d in touched
+                    if os.path.isdir(os.path.join(pin_root, d))
+                ]
+                if pin_dirs:
+                    reader = spark.read.option("basePath", pin_root)
+                    if schema is not None:
+                        reader = reader.schema(self._physical_schema(schema))
+                    existing = reader.parquet(*pin_dirs)
+                    existing = self._apply_dv(
+                        spark, existing, self._dv_map(pin_dirs)
+                    )
+                    existing = self._to_logical(existing, schema)
+                    keep = self._anti_join_keys(
+                        existing, staged.select(*self.key_cols)
+                    )
+                    out = keep.unionByName(staged)
+                else:
+                    out = staged
+                if out_cols is not None:
+                    out = out.select(*out_cols)
+                self._to_physical(out, schema).write.mode(
+                    "overwrite"
+                ).partitionBy("part_date").parquet(merged)
+                if schema is not None:
+                    self._atomic_json_write(
+                        os.path.join(merged, "_LOGICAL_SCHEMA.json"),
+                        schema.jsonValue(),
+                    )
+                self._refresh_staged_stats(merged)
+                self._refresh_staged_blooms(merged)
+                emptied = [
+                    d
+                    for d in touched
+                    if not os.path.isdir(os.path.join(merged, d))
+                ]
+                self._atomic_json_write(
+                    os.path.join(merged, "_TOUCHED"),
+                    {"touched": touched, "emptied": emptied, "op": "merge"},
+                )
+                if on_staged is not None and not fired:
+                    fired = True
+                    on_staged()
+                # -- commit (brief blocking lock): conflict check + swap
+                with self._writer_lock_blocking():
+                    self._finish_compact(self._compact_staging())
+                    self._finish_migrate()
+                    self._heal_migration_snapshot(spark)
+                    self._finish_pending_epoch(spark)
+                    conflict = self._meta_fingerprint() != meta_fp or any(
+                        self._dir_fingerprint(os.path.join(self.path, d))
+                        != pinned_fp[d]
+                        for d in touched
+                    )
+                    if conflict:
+                        shutil.rmtree(pin_root, ignore_errors=True)
+                        shutil.rmtree(merged, ignore_errors=True)
+                        if attempts > max_retries:
+                            raise ConcurrentWriterError(
+                                f"write_batch_occ lost the partition "
+                                f"race {attempts} times on {touched}"
+                            )
+                        continue
+                    committed = self.snapshots()
+                    version = (
+                        max(committed) + 1
+                        if committed and max(committed) >= epoch_id
+                        else epoch_id
+                    )
+                    self._atomic_json_write(
+                        os.path.join(merged, "_EPOCH"), version
+                    )
+                    # an INCOMPLETE canonical staging (no certified
+                    # epoch) is a discarded crash artifact; recovery
+                    # above finished any complete one
+                    if os.path.isdir(self.merged_path):
+                        shutil.rmtree(self.merged_path, ignore_errors=True)
+                    os.rename(merged, self.merged_path)
+                    # from here the EXISTING crash-safe protocol owns
+                    # the commit: any crash replays via
+                    # _finish_pending_epoch at every entry point
+                    if emptied:
+                        self._commit(spark, drop_staging=False)
+                        self._snapshot(spark, version, touched)
+                        shutil.rmtree(self.merged_path, ignore_errors=True)
+                    else:
+                        self._commit(spark)
+                        self._snapshot(spark, version, touched)
+                    self._occ_record_applied(epoch_id, version)
+                    self._auto_compact(spark, touched)
+                    return {
+                        "version": version,
+                        "attempts": attempts,
+                        "touched": touched,
+                    }
+        finally:
+            shutil.rmtree(occ_root, ignore_errors=True)
+
     def _phys_name_of(self, logical: str) -> str:
         schema = self._stored_schema()
         if schema is not None:
@@ -3634,7 +3989,7 @@ class ParquetUpsertSink:
                 },
             )
 
-    def _refresh_staged_stats(self) -> None:
+    def _refresh_staged_stats(self, root: str | None = None) -> None:
         """Keep file stats alive ACROSS merges and deletes: for every
         staged partition whose LIVE counterpart carries a
         ``_stats.json``, recompute the per-file ranges from the STAGED
@@ -3645,11 +4000,13 @@ class ParquetUpsertSink:
         whatever still can be skipped until the next
         ``compact(sort_by=...)`` re-tightens the files. Driver-side
         O(staged files) footer reads, only for stats-bearing
-        partitions."""
-        if not os.path.isdir(self.merged_path):
+        partitions. ``root`` defaults to the canonical merge staging
+        (OCC writers pass their private staging)."""
+        root = self.merged_path if root is None else root
+        if not os.path.isdir(root):
             return
-        for d in os.listdir(self.merged_path):
-            staged_dir = os.path.join(self.merged_path, d)
+        for d in os.listdir(root):
+            staged_dir = os.path.join(root, d)
             if not d.startswith("part_date=") or not os.path.isdir(staged_dir):
                 continue
             live_sidecar = os.path.join(self.path, d, "_stats.json")

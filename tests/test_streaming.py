@@ -2635,6 +2635,180 @@ def test_writer_lock_recovers_a_dead_processes_lock(tmp_path):
     assert not os.path.exists(sink._lock_file())
 
 
+# -- concurrent disjoint-partition writers (r11, VERDICT r10 item 4) ---------
+
+
+def _occ_seed(spark, tmp_path, snap=True):
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(tmp_path / "snap") if snap else None,
+    )
+    d1, d2 = dt.datetime(2024, 1, 15, 10, 0), dt.datetime(2024, 1, 16, 11, 0)
+    sink.write_batch(
+        spark.createDataFrame(
+            [("a", d1, 10), ("b", d1, 30), ("c", d2, 50), ("d", d2, 70)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        0,
+    )
+    return sink, d1, d2
+
+
+def test_occ_disjoint_writers_commit_without_retry(spark, tmp_path):
+    """Two OCC writers on DISJOINT partitions both commit, the one
+    whose staged window the other landed in does NOT retry, versions
+    are monotone in commit order, and time travel sees each commit."""
+    sink, d1, d2 = _occ_seed(spark, tmp_path)
+    order = []
+
+    def mid():
+        res_b = sink.write_batch_occ(
+            spark.createDataFrame(
+                [("c", d2, 777)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            2,
+        )
+        order.append(("B", res_b))
+
+    res_a = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("b", d1, 31)], "k string, window_start timestamp, total bigint"
+        ),
+        1,
+        on_staged=mid,
+    )
+    order.append(("A", res_a))
+    assert order[0][0] == "B" and order[0][1]["attempts"] == 1
+    assert res_a["attempts"] == 1  # disjoint: no retry despite B's commit
+    assert order[0][1]["version"] < res_a["version"]
+    got = sorted((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got == [("a", 10), ("b", 31), ("c", 777), ("d", 70)]
+    # B's version excludes A's change; A's includes both
+    at_b = dict(
+        (r["k"], r["total"])
+        for r in sink.read_at(spark, order[0][1]["version"]).collect()
+    )
+    assert at_b["c"] == 777 and at_b["b"] == 30
+
+
+def test_occ_conflicting_writer_retries_and_folds(spark, tmp_path):
+    """A writer whose pinned partition another commit touched
+    mid-merge RETRIES from a fresh pin and folds the other's rows in
+    — no lost update in either direction."""
+    sink, d1, _ = _occ_seed(spark, tmp_path)
+
+    def mid():
+        sink.write_batch_occ(
+            spark.createDataFrame(
+                [("q", d1, 5)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            2,
+        )
+
+    res = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("b", d1, 32)], "k string, window_start timestamp, total bigint"
+        ),
+        3,
+        on_staged=mid,
+    )
+    assert res["attempts"] == 2
+    got = sorted((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got == [("a", 10), ("b", 32), ("c", 50), ("d", 70), ("q", 5)]
+
+
+def test_occ_two_processes_disjoint_partitions(spark, tmp_path):
+    """REAL two-process concurrency (the r10 lock-test pattern): a
+    child process with its own SparkSession commits to partition d2
+    while THIS process's writer sits between stage and commit on d1.
+    Both commit; the parent does not retry; the final state equals
+    serial application."""
+    import subprocess
+    import sys as _sys
+
+    sink, d1, d2 = _occ_seed(spark, tmp_path, snap=False)
+    prog = (
+        "import sys, datetime as dt; sys.path.insert(0, {root!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import ParquetUpsertSink\n"
+        "sink = ParquetUpsertSink({path!r}, key_cols=('k', 'window_start'))\n"
+        "res = sink.write_batch_occ(spark.createDataFrame(\n"
+        "    [('d', dt.datetime(2024, 1, 16, 11), 71)],\n"
+        "    'k string, window_start timestamp, total bigint'), 2)\n"
+        "assert res['attempts'] == 1, res\n"
+        "spark.stop()\n"
+    ).format(root=REPO_ROOT, path=sink.path)
+
+    def mid():
+        proc = subprocess.run(
+            [_sys.executable, "-c", prog], capture_output=True, timeout=300
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+
+    res = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("a", d1, 11)], "k string, window_start timestamp, total bigint"
+        ),
+        3,
+        on_staged=mid,
+    )
+    assert res["attempts"] == 1  # the child's d2 commit is disjoint
+    got = sorted((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got == [("a", 11), ("b", 30), ("c", 50), ("d", 71)]
+
+
+def test_occ_guards_idempotence_and_gc(spark, tmp_path):
+    """Scope guards name the serialized fallback; a replayed epoch key
+    returns its original version without re-applying; dead writers'
+    private dirs are garbage-collected."""
+    sink, d1, _ = _occ_seed(spark, tmp_path)
+    fresh = ParquetUpsertSink(str(tmp_path / "nope"), key_cols=("k",))
+    with pytest.raises(ValueError, match="existing table"):
+        fresh.write_batch_occ(
+            spark.createDataFrame([("a", d1, 1)],
+                                  "k string, window_start timestamp, total bigint"),
+            0,
+        )
+    with pytest.raises(ValueError, match="evolution-free"):
+        sink.write_batch_occ(
+            spark.createDataFrame([("a", d1, 1, 9)],
+                                  "k string, window_start timestamp, "
+                                  "total bigint, extra bigint"),
+            1,
+        )
+    res = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("a", d1, 99)], "k string, window_start timestamp, total bigint"
+        ),
+        7,
+    )
+    replay = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("a", d1, 123456)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        7,
+    )
+    assert replay["version"] == res["version"] and replay["attempts"] == 0
+    assert [r["total"] for r in sink.read(spark).filter("k='a'").collect()] == [99]
+    # dead-pid private dir is GC'd on the next writer's pin
+    orphan = sink.path.rstrip("/") + "__occ_999999_deadbeef"
+    os.makedirs(orphan, exist_ok=True)
+    sink.write_batch_occ(
+        spark.createDataFrame(
+            [("b", d1, 42)], "k string, window_start timestamp, total bigint"
+        ),
+        8,
+    )
+    assert not os.path.isdir(orphan)
+
+
 # -- generalized MERGE INTO (r10, VERDICT r9 item 3) -------------------------
 
 
@@ -3259,6 +3433,101 @@ def test_bloom_rejects_unrenderable_types(spark, tmp_path):
     # also guarded, but Spark's isin rejects BOOLEAN-vs-BIGINT at
     # analysis before the bloom could ever mis-skip, so only the
     # coercible float shape is exercisable end to end)
+
+
+def test_index_maintenance_cost_is_o_rewritten_files(spark, tmp_path):
+    """Mutating ONE partition of a bloom-indexed, clustered table
+    re-stages sidecars for THAT partition only (VERDICT r10 item 3 —
+    'can afford the index at 100 TB'): the other partitions'
+    _bloom.json/_stats.json are untouched on disk (mtime-proven), the
+    bloom rebuild runs against the staging root (never the live
+    table), and the stats refresh reads only the staged files'
+    parquet footers (spied via pyarrow.parquet.ParquetFile)."""
+    import pyarrow.parquet as _pq
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"), key_cols=("uid",), partition_source="ts"
+    )
+    df = spark.range(5000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 97).alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("b"),
+        F.expr(
+            "timestampadd(DAY, CAST(id % 5 AS INT), "
+            "timestamp'2024-03-01 00:00:00')"
+        ).alias("ts"),
+    )
+    sink.write_batch(df, 0)
+    sink.set_clustering(["a", "b"], mode="zorder")
+    sink.compact(spark, files_per_partition=6)  # applies recorded z
+    sink.create_bloom_index(spark, "uid")
+    dirs = sorted(
+        d for d in os.listdir(sink.path) if d.startswith("part_date=")
+    )
+    assert len(dirs) == 5
+    touched_dir = "part_date=2024-03-02"  # uid % 5 == 1
+
+    def sidecar_mtimes():
+        out = {}
+        for d in dirs:
+            for sc in ("_bloom.json", "_stats.json"):
+                p = os.path.join(sink.path, d, sc)
+                out[(d, sc)] = os.stat(p).st_mtime_ns
+        return out
+
+    before = sidecar_mtimes()
+    footer_reads: list[str] = []
+    build_roots: list[str] = []
+    orig_pf = _pq.ParquetFile
+    orig_build = ParquetUpsertSink._build_blooms
+
+    def spy_pf(path, *a, **kw):
+        footer_reads.append(str(path))
+        return orig_pf(path, *a, **kw)
+
+    def spy_build(self, sp, root):
+        build_roots.append(root)
+        return orig_build(self, sp, root)
+
+    _pq.ParquetFile = spy_pf
+    ParquetUpsertSink._build_blooms = spy_build
+    try:
+        batch = spark.createDataFrame(
+            [(1_000_001, 1, 2, dt.datetime(2024, 3, 2, 12))],
+            "uid long, a long, b long, ts timestamp",
+        )
+        sink.write_batch(batch, 1)
+    finally:
+        _pq.ParquetFile = orig_pf
+        ParquetUpsertSink._build_blooms = orig_build
+    after = sidecar_mtimes()
+    for key, mt in before.items():
+        d, _ = key
+        if d == touched_dir:
+            assert after[key] != mt, f"{key} not refreshed"
+        else:
+            assert after[key] == mt, f"{key} rebuilt for untouched dir"
+    # the bloom rebuild ran against the merge staging, never the table
+    assert build_roots and all(
+        os.path.basename(r) != os.path.basename(sink.path) for r in build_roots
+    )
+    assert all(r == sink.merged_path for r in build_roots)
+    # footer reads bounded by the REWRITTEN files (stats refresh reads
+    # only the staged dir), not the table's file count
+    staged_like = [p for p in footer_reads if touched_dir in p]
+    assert footer_reads == staged_like, footer_reads
+    table_files = sum(
+        1
+        for d in dirs
+        for f in os.listdir(os.path.join(sink.path, d))
+        if f.endswith(".parquet")
+    )
+    assert len(footer_reads) < table_files
+    # maintained sidecars still prune and the new key is findable
+    got, sel, tot = sink.read_point(spark, "uid", [1_000_001])
+    assert [r["uid"] for r in got.collect()] == [1_000_001] and sel < tot
+    _, sa, ta = sink.read_pruned(spark, "a", lower=90)
+    assert sa < ta
 
 
 def test_describe_files_empty_table_and_repair(spark, tmp_path):
