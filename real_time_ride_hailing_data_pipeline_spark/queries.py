@@ -3270,6 +3270,143 @@ def lakehouse_concurrent_disjoint_writers(spark: SparkSession, sf_dir: str) -> D
 
 
 @query(
+    "streaming_ingest_concurrent_maintenance",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 3 = 0
+                 AND ts < (SELECT min(ts) + INTERVAL 14 DAY FROM events)
+                THEN value + 1000
+                ELSE value END AS value
+    FROM events
+    """,
+)
+def streaming_ingest_concurrent_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 headline features under their intended CONCURRENT
+    regime (VERDICT r10 stretch 8): a REAL StreamingQuery ingests
+    micro-batches through ``write_batch_occ`` while the SAME table is
+    being OPTIMIZEd (recorded z-order clustering re-applied under the
+    optimistic pin/rewrite/conflict-check protocol) and its bloom
+    index fully rebuilt — all three writers interleave on blocking
+    metadata locks, never serializing on the O(bytes) work — and
+    point lookups are served THROUGHOUT, each answer a consistent
+    version (the probed keys always return exactly their pre- or
+    post-update row, never a torn mix, loss, or duplicate). The
+    stream updates every event_id % 3 == 0 key (+1000 on value) in
+    one-file micro-batches; maintenance must have started while the
+    stream was live (asserted) and the final probe must still prune
+    (the index survived the churn). Oracle: the serial final state —
+    the linearizability bar for the whole concurrent composition."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo = base.agg(F.min("ts")).collect()[0][0]
+    import datetime as _dt
+
+    hi = lo + _dt.timedelta(days=14)
+    # scope the update stream to a 14-day key range: each micro-batch
+    # then touches O(days) partitions, the realistic hot-window shape,
+    # instead of rewriting every date dir per batch
+    updates = base.filter(
+        (F.col("event_id") % 3 == 0) & (F.col("ts") < F.lit(hi))
+    ).withColumn("value", F.col("value") + F.lit(1000.0))
+    workdir = _workdir("rtrh_ingopt_")
+    feed = _os.path.join(workdir, "feed")
+    n_chunks = 6
+    chunked = updates.withColumn(
+        "__c", F.pmod(F.xxhash64("event_id"), F.lit(n_chunks))
+    )
+    for i in range(n_chunks):  # one file per micro-batch
+        chunked.filter(F.col("__c") == i).drop("__c").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id", "ts"),
+        partition_source="ts",
+    )
+    sink.write_batch(base, 0)
+    sink.set_clustering(["value", "user_id"], mode="zorder")
+    sink.compact(spark, files_per_partition=4)  # applies + caches bounds
+    sink.create_bloom_index(spark, "event_id")
+    probes_rows = (
+        updates.select("event_id", "value").orderBy("event_id").limit(3).collect()
+    )
+    probes = [r["event_id"] for r in probes_rows]
+    expected = {
+        r["event_id"]: (round(r["value"] - 1000.0, 6), round(r["value"], 6))
+        for r in probes_rows
+    }
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(
+            lambda b, e: sink.write_batch_occ(b, 1_000 + e)
+        )
+        .option("checkpointLocation", _os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    overlapped = stream.isActive  # maintenance starts while live
+    passes = 0
+    while True:
+        if passes < 2:  # two full passes interleave with the stream;
+            # after that keep probing until the replay drains
+            sink.optimize(spark, files_per_partition=2)  # recorded z
+            sink.create_bloom_index(spark, "event_id")  # full rebuild
+            passes += 1
+        # a probe planned an instant before a concurrent commit's
+        # partition swap can lose its files mid-scan (swap-based
+        # store, not immutable-file MVCC) — replan and retry, the
+        # same REFRESH-and-rerun contract Spark itself names in
+        # FAILED_READ_FILE; every SUCCESSFUL read is still a
+        # consistent version (checked below)
+        for attempt in range(4):
+            try:
+                df_p, _, _ = sink.read_point(spark, "event_id", probes)
+                got = [
+                    (r["event_id"], round(r["value"], 6))
+                    for r in df_p.collect()
+                ]
+                break
+            except Exception:
+                if attempt == 3:
+                    raise
+                spark.catalog.clearCache()
+        if sorted(k for k, _ in got) != probes:
+            raise RuntimeError(f"point lookup lost/duplicated keys: {got}")
+        for k, v in got:
+            if v not in expected[k]:
+                raise RuntimeError(
+                    f"torn read: key {k} -> {v}, expected one of {expected[k]}"
+                )
+        if not stream.isActive and passes >= 2:
+            break
+    stream.awaitTermination()
+    if not overlapped:
+        raise RuntimeError("stream drained before maintenance could overlap")
+    if passes < 2:
+        raise RuntimeError(f"only {passes} maintenance pass(es) ran")
+    df_f, sel, tot = sink.read_point(spark, "event_id", probes)
+    if not sel < tot:
+        raise RuntimeError(f"index did not survive the churn: {sel}/{tot}")
+    final = {r["event_id"]: round(r["value"], 6) for r in df_f.collect()}
+    if final != {k: expected[k][1] for k in probes}:
+        raise RuntimeError(f"final probe values wrong: {final}")
+    return sink.read(spark).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
     "lakehouse_zorder_two_dim_skipping",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value

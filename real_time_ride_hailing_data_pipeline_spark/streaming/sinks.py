@@ -3443,8 +3443,10 @@ class ParquetUpsertSink:
         skipped: list[str] = []
         while True:
             attempts += 1
-            # -- pin (brief lock) ------------------------------------
-            with self._writer_lock():
+            # -- pin (brief, BLOCKING: a live writer's lock means a
+            # metadata moment in progress — maintenance waits it out
+            # instead of dying, so OPTIMIZE runs beside a stream) ----
+            with self._writer_lock_blocking():
                 self._finish_compact(self._compact_staging())
                 self._finish_migrate()
                 self._heal_migration_snapshot(spark)
@@ -3523,8 +3525,8 @@ class ParquetUpsertSink:
             if on_staged is not None and not fired:
                 fired = True
                 on_staged()
-            # -- commit (brief lock): conflict-check + crash-safe swap
-            with self._writer_lock():
+            # -- commit (brief BLOCKING lock): conflict-check + swap
+            with self._writer_lock_blocking():
                 staging = self._compact_staging()
                 self._finish_compact(staging)  # clear any pending swap
                 skipped = []
@@ -4439,7 +4441,9 @@ class ParquetUpsertSink:
                     f"unsupported: only integral and string columns render "
                     f"identically under Python str() and Spark CAST AS STRING"
                 )
-        with self._writer_lock():
+        # BLOCKING: an index (re)build beside a live stream waits out
+        # the brief per-batch commit locks instead of refusing
+        with self._writer_lock_blocking():
             phys = self._phys_name_of(column)
             meta = self._bloom_meta()
             meta[phys] = {"m": m, "k": k}
