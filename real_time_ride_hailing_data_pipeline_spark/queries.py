@@ -50,24 +50,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r10 rotation (VERDICT r9 items 1-2): the 4 NEVER-driver-verified
-# oracle entries (csv/json/json_props — red r2 / err r3 under the
-# pre-Spark-4 runtime, fixed early r4, never re-windowed — and
-# multimodal_resize, never windowed) close the last cumulative
-# coverage gap; plus the 3 r10-born entries (generalized MERGE INTO,
-# data-skipping time travel, snapshot-isolated OPTIMIZE).  Re-verified
-# alongside them: the FULL snapshot-log / upsert-sink family and both
-# Python DataSource entries, because THIS round changes the manifest
-# format (folded per-file stats/DV/file-list metadata), every commit
-# path (consolidated _sidecars.json write-through), every read path
-# (one-JSON-read planning), and both Python sources (Arrow RecordBatch
-# emission) — green r9 rows do not cover the new code.  The remaining
-# slots rotate in the STALEST-green breadth entries (last driver rows
-# r5-r7: the window-function family, set ops, rollup/cube/pivot/
-# grouping-sets/salted, percentile/median, OHLC resample + gap fill)
-# so cumulative coverage keeps refreshing; all stay fully
-# oracle-checked at sf0.001 by tests/test_queries_oracle.py every
-# pytest run (rotation log in COVERAGE.md).
+# r11 rotation (VERDICT r10 item 1): the 5 late-r10-born entries —
+# the ONLY oracle-backed entries with no driver row at the r10 freeze
+# — plus the 2 entries born THIS round (full-OCC concurrent
+# disjoint-partition writers; the live-ingest-beside-maintenance
+# stretch).  Re-verified alongside them: the lakehouse entries whose
+# code r11 changes — the bloom index build is now executor-side end
+# to end (fold + sidecar writes), create_bloom_index gained type
+# validation and read_point a probe-type guard, scoped
+# recorded-clustering compactions reuse cached z-order quantile
+# boundaries, optimize/create_bloom_index acquire the writer lock
+# with a blocking wait, and the merge path's stats refresh was
+# generalized — green r10 rows do not cover the new code.  The
+# remaining slots rotate in the STALEST-green breadth entries (last
+# driver rows r8: the r7-born analytics set; then r9: the join
+# family, dedup/search tier, TPC-H q3) so cumulative coverage keeps
+# refreshing; all stay fully oracle-checked at sf0.001 by
+# tests/test_queries_oracle.py every pytest run (rotation log in
+# COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -86,69 +86,59 @@ _VERIFY_FIRST: list[str] = [
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     "transform_with_state_running_totals",
-    # --- the 4 never-driver-verified entries (VERDICT r9 item 1:
-    # hash-red r2 / err r3 under the pre-Spark-4 runtime, fixed early
-    # r4, never rotated back; multimodal_resize never windowed) ---
-    "csv_source_agg",
-    "json_source_agg",
-    "json_props_metrics",
-    "multimodal_resize",
-    # --- the 5 r10-born entries (VERDICT r9 items 2, 3, stretch 8,
-    # plus the second-session pair: true multi-dim Z-ORDER clustering
-    # and the bloom point-lookup index) ---
+    # --- the 5 late-r10-born entries (VERDICT r10 item 1: the only
+    # oracle-backed entries with no driver row at the r10 freeze) ---
+    "lakehouse_merge_schema_evolution",
+    "dsir_importance_resample",
+    "lakehouse_clustered_ingest_maintained",
+    "lakehouse_point_lookup_time_travel",
+    "lakehouse_partition_file_skipping_stack",
+    # --- the 2 r11-born entries (VERDICT r10 items 4 + stretch 8) ---
+    "lakehouse_concurrent_disjoint_writers",
+    "streaming_ingest_concurrent_maintenance",
+    # --- re-verification of entries whose code r11 touched:
+    # executor-side bloom build, bloom type guards, z-order bounds
+    # caching in scoped compactions, blocking maintenance locks,
+    # generalized staged-stats refresh ---
+    "lakehouse_bloom_point_lookup",
+    "lakehouse_zorder_two_dim_skipping",
+    "optimize_concurrent_merge_race",
     "lakehouse_merge_into_full",
     "lakehouse_time_travel_pruned_read",
-    "optimize_concurrent_merge_race",
-    "lakehouse_zorder_two_dim_skipping",
-    "lakehouse_bloom_point_lookup",
-    # sink-family re-verification: r10 changed the manifest format
-    # (folded per-file stats/DV/file-list metadata), the consolidated
-    # _sidecars.json cache on every commit path, every read path
-    # (live, time-travel, pruned), the CDF streaming source and the
-    # Python DataSource (both now emit Arrow RecordBatches) — green r9
-    # rows do not cover the new code
-    "streaming_dv_delete_replay",
-    "streaming_cdf_source_replay",
-    "lakehouse_rename_drop_evolution",
-    "multi_table_txn_consistency",
     "lakehouse_file_skipping_read",
-    "lakehouse_check_constraint_gate",
-    "lakehouse_update_where",
-    "streaming_snapshot_history",
-    "streaming_snapshot_change_feed",
-    "streaming_snapshot_time_travel",
     "streaming_compaction_roundtrip",
+    "streaming_dv_delete_replay",
     "incremental_rollup_merge",
-    "streaming_partition_evolution_replay",
-    "streaming_schema_evolution_replay",
-    "streaming_delete_change_feed",
-    "streaming_cdc_downstream_apply",
-    "streaming_foreach_row_sink",
-    "streaming_restore_version_replay",
-    "streaming_timestamp_travel_replay",
-    "streaming_commit_history_replay",
-    "lakehouse_clone_divergence",
-    "python_datasource_city_fares",
-    "python_stream_source_city_fares",
-    # --- breadth rotation: stalest-green entries (last driver rows
-    # r5-r7: the analytic-window family, set ops, multi-dim aggs,
-    # percentile/median tier, time-series resample/gap-fill) ---
-    "window_rank_top_events_per_type",
-    "window_lag_user_value_delta",
-    "set_union_engaged_users",
-    "set_intersect_view_purchase",
-    # (cube_orders_totals and agg_percentiles_per_type yielded their
-    # slots to the two second-session r10-born entries above — their
-    # families stay covered in-window by rollup/grouping-sets and
-    # grouped-median, they keep r5-r7 driver-green rows, and both stay
-    # value-hash-verified at sf0.001 by test_queries_oracle.py)
-    "rollup_orders_status_priority",
-    "pivot_user_event_matrix",
-    "grouping_sets_status_priority",
-    "salted_group_totals",
-    "grouped_median_value",
-    "resample_ohlc_bars",
-    "timeseries_gap_fill",
+    # --- breadth rotation: stalest-green entries — the r7-born
+    # analytics set (last driver rows r8) ... ---
+    "funnel_conversion_steps",
+    "cohort_weekly_retention",
+    "event_transition_matrix",
+    "window_range_trailing_stats",
+    "agg_regression_price_quantity",
+    "expectations_event_quality",
+    "window_percentile_analytics",
+    "agg_time_decay_weighted",
+    "lateral_topk_orders_per_customer",
+    "recursive_cte_year_spine",
+    "observe_scan_audit",
+    "approx_topk_event_types",
+    "parameterized_sql_priority_bands",
+    "agg_median_mode_per_type",
+    "global_row_index",
+    "cbo_stats_join_reorder",
+    "map_event_type_shares",
+    "sql_scripting_p90_search",
+    "session_variable_threshold_bands",
+    "transpose_event_type_metrics",
+    # --- ... then the r9-green join/dedup/search/TPC-H tier ---
+    "sort_merge_order_revenue",
+    "asof_join_last_signup",
+    "bucketed_join_no_shuffle",
+    "dedup_exact_documents",
+    "dedup_near_duplicates",
+    "search_bm25_topk",
+    "tpch_q3_shipping_priority",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -167,21 +157,13 @@ _VERIFY_SPARES: list[str] = [
     "tpch_q6_forecast_revenue",
 ]
 
-# Entries born DURING r10 are IN the window above (they exist before
-# the r10 driver freeze): lakehouse_merge_into_full (generalized MERGE
-# INTO), lakehouse_time_travel_pruned_read (data-skipping time travel),
-# optimize_concurrent_merge_race (snapshot-isolated OPTIMIZE), plus the
-# second-session pair lakehouse_zorder_two_dim_skipping and
-# lakehouse_bloom_point_lookup.
-#
-# r11 rotation candidates (born late-r10, full oracles, verified
-# locally at sf0.001+sf0.01 but NOT in the r10 window — the head was
-# already at 50): lakehouse_merge_schema_evolution,
-# dsir_importance_resample, lakehouse_clustered_ingest_maintained,
-# lakehouse_point_lookup_time_travel,
-# lakehouse_partition_file_skipping_stack. Also still owed a first
-# driver-green row per VERDICT r9: none (all four never-verified
-# entries are in the r10 window above).
+# Entries born DURING r11 are IN the window above (they exist before
+# the r11 driver freeze): lakehouse_concurrent_disjoint_writers (full
+# OCC ingest) and streaming_ingest_concurrent_maintenance (live
+# stream + concurrent OPTIMIZE/bloom-rebuild), both oracle-verified
+# locally at sf0.001+sf0.01. With the 5 late-r10 entries also in the
+# window, every oracle-backed entry in the registry has (or gets this
+# round) at least one driver row — no r12 coverage debt is queued.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
