@@ -3359,8 +3359,14 @@ def streaming_ingest_concurrent_maintenance(spark: SparkSession, sf_dir: str) ->
                     for r in df_p.collect()
                 ]
                 break
-            except Exception:
-                if attempt == 3:
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                msg = str(exc)
+                is_swap_race = (
+                    "FAILED_READ_FILE" in msg
+                    or "FileNotFoundException" in msg
+                    or "does not exist" in msg
+                )
+                if attempt == 3 or not is_swap_race:
                     raise
                 spark.catalog.clearCache()
         if sorted(k for k, _ in got) != probes:

@@ -1731,6 +1731,31 @@ class ParquetUpsertSink:
                     entry[key] = json.load(fh)
             except (FileNotFoundError, ValueError):
                 pass
+        # DIR-level zone map (r11): fold the per-file ranges once at
+        # commit time so plan-time selection can dismiss a whole dir
+        # without iterating its file entries — the partition-stats
+        # tier of hierarchical pruning (Iceberg partition summaries).
+        # Recorded ONLY when every listed file is stats-covered for
+        # the column: a partial fold could wrongly dismiss an
+        # uncovered file's dir.
+        s = entry["stats"]
+        if s:
+            fstats = s.get("files", {})
+            rng: dict = {}
+            for c in s.get("columns", []):
+                los: list = []
+                his: list = []
+                for f in entry["files"]:
+                    r = fstats.get(f, {}).get(c)
+                    if r is None:
+                        los = []
+                        break
+                    los.append(r[0])
+                    his.append(r[1])
+                if los:
+                    rng[c] = [min(los), max(his)]
+            if rng:
+                entry["range"] = rng
         return entry
 
     def _consolidated(self) -> dict[str, dict] | None:
@@ -4181,6 +4206,18 @@ class ParquetUpsertSink:
         total = 0
         for pdir in sorted(entries):
             e = entries[pdir]
+            # dir-level zone map first: a dir whose folded [lo, hi] is
+            # disjoint from the bound dismisses ALL its files in O(1)
+            # — plan CPU is O(dirs + files of candidate dirs), not
+            # O(table files) (the fold exists only when every file is
+            # stats-covered, so this can never skip an uncovered file)
+            dr = (e.get("range") or {}).get(phys)
+            if dr is not None and (
+                (upper is not None and dr[0] > upper)
+                or (lower is not None and dr[1] < lower)
+            ):
+                total += len(e.get("files", []))
+                continue
             stats = None
             s = e.get("stats")
             if s and phys in s.get("columns", []):
@@ -4774,6 +4811,16 @@ class ParquetUpsertSink:
         ]
         for pdir in sorted(entries):
             e = entries[pdir]
+            # dir-level zone map: if no probe value can live in this
+            # dir's folded [lo, hi], dismiss all its files in O(1)
+            dr = (e.get("range") or {}).get(phys)
+            if dr is not None:
+                try:
+                    if not any(dr[0] <= v <= dr[1] for v in values):
+                        total += len(e.get("files", []))
+                        continue
+                except TypeError:
+                    pass  # incomparable probe/stat types: full check
             stats = None
             s = e.get("stats")
             if s and phys in s.get("columns", []):

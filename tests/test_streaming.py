@@ -2635,6 +2635,60 @@ def test_writer_lock_recovers_a_dead_processes_lock(tmp_path):
     assert not os.path.exists(sink._lock_file())
 
 
+def test_dir_level_zone_map_short_circuits(spark, tmp_path):
+    """Commit-time metadata folds a DIR-level [lo, hi] per stats
+    column (hierarchical pruning, r11): plan-time selection dismisses
+    a whole partition dir in O(1) when its folded range excludes the
+    bound/probes — proven by spying on the per-file stats dict access
+    — while results stay exactly the full-scan filter. The fold is
+    recorded only when every file is stats-covered, so degradation
+    stays safe."""
+    import json as _json
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"), key_cols=("uid",), partition_source="ts"
+    )
+    # uid correlates with the partition date: dir ranges are disjoint
+    df = spark.range(4000).select(
+        F.col("id").alias("uid"),
+        F.expr(
+            "timestampadd(DAY, CAST(id DIV 1000 AS INT), "
+            "timestamp'2024-05-01 00:00:00')"
+        ).alias("ts"),
+    )
+    sink.write_batch(df, 0)
+    sink.compact(spark, files_per_partition=4, sort_by="uid")
+    with open(sink._sidecars_file()) as fh:
+        cons = _json.load(fh)
+    assert all("range" in e for e in cons.values()), cons.keys()
+    ranges = sorted(tuple(e["range"]["uid"]) for e in cons.values())
+    assert ranges == [(0, 999), (1000, 1999), (2000, 2999), (3000, 3999)]
+    got, sel, tot = sink.read_pruned(spark, "uid", lower=3500)
+    assert sel < tot
+    assert sorted(r["uid"] for r in got.collect()) == list(range(3500, 4000))
+    gp, selp, totp = sink.read_point(spark, "uid", [42, 3042])
+    assert sorted(r["uid"] for r in gp.collect()) == [42, 3042]
+    assert selp < totp
+    # the dirs outside the bound were dismissed WITHOUT per-file work:
+    # strip the per-file stats from the out-of-range dirs and re-plan —
+    # selection must be unchanged because only the dir range is read
+    pruned_cons = {
+        d: (
+            {**e, "stats": None}
+            if e["range"]["uid"][1] < 3500
+            else e
+        )
+        for d, e in cons.items()
+    }
+    entries = {
+        os.path.join(sink.path, d): e for d, e in pruned_cons.items()
+    }
+    chosen, total = ParquetUpsertSink._select_files_from_entries(
+        entries, "uid", 3500, None
+    )
+    assert total == tot and len(chosen) == sel
+
+
 def test_metadata_bounded_over_many_commits(spark, tmp_path):
     """Log growth bound (VERDICT r10 item 6): after MANY commits, (a)
     a live plan still reads ONE consolidated JSON — never the
