@@ -3169,6 +3169,8 @@ def optimize_concurrent_merge_race(spark: SparkSession, sf_dir: str) -> DataFram
                   AND event_id % 7 = 1 THEN value + 3000
              WHEN CAST(ts AS DATE) = (SELECT d1 FROM b)
                   AND event_id % 7 = 2 THEN value + 4000
+             WHEN CAST(ts AS DATE) = (SELECT d2 FROM b)
+                  AND event_id % 7 = 1 THEN value + 5000
              ELSE value
            END AS value
     FROM events
@@ -3183,7 +3185,10 @@ def lakehouse_concurrent_disjoint_writers(spark: SparkSession, sf_dir: str) -> D
     so A must commit WITHOUT a retry (asserted); then writer Q lands
     on d1 inside writer C's staged window on d1 — same partition, so
     C must detect the fingerprint conflict, retry from a fresh pin,
-    and fold Q's rows in (attempts == 2 asserted). Snapshot versions
+    and fold Q's rows in (attempts == 2 asserted) — and an OCC
+    ``MERGE INTO`` (sinks.py:merge_into_occ, same protocol, clause
+    semantics re-applied per attempt) lands on d2 in the same window,
+    disjoint, committing without a retry. Snapshot versions
     are allocated at commit, monotone in COMMIT order (asserted)
     even though the callers' epochs race. The oracle value-hashes
     the final table against the SERIAL application of all four
@@ -3235,16 +3240,25 @@ def lakehouse_concurrent_disjoint_writers(spark: SparkSession, sf_dir: str) -> D
 
     def mid_q():
         results["Q"] = sink.write_batch_occ(patch(d1, 2, 4000), 4)
+        # an OCC MERGE INTO on d2 lands in the same window — disjoint
+        # from C's d1 pin, so it must commit without retrying either
+        results["M"] = sink.merge_into_occ(
+            patch(d2, 1, 5000),
+            6,
+            when_matched_update={"value": "s.value"},
+        )
 
     results["C"] = sink.write_batch_occ(
         patch(d1, 1, 3000), 3, on_staged=mid_q
     )
     if results["A"]["attempts"] != 1:
         raise RuntimeError(f"disjoint writer A retried: {results['A']}")
+    if results["M"]["attempts"] != 1:
+        raise RuntimeError(f"disjoint OCC merge M retried: {results['M']}")
     if results["C"]["attempts"] < 2:
         raise RuntimeError(f"conflicting writer C never raced: {results['C']}")
-    versions = [results[w]["version"] for w in ("B", "A", "Q", "C")]
-    if versions != sorted(versions) or len(set(versions)) != 4:
+    versions = [results[w]["version"] for w in ("B", "A", "Q", "M", "C")]
+    if versions != sorted(versions) or len(set(versions)) != 5:
         raise RuntimeError(f"versions not monotone in commit order: {versions}")
     return sink.read(spark).select(
         "event_id", "ts", "user_id", "event_type", "value"

@@ -1229,6 +1229,65 @@ class ParquetUpsertSink:
             self._snapshot(spark, epoch_id, touched=[], op="merge")
             return
 
+        merged = self._apply_merge_clauses(
+            scoped,
+            staged,
+            data_cols,
+            specs[-1],
+            upd,
+            upd_cond,
+            del_cond,
+            ins,
+            ins_cond,
+            nmbs_cond,
+        )
+
+        self._audit_batch(merged)  # constraints hold AFTER the merge
+        if extra:
+            # the staged/published schema gains the evolved fields
+            # (unique physical names under active column mapping —
+            # the same rule as write_batch evolution)
+            stored = self._staged_logical_schema(
+                existing, staged, list(merged.columns)
+            )
+        else:
+            stored = self._stored_schema()
+        self._to_physical(merged, stored).write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.merged_path)
+        if stored is not None:
+            self._atomic_json_write(
+                self._staged_schema_file(), stored.jsonValue()
+            )
+        self._refresh_staged_stats()
+        self._refresh_staged_blooms()
+        self._publish_staging(touched_dirs, epoch_id, op="merge")
+        self._commit(spark, drop_staging=False)
+        self._snapshot(spark, epoch_id, touched_dirs, op="merge")
+        shutil.rmtree(self.merged_path, ignore_errors=True)
+
+    def _apply_merge_clauses(
+        self,
+        scoped: DataFrame,
+        staged: DataFrame,
+        data_cols: list[str],
+        spec: str,
+        upd: dict | None,
+        upd_cond,
+        del_cond,
+        ins: bool,
+        ins_cond,
+        nmbs_cond,
+    ) -> DataFrame:
+        """The MERGE clause engine, shared by the full-lock and OCC
+        paths: apply the WHEN clauses to ``scoped`` (the touched
+        partitions' current rows, ``part_date`` included) against the
+        broadcast ``staged`` source, and return the touched
+        partitions' complete post-merge content. Pure plan building —
+        no I/O, no locks."""
+        from functools import reduce
+
+        out_columns = list(scoped.columns)
         t = scoped.alias("t")
         marked = F.broadcast(
             staged.withColumn("__s_present", F.lit(True)).alias("s")
@@ -1258,7 +1317,7 @@ class ParquetUpsertSink:
             if upd_cond is not None:
                 upd_m = upd_m & self._merge_cond(upd_cond)
         projections = []
-        for c in existing.columns:
+        for c in out_columns:
             if upd and c in upd:
                 e = upd[c]
                 e = F.expr(e) if isinstance(e, str) else e
@@ -1281,35 +1340,10 @@ class ParquetUpsertSink:
             if ins_cond is not None:
                 ins_rows = ins_rows.filter(self._merge_cond(ins_cond))
             inserts = ins_rows.select(*data_cols).withColumn(
-                "part_date", self._derive_part_date(specs[-1])
+                "part_date", self._derive_part_date(spec)
             )
-            merged = survivors.unionByName(inserts.select(*existing.columns))
-        else:
-            merged = survivors
-
-        self._audit_batch(merged)  # constraints hold AFTER the merge
-        if extra:
-            # the staged/published schema gains the evolved fields
-            # (unique physical names under active column mapping —
-            # the same rule as write_batch evolution)
-            stored = self._staged_logical_schema(
-                existing, staged, list(merged.columns)
-            )
-        else:
-            stored = self._stored_schema()
-        self._to_physical(merged, stored).write.mode("overwrite").partitionBy(
-            "part_date"
-        ).parquet(self.merged_path)
-        if stored is not None:
-            self._atomic_json_write(
-                self._staged_schema_file(), stored.jsonValue()
-            )
-        self._refresh_staged_stats()
-        self._refresh_staged_blooms()
-        self._publish_staging(touched_dirs, epoch_id, op="merge")
-        self._commit(spark, drop_staging=False)
-        self._snapshot(spark, epoch_id, touched_dirs, op="merge")
-        shutil.rmtree(self.merged_path, ignore_errors=True)
+            return survivors.unionByName(inserts.select(*out_columns))
+        return survivors
 
     @staticmethod
     def _part_date_filter(vals: list):
@@ -3795,8 +3829,6 @@ class ParquetUpsertSink:
             f"{self.path.rstrip('/')}__occ_{os.getpid()}_{_uuid.uuid4().hex}"
         )
         batch_dir = os.path.join(occ_root, "batch")
-        pin_root = os.path.join(occ_root, "pin")
-        merged = os.path.join(occ_root, "merged")
         specs = self._transforms()
         batch = batch_df.withColumn(
             "part_date", self._derive_part_date(specs[-1])
@@ -3808,6 +3840,75 @@ class ParquetUpsertSink:
             for r in staged.select("part_date").distinct().collect()
         )
         out_cols = [f.name for f in schema.fields] if schema else None
+
+        def stage_keep_union_batch(pin_root: str, merged: str) -> None:
+            # audit per ATTEMPT against the constraints as pinned (a
+            # constraint added mid-flight flips the metadata
+            # fingerprint and forces this re-audit via retry)
+            self._audit_batch(staged)
+            pin_dirs = [
+                os.path.join(pin_root, d)
+                for d in touched
+                if os.path.isdir(os.path.join(pin_root, d))
+            ]
+            if pin_dirs:
+                existing = self._read_pinned(spark, pin_root, pin_dirs, schema)
+                keep = self._anti_join_keys(
+                    existing, staged.select(*self.key_cols)
+                )
+                out = keep.unionByName(staged)
+            else:
+                out = staged
+            if out_cols is not None:
+                out = out.select(*out_cols)
+            self._to_physical(out, schema).write.mode(
+                "overwrite"
+            ).partitionBy("part_date").parquet(merged)
+
+        return self._occ_commit(
+            spark,
+            epoch_id,
+            touched,
+            stage_keep_union_batch,
+            occ_root=occ_root,
+            max_retries=max_retries,
+            on_staged=on_staged,
+        )
+
+    def _read_pinned(
+        self, spark: SparkSession, pin_root: str, pin_dirs: list[str], schema
+    ) -> DataFrame:
+        """The pinned partitions' current LOGICAL rows (deletion
+        vectors folded) — the stable read side of an OCC merge."""
+        reader = spark.read.option("basePath", pin_root)
+        if schema is not None:
+            reader = reader.schema(self._physical_schema(schema))
+        df = reader.parquet(*pin_dirs)
+        df = self._apply_dv(spark, df, self._dv_map(pin_dirs))
+        return self._to_logical(df, schema)
+
+    def _occ_commit(
+        self,
+        spark: SparkSession,
+        epoch_id: int,
+        touched: list[str],
+        stage_fn: Callable[[str, str], None],
+        *,
+        occ_root: str,
+        max_retries: int = 5,
+        on_staged: Callable[[], None] | None = None,
+        op: str = "merge",
+    ) -> dict:
+        """The generic OCC protocol (shared by ``write_batch_occ`` and
+        ``merge_into_occ``): pin → ``stage_fn(pin_root, merged_dir)``
+        builds the touched partitions' complete post-commit bytes from
+        the immutable pin → conflict-checked swap through the existing
+        crash-safe staging. ``occ_root`` is the caller's private work
+        dir (it may already hold the staged source); removed here on
+        every exit path."""
+        schema = self._stored_schema()
+        pin_root = os.path.join(occ_root, "pin")
+        merged = os.path.join(occ_root, "merged")
         attempts = 0
         fired = False
         try:
@@ -3838,36 +3939,8 @@ class ParquetUpsertSink:
                             )
                         pinned_fp[d] = self._dir_fingerprint(src)
                     meta_fp = self._meta_fingerprint()
-                # -- merge (NO lock: reads only batch + immutable pin) --
-                # audit per ATTEMPT against the constraints as pinned
-                # (a constraint added mid-flight flips the metadata
-                # fingerprint and forces this re-audit via retry)
-                self._audit_batch(staged)
-                pin_dirs = [
-                    os.path.join(pin_root, d)
-                    for d in touched
-                    if os.path.isdir(os.path.join(pin_root, d))
-                ]
-                if pin_dirs:
-                    reader = spark.read.option("basePath", pin_root)
-                    if schema is not None:
-                        reader = reader.schema(self._physical_schema(schema))
-                    existing = reader.parquet(*pin_dirs)
-                    existing = self._apply_dv(
-                        spark, existing, self._dv_map(pin_dirs)
-                    )
-                    existing = self._to_logical(existing, schema)
-                    keep = self._anti_join_keys(
-                        existing, staged.select(*self.key_cols)
-                    )
-                    out = keep.unionByName(staged)
-                else:
-                    out = staged
-                if out_cols is not None:
-                    out = out.select(*out_cols)
-                self._to_physical(out, schema).write.mode(
-                    "overwrite"
-                ).partitionBy("part_date").parquet(merged)
+                # -- stage (NO lock: reads only the immutable pin) ----
+                stage_fn(pin_root, merged)
                 if schema is not None:
                     self._atomic_json_write(
                         os.path.join(merged, "_LOGICAL_SCHEMA.json"),
@@ -3882,7 +3955,7 @@ class ParquetUpsertSink:
                 ]
                 self._atomic_json_write(
                     os.path.join(merged, "_TOUCHED"),
-                    {"touched": touched, "emptied": emptied, "op": "merge"},
+                    {"touched": touched, "emptied": emptied, "op": op},
                 )
                 if on_staged is not None and not fired:
                     fired = True
@@ -3903,8 +3976,8 @@ class ParquetUpsertSink:
                         shutil.rmtree(merged, ignore_errors=True)
                         if attempts > max_retries:
                             raise ConcurrentWriterError(
-                                f"write_batch_occ lost the partition "
-                                f"race {attempts} times on {touched}"
+                                f"OCC {op} lost the partition race "
+                                f"{attempts} times on {touched}"
                             )
                         continue
                     committed = self.snapshots()
@@ -3927,11 +4000,11 @@ class ParquetUpsertSink:
                     # _finish_pending_epoch at every entry point
                     if emptied:
                         self._commit(spark, drop_staging=False)
-                        self._snapshot(spark, version, touched)
+                        self._snapshot(spark, version, touched, op=op)
                         shutil.rmtree(self.merged_path, ignore_errors=True)
                     else:
                         self._commit(spark)
-                        self._snapshot(spark, version, touched)
+                        self._snapshot(spark, version, touched, op=op)
                     self._occ_record_applied(epoch_id, version)
                     self._auto_compact(spark, touched)
                     return {
@@ -3941,6 +4014,170 @@ class ParquetUpsertSink:
                     }
         finally:
             shutil.rmtree(occ_root, ignore_errors=True)
+
+    def merge_into_occ(
+        self,
+        source_df: DataFrame,
+        epoch_id: int,
+        *,
+        when_matched_update: dict | None = None,
+        when_matched_update_condition=None,
+        when_matched_delete_condition=None,
+        when_not_matched_insert: bool = True,
+        when_not_matched_insert_condition=None,
+        max_retries: int = 5,
+        on_staged: Callable[[], None] | None = None,
+    ) -> dict:
+        """``MERGE INTO`` under the same optimistic protocol as
+        ``write_batch_occ`` — two merges touching disjoint partitions
+        commit concurrently, a merge whose pinned partition another
+        commit touched retries from a fresh pin with the SAME clause
+        semantics re-applied to the new state (conditional payloads
+        re-evaluate, exactly what serializing them would have done).
+
+        Scope: requires key→partition locality (``partition_source``
+        in ``key_cols`` — the property that bounds the clause scope to
+        the source's partitions) and does not take
+        ``when_not_matched_by_source_*`` clauses (their scope is the
+        WHOLE table, so the pinned footprint would be unbounded —
+        Delta serializes those merges too); first-commit /
+        column-mapped / spec-evolved / schema-evolving merges take the
+        serialized ``merge_into``. ``epoch_id`` is the idempotence key
+        (a replayed committed key is a version-guard no-op returning
+        the original version — conditional payloads are not naturally
+        idempotent). Returns ``{"version", "attempts", "touched"}``."""
+        import uuid as _uuid
+
+        spark = source_df.sparkSession
+        if when_matched_update:
+            bad = set(when_matched_update) & (
+                set(self.key_cols) | {self.partition_source, "part_date"}
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot SET key/partition column(s) {sorted(bad)} — "
+                    f"re-keying is a delete + insert"
+                )
+        if (
+            when_matched_update is None
+            and when_matched_delete_condition is None
+            and not when_not_matched_insert
+        ):
+            raise ValueError("merge_into_occ needs at least one WHEN clause")
+        if self.partition_source not in self.key_cols:
+            raise ValueError(
+                "merge_into_occ needs key→partition locality "
+                "(partition_source in key_cols); use merge_into"
+            )
+        if not self._table_exists():
+            raise ValueError(
+                "merge_into_occ needs an existing table; use merge_into"
+            )
+        if len(self._transforms()) != 1:
+            raise ValueError(
+                "merge_into_occ does not span partition-spec evolution; "
+                "use merge_into"
+            )
+        if self._colmap_active():
+            raise ValueError(
+                "merge_into_occ does not support column-mapped tables; "
+                "use merge_into"
+            )
+        applied = self._occ_applied()
+        if str(epoch_id) in applied:
+            return {
+                "version": applied[str(epoch_id)],
+                "attempts": 0,
+                "touched": [],
+            }
+        schema = self._stored_schema()
+        data_cols = [
+            f.name for f in (schema.fields if schema else []) if f.name != "part_date"
+        ]
+        missing = (
+            set(data_cols)
+            if when_not_matched_insert
+            else set(self.key_cols)
+        ) - set(source_df.columns)
+        if missing:
+            raise ValueError(
+                f"merge source is missing column(s) {sorted(missing)}"
+            )
+        extra = [c for c in source_df.columns if c not in set(data_cols)]
+        if extra:
+            raise ValueError(
+                f"merge_into_occ is evolution-free: source column(s) "
+                f"{sorted(extra)} not in the table; use merge_into with "
+                f"schema_evolution=True"
+            )
+        occ_root = (
+            f"{self.path.rstrip('/')}__occ_{os.getpid()}_{_uuid.uuid4().hex}"
+        )
+        batch_dir = os.path.join(occ_root, "batch")
+        source_df.write.mode("overwrite").parquet(batch_dir)
+        staged = spark.read.parquet(batch_dir)
+        spec = self._transforms()[-1]
+        live = {
+            d for d in os.listdir(self.path) if d.startswith("part_date=")
+        }
+        candidates, current_vals = self._touched_candidates(staged)
+        ins_dirs = (
+            {self._part_dirname(v) for v in current_vals}
+            if when_not_matched_insert
+            else set()
+        )
+        touched = sorted(
+            {
+                self._part_dirname(v)
+                for v in candidates
+                if self._part_dirname(v) in live
+            }
+            | ins_dirs
+        )
+        out_cols = [f.name for f in schema.fields] if schema else None
+
+        def stage_merge_clauses(pin_root: str, merged_dir: str) -> None:
+            pin_dirs = [
+                os.path.join(pin_root, d)
+                for d in touched
+                if os.path.isdir(os.path.join(pin_root, d))
+            ]
+            if pin_dirs:
+                scoped = self._read_pinned(spark, pin_root, pin_dirs, schema)
+            else:
+                scoped = (
+                    spark.createDataFrame([], schema)
+                    if schema is not None
+                    else staged.limit(0)
+                )
+            out = self._apply_merge_clauses(
+                scoped,
+                staged,
+                data_cols,
+                spec,
+                when_matched_update,
+                when_matched_update_condition,
+                when_matched_delete_condition,
+                when_not_matched_insert,
+                when_not_matched_insert_condition,
+                None,
+            )
+            self._audit_batch(out)  # constraints hold AFTER the merge
+            if out_cols is not None:
+                out = out.select(*out_cols)
+            self._to_physical(out, schema).write.mode(
+                "overwrite"
+            ).partitionBy("part_date").parquet(merged_dir)
+
+        return self._occ_commit(
+            spark,
+            epoch_id,
+            touched,
+            stage_merge_clauses,
+            occ_root=occ_root,
+            max_retries=max_retries,
+            on_staged=on_staged,
+        )
 
     def _phys_name_of(self, logical: str) -> str:
         schema = self._stored_schema()
