@@ -2649,6 +2649,15 @@ class ParquetUpsertSink:
         touched = self._staged_touched(spark) if self.snapshot_dir else None
         self._commit(spark, drop_staging=False)
         self._snapshot(spark, epoch, touched, op=self._staged_op())
+        # a crashed OCC commit's idempotence key rides in the staging:
+        # record it before the staging drops, so a replayed OCC call
+        # returns the committed version instead of re-applying a
+        # non-idempotent payload (exactly-once OCC replay)
+        try:
+            with open(os.path.join(self.merged_path, "_OCC_KEY")) as fh:
+                self._occ_record_applied(int(json.load(fh)), epoch)
+        except (FileNotFoundError, ValueError, TypeError):
+            pass
         shutil.rmtree(self.merged_path, ignore_errors=True)
         return epoch
 
@@ -3766,10 +3775,10 @@ class ParquetUpsertSink:
         already newer), so versions are monotone in COMMIT order even
         when callers' epochs race; ``epoch_id`` itself is the
         IDEMPOTENCE key, recorded in a bounded ledger — a replayed key
-        returns the original version without re-applying. A crash
-        between the ledger write and the data commit replays as a
-        content-idempotent re-merge (overwrite-per-key), the same
-        at-least-once versioning the streaming replay path has.
+        returns the original version without re-applying. EXACTLY
+        once under crashes: the key rides inside the staging
+        (``_OCC_KEY``) and recovery records the ledger entry before
+        the staging drops, so no crash window can re-apply a payload.
 
         Scope guards (these shapes take the serialized ``write_batch``
         path): first write to a new table, evolved partition specs,
@@ -3986,6 +3995,16 @@ class ParquetUpsertSink:
                         if committed and max(committed) >= epoch_id
                         else epoch_id
                     )
+                    # the idempotence KEY rides in the staging: a crash
+                    # anywhere after the rename replays through
+                    # _finish_pending_epoch, which records the ledger
+                    # entry BEFORE dropping the staging — so a replayed
+                    # OCC call always sees the key and never re-applies
+                    # a non-idempotent payload (exactly-once, not
+                    # at-least-once)
+                    self._atomic_json_write(
+                        os.path.join(merged, "_OCC_KEY"), epoch_id
+                    )
                     self._atomic_json_write(
                         os.path.join(merged, "_EPOCH"), version
                     )
@@ -3997,15 +4016,13 @@ class ParquetUpsertSink:
                     os.rename(merged, self.merged_path)
                     # from here the EXISTING crash-safe protocol owns
                     # the commit: any crash replays via
-                    # _finish_pending_epoch at every entry point
-                    if emptied:
-                        self._commit(spark, drop_staging=False)
-                        self._snapshot(spark, version, touched, op=op)
-                        shutil.rmtree(self.merged_path, ignore_errors=True)
-                    else:
-                        self._commit(spark)
-                        self._snapshot(spark, version, touched, op=op)
+                    # _finish_pending_epoch at every entry point; the
+                    # staging outlives commit + snapshot + ledger (the
+                    # same resurrection-safe ordering deletes use)
+                    self._commit(spark, drop_staging=False)
+                    self._snapshot(spark, version, touched, op=op)
                     self._occ_record_applied(epoch_id, version)
+                    shutil.rmtree(self.merged_path, ignore_errors=True)
                     self._auto_compact(spark, touched)
                     return {
                         "version": version,

@@ -560,3 +560,131 @@ def test_crash_matrix_bloom_zorder_merge_recovers(spark, tmp_path, monkeypatch):
                 f"divergence after crash at FS op #{crash_at} "
                 f"(step {crashed_step}): {exc}"
             ) from exc
+
+
+# -- r11 surface: OCC commits (write_batch_occ + merge_into_occ) ------------
+#
+# The OCC paths add their own crash windows: private staging built
+# lock-free, _OCC_KEY/_EPOCH published, the rename onto the canonical
+# staging, commit/snapshot/ledger/rmtree under the lock. The
+# exactly-once claim is that NO crash point can re-apply the
+# non-idempotent merge payload (t.total + s.total) on replay — the
+# ledger entry is recovered from the staged _OCC_KEY before the
+# staging drops.
+
+
+def _occ_steps(spark, sink):
+    return [
+        lambda: sink.write_batch(
+            spark.createDataFrame(
+                [("a", D1, 10), ("b", D2, 20)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            0,
+        ),
+        lambda: sink.write_batch_occ(
+            spark.createDataFrame(
+                [("a", D1, 11), ("c", D1, 5)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            1,
+        ),
+        # NON-idempotent payload: a double-applied replay would land
+        # b at 220, not 120 — the exactly-once probe
+        lambda: sink.merge_into_occ(
+            spark.createDataFrame(
+                [("b", D2, 100), ("d", D2, 40)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            2,
+            when_matched_update={"total": "t.total + s.total"},
+        ),
+        # delete EVERY D1 row: the emptied-partition OCC window
+        lambda: sink.merge_into_occ(
+            spark.createDataFrame(
+                [("a", D1, 0), ("c", D1, 0)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            3,
+            when_matched_delete_condition="true",
+            when_not_matched_insert=False,
+        ),
+    ]
+
+
+OCC_EXPECTED_LIVE = {"b": 120, "d": 40}
+OCC_EXPECTED_AT = {
+    0: {"a": 10, "b": 20},
+    1: {"a": 11, "b": 20, "c": 5},
+    2: {"a": 11, "b": 120, "c": 5, "d": 40},
+    3: OCC_EXPECTED_LIVE,
+}
+
+
+def _occ_assert_final(spark, sink):
+    live = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert live == OCC_EXPECTED_LIVE
+    assert sink.snapshots() == [0, 1, 2, 3]
+    for epoch, want in OCC_EXPECTED_AT.items():
+        got = {
+            r["k"]: r["total"] for r in sink.read_at(spark, epoch).collect()
+        }
+        assert got == want, f"epoch {epoch}"
+    assert not os.path.isdir(
+        os.path.join(sink.path, "part_date=2024-01-15")
+    )  # the emptied partition is gone, not resurrected
+
+
+def test_crash_matrix_occ_commits_recover_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the Nth FS op across create -> OCC upsert ->
+    non-idempotent OCC merge -> partition-emptying OCC merge-delete;
+    replay from the crashed step; the final/per-version state must
+    equal the no-crash run EXACTLY (snapshot ids included) — a
+    double-applied payload, duplicated version, lost partition, or
+    resurrected row fails with the op index."""
+    injector = _FaultInjector(monkeypatch)
+    injector.install()
+
+    base = tmp_path / "baseline"
+    mk = lambda root: ParquetUpsertSink(  # noqa: E731
+        str(root / "t"),
+        key_cols=("k", "window_start"),
+        snapshot_dir=str(root / "s"),
+        retries=0,
+    )
+    sink = mk(base)
+    injector.arm(None)
+    for step in _occ_steps(spark, sink):
+        step()
+    total_ops = injector.count
+    _occ_assert_final(spark, sink)
+    assert total_ops > 10
+
+    crash_points = list(range(1, min(10, total_ops + 1))) + list(
+        range(10, total_ops + 1, 7)
+    )
+    for crash_at in crash_points:
+        root = tmp_path / f"occcrash{crash_at}"
+        sink = mk(root)
+        steps = _occ_steps(spark, sink)
+        injector.arm(crash_at)
+        crashed_step = None
+        for i, step in enumerate(steps):
+            try:
+                step()
+            except SimulatedCrash:
+                crashed_step = i
+                break
+        assert crashed_step is not None, f"op budget moved? crash_at={crash_at}"
+        injector.arm(None)
+        for step in steps[crashed_step:]:
+            step()
+        try:
+            _occ_assert_final(spark, sink)
+        except AssertionError as exc:
+            raise AssertionError(
+                f"divergence after crash at FS op #{crash_at} "
+                f"(step {crashed_step}): {exc}"
+            ) from exc
