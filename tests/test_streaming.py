@@ -2908,6 +2908,43 @@ def test_occ_two_processes_disjoint_partitions(spark, tmp_path):
     assert got == [("a", 11), ("b", 30), ("c", 50), ("d", 71)]
 
 
+def test_blocking_lock_waits_then_times_out(tmp_path):
+    """_writer_lock_blocking waits out a live same-process holder and
+    acquires once released; against a holder that never releases it
+    raises ConcurrentWriterError at the deadline instead of spinning
+    forever."""
+    import threading
+    import time as _time
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+    )
+
+    sink = ParquetUpsertSink(str(tmp_path / "t"), key_cols=("k",))
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with sink._writer_lock():
+            held.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    held.wait(timeout=10)
+    # timeout path: the holder outlives the deadline
+    t0 = _time.monotonic()
+    with pytest.raises(ConcurrentWriterError):
+        with sink._writer_lock_blocking(timeout_s=0.5):
+            pass
+    assert 0.4 < _time.monotonic() - t0 < 5
+    # wait-then-acquire path: release mid-wait
+    threading.Timer(0.3, release.set).start()
+    with sink._writer_lock_blocking(timeout_s=10):
+        pass  # acquired after the holder exited
+    t.join(timeout=10)
+
+
 def test_occ_guards_idempotence_and_gc(spark, tmp_path):
     """Scope guards name the serialized fallback; a replayed epoch key
     returns its original version without re-applying; dead writers'
