@@ -421,6 +421,37 @@ def main() -> None:
             )
         except Exception:  # noqa: BLE001 — keep the first sample
             stable[name] = timings[name]
+    # Same protocol for the STREAMING tail (r12, VERDICT r11 item 1):
+    # the streaming entries carry per-run machinery (checkpoint dirs,
+    # embedded-DB boot, StreamingQuery startup) whose variance swung
+    # the r10->r11 registry total by ~100 s at identical code. Re-time
+    # the 8 slowest streaming entries once more, keep the min-of-2 for
+    # BOTH wall and trigger_exec, so the round-over-round trend reads
+    # operator cost, not box noise.
+    s_tail = sorted(split, key=lambda n: split[n]["wall"], reverse=True)[:8]
+    split_stable: dict[str, dict[str, float]] = {}
+    for name in s_tail:
+        ev0, trig0, add0 = (
+            listener.events,
+            listener.trigger_ms,
+            listener.add_batch_ms,
+        )
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, bench_dir).collect()
+            wall2 = time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 — keep the first sample
+            continue
+        drain_listener(listener, ev0, name)
+        first = split[name]
+        second = {
+            "wall": round(wall2, 4),
+            "trigger_exec": round((listener.trigger_ms - trig0) / 1000, 4),
+            "add_batch": round((listener.add_batch_ms - add0) / 1000, 4),
+        }
+        best = first if first["wall"] <= second["wall"] else second
+        split_stable[name] = best
+        stable[name] = best["wall"]
     print(
         json.dumps(
             {
@@ -432,7 +463,7 @@ def main() -> None:
                     4,
                 ),
                 "unit": "sec",
-                "stat": "slowest-10-batch-entries-min-of-2",
+                "stat": "slowest-10-batch+8-streaming-min-of-2",
                 "retimed": stable,
                 "sf": sf,
                 "layout": layout,
@@ -448,15 +479,20 @@ def main() -> None:
     # embedded-DB boot, sink read-back) that amortizes to ~zero on a
     # long-lived stream. Per-query detail rides in the big line above.
     if split:
-        s_wall = sum(v["wall"] for v in split.values())
-        s_trig = sum(v["trigger_exec"] for v in split.values())
-        s_add = sum(v["add_batch"] for v in split.values())
+        # min-of-2 samples (from the streaming tail retime above)
+        # replace the single-shot ones: the split trend then reads
+        # per-trigger operator cost instead of one run's machinery noise
+        eff = {n: split_stable.get(n, v) for n, v in split.items()}
+        s_wall = sum(v["wall"] for v in eff.values())
+        s_trig = sum(v["trigger_exec"] for v in eff.values())
+        s_add = sum(v["add_batch"] for v in eff.values())
         print(
             json.dumps(
                 {
                     "metric": "streaming_machinery_split",
                     "unit": "sec",
-                    "n_streaming": len(split),
+                    "n_streaming": len(eff),
+                    "stat": "slowest-8-min-of-2",
                     "wall": round(s_wall, 4),
                     "trigger_exec": round(s_trig, 4),
                     "add_batch": round(s_add, 4),

@@ -3703,24 +3703,90 @@ class ParquetUpsertSink:
     def _occ_applied_file(self) -> str:
         return os.path.join(self.path, "_occ_applied.json")
 
+    #: idempotence-ledger capacity — size it to (at least) the
+    #: stream's checkpoint retention: a replay can only resurrect an
+    #: epoch the checkpoint still references, so a ledger covering the
+    #: retention window never sees a legitimate key below its floor
+    _OCC_LEDGER_CAP = 512
+
+    def _occ_applied_raw(self) -> dict:
+        """Idempotence ledger file: ``{"applied": {epoch: version},
+        "floor": maxEvictedEpoch|None}``. Legacy flat-map files (no
+        floor recorded) load with ``floor=None``."""
+        try:
+            with open(self._occ_applied_file()) as fh:
+                data = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {"applied": {}, "floor": None}
+        try:
+            if isinstance(data, dict) and "applied" in data:
+                return {
+                    "applied": {
+                        str(k): int(v) for k, v in data["applied"].items()
+                    },
+                    "floor": (
+                        int(data["floor"])
+                        if data.get("floor") is not None
+                        else None
+                    ),
+                }
+            return {
+                "applied": {str(k): int(v) for k, v in data.items()},
+                "floor": None,
+            }
+        except (AttributeError, TypeError, ValueError):
+            return {"applied": {}, "floor": None}
+
     def _occ_applied(self) -> dict[str, int]:
         """Idempotence ledger: OCC epoch key -> committed snapshot
         version (bounded; see ``write_batch_occ``)."""
-        try:
-            with open(self._occ_applied_file()) as fh:
-                return {str(k): int(v) for k, v in json.load(fh).items()}
-        except (FileNotFoundError, ValueError, TypeError):
-            return {}
+        return self._occ_applied_raw()["applied"]
+
+    def _occ_replay_check(self, epoch_id: int) -> int | None:
+        """Committed version for a replayed epoch key, or None when
+        the key is genuinely new. A key at or below the ledger's
+        EVICTION FLOOR raises instead of returning None: its entry
+        aged out of the bounded ledger, so treating it as new would
+        re-apply a non-idempotent payload — silently degrading
+        exactly-once to at-least-once outside the retention window.
+        Raising surfaces the misconfiguration (ledger smaller than the
+        stream's checkpoint retention) instead of corrupting data."""
+        raw = self._occ_applied_raw()
+        key = str(epoch_id)
+        if key in raw["applied"]:
+            return raw["applied"][key]
+        floor = raw["floor"]
+        if floor is not None and int(epoch_id) <= floor:
+            raise ValueError(
+                f"OCC epoch {epoch_id} is at or below the idempotence "
+                f"ledger's eviction floor ({floor}): its commit record "
+                f"aged out of the {self._OCC_LEDGER_CAP}-entry ledger, "
+                f"so re-applying cannot be made exactly-once. Size "
+                f"_OCC_LEDGER_CAP to the stream's checkpoint retention."
+            )
+        return None
 
     def _occ_record_applied(self, key: int, version: int) -> None:
-        applied = self._occ_applied()
-        applied[str(key)] = version
-        if len(applied) > 512:  # bounded ledger: oldest keys age out
+        raw = self._occ_applied_raw()
+        applied, floor = raw["applied"], raw["floor"]
+        applied[str(key)] = int(version)
+        if len(applied) > self._OCC_LEDGER_CAP:
+            # oldest keys age out; the floor remembers the highest
+            # EVICTED epoch so a later replay of one is detected
+            # (raised) rather than silently re-applied
             for k in sorted(applied, key=lambda s: applied[s])[
-                : len(applied) - 512
+                : len(applied) - self._OCC_LEDGER_CAP
             ]:
                 applied.pop(k, None)
-        self._atomic_json_write(self._occ_applied_file(), applied)
+                try:
+                    ik = int(k)
+                except ValueError:
+                    continue
+                if floor is None or ik > floor:
+                    floor = ik
+        self._atomic_json_write(
+            self._occ_applied_file(), {"applied": applied, "floor": floor}
+        )
 
     def _occ_gc(self) -> None:
         """Remove private OCC work dirs left by DEAD writers (named
@@ -3813,13 +3879,9 @@ class ParquetUpsertSink:
                 f"{sorted(stored_cols)}; use write_batch("
                 f"schema_evolution=True)"
             )
-        applied = self._occ_applied()
-        if str(epoch_id) in applied:
-            return {
-                "version": applied[str(epoch_id)],
-                "attempts": 0,
-                "touched": [],
-            }
+        replayed = self._occ_replay_check(epoch_id)
+        if replayed is not None:
+            return {"version": replayed, "attempts": 0, "touched": []}
         if batch_df.isEmpty():
             # empty micro-batch: nothing to pin or merge — one empty
             # snapshot commit under the lock, same as write_batch
@@ -3880,6 +3942,7 @@ class ParquetUpsertSink:
             touched,
             stage_keep_union_batch,
             occ_root=occ_root,
+            entry_schema=schema,
             max_retries=max_retries,
             on_staged=on_staged,
         )
@@ -3904,6 +3967,7 @@ class ParquetUpsertSink:
         stage_fn: Callable[[str, str], None],
         *,
         occ_root: str,
+        entry_schema=None,
         max_retries: int = 5,
         on_staged: Callable[[], None] | None = None,
         op: str = "merge",
@@ -3914,8 +3978,21 @@ class ParquetUpsertSink:
         the immutable pin → conflict-checked swap through the existing
         crash-safe staging. ``occ_root`` is the caller's private work
         dir (it may already hold the staged source); removed here on
-        every exit path."""
-        schema = self._stored_schema()
+        every exit path.
+
+        ``entry_schema`` is the stored schema the CALLER validated its
+        scope against (and bound into ``stage_fn``'s closure). Every
+        pin re-reads the live schema/spec/colmap under the lock and
+        raises ``ConcurrentWriterError`` on any drift: an evolution
+        landing between the caller's validation and the pin — or
+        between a conflicted pin and its retry — would otherwise stage
+        (and then PUBLISH) the pre-evolution ``_LOGICAL_SCHEMA.json``,
+        silently reverting the evolution. A retry cannot help because
+        the staging closure is bound to the stale schema; the caller
+        must re-enter with fresh validation. The value is used
+        VERBATIM (None means the caller validated against a
+        schema-less table, which the pin check enforces too)."""
+        schema = entry_schema
         pin_root = os.path.join(occ_root, "pin")
         merged = os.path.join(occ_root, "merged")
         attempts = 0
@@ -3930,12 +4007,34 @@ class ParquetUpsertSink:
                     self._heal_migration_snapshot(spark)
                     self._finish_pending_epoch(spark)
                     self._occ_gc()
-                    if str(epoch_id) in self._occ_applied():
+                    replayed = self._occ_replay_check(epoch_id)
+                    if replayed is not None:
                         return {
-                            "version": self._occ_applied()[str(epoch_id)],
+                            "version": replayed,
                             "attempts": attempts,
                             "touched": [],
                         }
+                    # re-run the caller's evolution-free scope checks
+                    # under the lock on EVERY attempt: a schema / spec /
+                    # column-mapping evolution landing after the
+                    # caller's validation (entry→pin, or between a
+                    # conflicted pin and this retry) invalidates the
+                    # staged closure — staging with the stale capture
+                    # would publish the pre-evolution schema file and
+                    # silently revert the evolution
+                    live_schema = self._stored_schema()
+                    if (
+                        (live_schema.jsonValue() if live_schema else None)
+                        != (schema.jsonValue() if schema else None)
+                        or len(self._transforms()) != 1
+                        or self._colmap_active()
+                    ):
+                        raise ConcurrentWriterError(
+                            f"concurrent schema/spec evolution during OCC "
+                            f"{op} (epoch {epoch_id}): the staged plan is "
+                            f"bound to the pre-evolution schema — re-enter "
+                            f"with fresh validation"
+                        )
                     shutil.rmtree(pin_root, ignore_errors=True)
                     shutil.rmtree(merged, ignore_errors=True)
                     os.makedirs(pin_root, exist_ok=True)
@@ -4023,12 +4122,23 @@ class ParquetUpsertSink:
                     self._snapshot(spark, version, touched, op=op)
                     self._occ_record_applied(epoch_id, version)
                     shutil.rmtree(self.merged_path, ignore_errors=True)
+                # the commit lock is RELEASED before the scoped
+                # compaction: an O(bytes) rewrite inside the lock turns
+                # the brief metadata moment into a rewrite-length hold
+                # and spins concurrent OCC writers into the
+                # _writer_lock_blocking timeout. compact() takes its
+                # own lock; best-effort — a raced ConcurrentWriterError
+                # leaves the fat partition for the next commit or an
+                # explicit OPTIMIZE.
+                try:
                     self._auto_compact(spark, touched)
-                    return {
-                        "version": version,
-                        "attempts": attempts,
-                        "touched": touched,
-                    }
+                except ConcurrentWriterError:
+                    pass
+                return {
+                    "version": version,
+                    "attempts": attempts,
+                    "touched": touched,
+                }
         finally:
             shutil.rmtree(occ_root, ignore_errors=True)
 
@@ -4100,13 +4210,9 @@ class ParquetUpsertSink:
                 "merge_into_occ does not support column-mapped tables; "
                 "use merge_into"
             )
-        applied = self._occ_applied()
-        if str(epoch_id) in applied:
-            return {
-                "version": applied[str(epoch_id)],
-                "attempts": 0,
-                "touched": [],
-            }
+        replayed = self._occ_replay_check(epoch_id)
+        if replayed is not None:
+            return {"version": replayed, "attempts": 0, "touched": []}
         schema = self._stored_schema()
         data_cols = [
             f.name for f in (schema.fields if schema else []) if f.name != "part_date"
@@ -4134,22 +4240,23 @@ class ParquetUpsertSink:
         source_df.write.mode("overwrite").parquet(batch_dir)
         staged = spark.read.parquet(batch_dir)
         spec = self._transforms()[-1]
-        live = {
-            d for d in os.listdir(self.path) if d.startswith("part_date=")
-        }
         candidates, current_vals = self._touched_candidates(staged)
         ins_dirs = (
             {self._part_dirname(v) for v in current_vals}
             if when_not_matched_insert
             else set()
         )
+        # ALL key-derived candidate dirs enter the footprint regardless
+        # of liveness: a dir not live at entry pins with fingerprint
+        # None, so a concurrent commit that CREATES it (with
+        # possibly-matching keys for a WHEN MATCHED clause) flips the
+        # fingerprint and is detected as a conflict and re-pinned —
+        # never silently skipped (Delta raises
+        # ConcurrentAppendException for exactly this race). Filtering
+        # to an unlocked pre-recovery listing would drop those dirs
+        # from the pinned footprint when when_not_matched_insert=False.
         touched = sorted(
-            {
-                self._part_dirname(v)
-                for v in candidates
-                if self._part_dirname(v) in live
-            }
-            | ins_dirs
+            {self._part_dirname(v) for v in candidates} | ins_dirs
         )
         out_cols = [f.name for f in schema.fields] if schema else None
 
@@ -4192,6 +4299,7 @@ class ParquetUpsertSink:
             touched,
             stage_merge_clauses,
             occ_root=occ_root,
+            entry_schema=schema,
             max_retries=max_retries,
             on_staged=on_staged,
         )

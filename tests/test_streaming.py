@@ -3132,6 +3132,158 @@ def test_merge_into_occ_guards(spark, tmp_path):
         )
 
 
+# -- OCC hardening (r12, ADVICE r11 items 1-4) --------------------------------
+
+
+def test_occ_concurrent_schema_evolution_raises_not_reverts(spark, tmp_path):
+    """ADVICE r11 (high): a schema evolution landing between an OCC
+    writer's pin and its commit must NOT be silently reverted by the
+    retry staging with the stale schema capture — the pin re-check
+    raises ConcurrentWriterError and the evolved column survives."""
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+    )
+
+    sink, d1, d2 = _occ_seed(spark, tmp_path)
+
+    def evolve_mid_flight():
+        ev = ParquetUpsertSink(
+            str(tmp_path / "t"),
+            key_cols=("k", "window_start"),
+            snapshot_dir=str(tmp_path / "snap"),
+            schema_evolution=True,
+        )
+        ev.write_batch(
+            spark.createDataFrame(
+                [("z", d2, 5, "new")],
+                "k string, window_start timestamp, total bigint, tag string",
+            ),
+            7,
+        )
+
+    with pytest.raises(ConcurrentWriterError, match="schema/spec evolution"):
+        sink.write_batch_occ(
+            spark.createDataFrame(
+                [("b", d1, 99)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            8,
+            on_staged=evolve_mid_flight,
+        )
+    # the evolution is intact: the authoritative schema still carries
+    # the new column and the evolved row reads back with it
+    cols = set(sink.read(spark).columns)
+    assert "tag" in cols, cols
+    got = {(r["k"], r["tag"]) for r in sink.read(spark).collect()}
+    assert ("z", "new") in got and ("b", None) in got
+    # and the racer's payload did NOT land (it raised pre-commit)
+    assert dict(
+        (r["k"], r["total"]) for r in sink.read(spark).collect()
+    )["b"] == 30
+
+
+def test_merge_into_occ_detects_raced_in_partition_creation(spark, tmp_path):
+    """ADVICE r11 (medium): with when_not_matched_insert=False, a
+    candidate partition NOT live at entry stays in the pinned
+    footprint (fingerprint None), so a concurrent commit CREATING it
+    with matching keys flips the fingerprint — the merge retries and
+    its WHEN MATCHED clause lands on the raced-in row instead of
+    silently skipping it (Delta's ConcurrentAppendException shape,
+    resolved here by retry)."""
+    sink, d1, d2 = _occ_merge_seed(spark, tmp_path)
+    d3 = dt.datetime(2024, 1, 17, 9, 0)  # partition NOT live at entry
+
+    def race_in_d3():
+        sink.write_batch_occ(
+            spark.createDataFrame(
+                [("x", d3, 30)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            50,
+        )
+
+    res = sink.merge_into_occ(
+        spark.createDataFrame(
+            [("x", d3, 100)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        51,
+        when_matched_update={"total": "s.total + t.total"},
+        when_not_matched_insert=False,
+        on_staged=race_in_d3,
+    )
+    assert res["attempts"] == 2, res  # the creation WAS a conflict
+    got = dict((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got["x"] == 130, got  # 30 raced in + 100 merged on retry
+
+
+def test_occ_ledger_eviction_floor_raises_on_stale_replay(spark, tmp_path):
+    """ADVICE r11 (low): a replayed epoch BELOW the bounded ledger's
+    eviction floor raises (exactly-once cannot be guaranteed once the
+    record aged out) instead of silently re-applying; recent epochs
+    still replay as version-guard no-ops."""
+    sink, d1, _ = _occ_seed(spark, tmp_path, snap=False)
+    sink._OCC_LEDGER_CAP = 3  # shrink to force eviction
+    versions = {}
+    for e in range(1, 7):
+        versions[e] = sink.write_batch_occ(
+            spark.createDataFrame(
+                [(f"k{e}", d1, e)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            e,
+        )["version"]
+    # epoch 6 is in the ledger: idempotent no-op with original version
+    replay = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("k6", d1, 999)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        6,
+    )
+    assert replay["version"] == versions[6] and replay["attempts"] == 0
+    # epoch 1 was evicted: refuse rather than re-apply
+    with pytest.raises(ValueError, match="eviction floor"):
+        sink.write_batch_occ(
+            spark.createDataFrame(
+                [("k1", d1, 999)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            1,
+        )
+    got = dict((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got["k1"] == 1 and got["k6"] == 6  # neither replay re-applied
+
+
+def test_occ_auto_compact_runs_after_commit_lock_released(spark, tmp_path):
+    """ADVICE r11 (low): the scoped post-commit compaction runs AFTER
+    the OCC commit lock is released (compact takes its own lock), so a
+    fat touched partition never turns the brief metadata moment into
+    an O(bytes) hold that times out concurrent writers."""
+    sink, d1, _ = _occ_seed(spark, tmp_path, snap=False)
+    sink.auto_compact_files = 1
+    seen = {}
+    orig = sink._auto_compact
+
+    def spy(spark_, touched):
+        seen["lock_held_at_compact"] = os.path.exists(sink._lock_file())
+        return orig(spark_, touched)
+
+    sink._auto_compact = spy
+    sink.write_batch_occ(
+        spark.createDataFrame(
+            [("b", d1, 31), ("e", d1, 1)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        1,
+    )
+    assert seen["lock_held_at_compact"] is False, seen
+    # and the compaction actually ran: the fat partition collapsed
+    pdir = glob.glob(os.path.join(sink.path, "part_date=*15*"))[0]
+    n = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+    assert n == 1, os.listdir(pdir)
+
+
 # -- generalized MERGE INTO (r10, VERDICT r9 item 3) -------------------------
 
 
