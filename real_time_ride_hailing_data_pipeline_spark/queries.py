@@ -50,24 +50,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r11 rotation (VERDICT r10 item 1): the 5 late-r10-born entries —
-# the ONLY oracle-backed entries with no driver row at the r10 freeze
-# — plus the 2 entries born THIS round (full-OCC concurrent
-# disjoint-partition writers; the live-ingest-beside-maintenance
-# stretch).  Re-verified alongside them: the lakehouse entries whose
-# code r11 changes — the bloom index build is now executor-side end
-# to end (fold + sidecar writes), create_bloom_index gained type
-# validation and read_point a probe-type guard, scoped
-# recorded-clustering compactions reuse cached z-order quantile
-# boundaries, optimize/create_bloom_index acquire the writer lock
-# with a blocking wait, and the merge path's stats refresh was
-# generalized — green r10 rows do not cover the new code.  The
-# remaining slots rotate in the STALEST-green breadth entries (last
-# driver rows r8: the r7-born analytics set; then r9: the join
-# family, dedup/search tier, TPC-H q3) so cumulative coverage keeps
-# refreshing; all stay fully oracle-checked at sf0.001 by
-# tests/test_queries_oracle.py every pytest run (rotation log in
-# COVERAGE.md).
+# r12 rotation (VERDICT r11 item 5): no coverage debt remains, so the
+# window keeps the flagship anchors, adds the ONE entry born this
+# round (streaming_multi_writer_occ_ingest — two live StreamingQueries
+# OCC-ingesting disjoint partitions of one table with maintenance
+# interleaved, VERDICT r11 item 3), re-verifies the OCC/concurrency
+# family whose commit paths r12 changed (pin-lock schema/spec/colmap
+# re-validation, all-candidate merge footprints, the ledger eviction
+# floor, auto-compaction moved outside the commit lock — ADVICE r11
+# items 1-4; green r11 rows do not cover the new code), and fills the
+# remaining slots with the STALEST-green breadth entries by the
+# CORRECTNESS_r* ledger: the full r2-green tier (last driver rows
+# r2!), the r3-green tier, the r4-green tier, then ten of the r5-green
+# tier spanning the streaming/join/TPC-H/graph families. All rotated-
+# out names keep r11 driver-green rows and stay fully oracle-checked
+# at sf0.001 by tests/test_queries_oracle.py every pytest run
+# (rotation log in COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -86,59 +84,58 @@ _VERIFY_FIRST: list[str] = [
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     "transform_with_state_running_totals",
-    # --- the 5 late-r10-born entries (VERDICT r10 item 1: the only
-    # oracle-backed entries with no driver row at the r10 freeze) ---
-    "lakehouse_merge_schema_evolution",
-    "dsir_importance_resample",
-    "lakehouse_clustered_ingest_maintained",
-    "lakehouse_point_lookup_time_travel",
-    "lakehouse_partition_file_skipping_stack",
-    # --- the 2 r11-born entries (VERDICT r10 items 4 + stretch 8) ---
+    # --- the r12-born entry (VERDICT r11 item 3) ---
+    "streaming_multi_writer_occ_ingest",
+    # --- re-verification of the OCC/concurrency family whose commit
+    # paths r12 hardened (ADVICE r11 items 1-4) ---
     "lakehouse_concurrent_disjoint_writers",
     "streaming_ingest_concurrent_maintenance",
-    # --- re-verification of entries whose code r11 touched:
-    # executor-side bloom build, bloom type guards, z-order bounds
-    # caching in scoped compactions, blocking maintenance locks,
-    # generalized staged-stats refresh ---
-    "lakehouse_bloom_point_lookup",
-    "lakehouse_zorder_two_dim_skipping",
     "optimize_concurrent_merge_race",
     "lakehouse_merge_into_full",
-    "lakehouse_time_travel_pruned_read",
-    "lakehouse_file_skipping_read",
-    "streaming_compaction_roundtrip",
-    "streaming_dv_delete_replay",
-    "incremental_rollup_merge",
-    # --- breadth rotation: stalest-green entries — the r7-born
-    # analytics set (last driver rows r8) ... ---
-    "funnel_conversion_steps",
-    "cohort_weekly_retention",
-    "event_transition_matrix",
-    "window_range_trailing_stats",
-    "agg_regression_price_quantity",
-    "expectations_event_quality",
-    "window_percentile_analytics",
-    "agg_time_decay_weighted",
-    "lateral_topk_orders_per_customer",
-    "recursive_cte_year_spine",
-    "observe_scan_audit",
-    "approx_topk_event_types",
-    "parameterized_sql_priority_bands",
-    "agg_median_mode_per_type",
-    "global_row_index",
-    "cbo_stats_join_reorder",
-    "map_event_type_shares",
-    "sql_scripting_p90_search",
-    "session_variable_threshold_bands",
-    "transpose_event_type_metrics",
-    # --- ... then the r9-green join/dedup/search/TPC-H tier ---
-    "sort_merge_order_revenue",
-    "asof_join_last_signup",
-    "bucketed_join_no_shuffle",
-    "dedup_exact_documents",
-    "dedup_near_duplicates",
-    "search_bm25_topk",
-    "tpch_q3_shipping_priority",
+    # --- breadth rotation: stalest-green first — the ENTIRE tier whose
+    # last driver rows are r2 ... ---
+    "argmax_event_per_type",
+    "city_running_totals_direct",
+    "orders_by_weekday",
+    "ride_trip_durations",
+    "set_except_open_not_finished_custkeys",
+    "sliding_window_metrics",
+    "text_term_frequencies",
+    "tpch_q17_small_quantity_revenue",
+    "window_ntile_order_deciles",
+    "window_running_total",
+    # --- ... the r3-green tier ... ---
+    "anti_join_customers_without_big_orders",
+    "doc_fingerprint",
+    "embedding_norm_stats",
+    "multimodal_frame_sample",
+    "semi_join_customers_with_open_orders",
+    "text_language_id",
+    "text_ngram_doc_frequency",
+    "text_token_stats",
+    # --- ... the r4-green tier ... ---
+    "ann_cosine_topk",
+    "dedup_cluster_assignment",
+    "dedup_embedding_pairs",
+    "embedding_quantize_int8",
+    "session_window_user_sessions",
+    "simhash_documents",
+    "split_train_val_test",
+    "stream_stream_join_purchase_attribution",
+    "streaming_dedup_replay",
+    "text_repetition_scores",
+    # --- ... then ten of the r5-green tier, spanning the streaming /
+    # join / TPC-H / graph / LLM-pipeline families ---
+    "agg_distinct_users_per_type",
+    "graph_pagerank_supply",
+    "ride_roundtrip_city_metrics",
+    "stateful_sessionizer_closed_sessions",
+    "stream_static_enrichment",
+    "streaming_append_replay",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q22_global_sales_opportunity",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -3403,6 +3400,130 @@ def streaming_ingest_concurrent_maintenance(spark: SparkSession, sf_dir: str) ->
     final = {r["event_id"]: round(r["value"], 6) for r in df_f.collect()}
     if final != {k: expected[k][1] for k in probes}:
         raise RuntimeError(f"final probe values wrong: {final}")
+    return sink.read(spark).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "streaming_multi_writer_occ_ingest",
+    oracle="""
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events)
+    SELECT event_id, ts, user_id, event_type,
+           CASE
+             WHEN event_id % 3 = 0
+                  AND CAST(ts AS DATE) < (SELECT d0 + 14 FROM b)
+               THEN value + 1000
+             WHEN event_id % 3 = 0
+                  AND CAST(ts AS DATE) >= (SELECT d0 + 14 FROM b)
+                  AND CAST(ts AS DATE) < (SELECT d0 + 28 FROM b)
+               THEN value + 2000
+             ELSE value
+           END AS value
+    FROM events
+    """,
+)
+def streaming_multi_writer_occ_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO live StreamingQueries OCC-ingesting into ONE table
+    concurrently (VERDICT r11 item 3): stream X updates the first 14
+    days of events (+1000 on every event_id % 3 == 0 key), stream Y
+    the next 14 days (+2000) — DISJOINT partition footprints, so
+    under ``write_batch_occ`` (sinks.py) their micro-batch commits
+    interleave without serializing on the O(bytes) merge — while a
+    recorded-z-order OPTIMIZE interleaves as a third writer. Both
+    streams must be live SIMULTANEOUSLY (asserted) and maintenance
+    must run while at least one is live (asserted); conflicts raised
+    by the maintenance rewrites are absorbed by the OCC retry path.
+    The oracle value-hashes the final table against the SERIAL
+    application of every update — the linearizability contract for
+    the three-writer composition. At 100 TB this is the multi-stream
+    regime the single-writer lock forbids: N regional ingest streams
+    landing in their own partitions of one table, maintenance running
+    beside them, each commit paying the lock only for pin +
+    conflict-check + swap."""
+    import datetime as _dt
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ParquetUpsertSink,
+    )
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d0 = base.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    d14 = d0 + _dt.timedelta(days=14)
+    d28 = d0 + _dt.timedelta(days=28)
+    keys = F.col("event_id") % 3 == 0
+    upd_x = base.filter(keys & (F.to_date("ts") < F.lit(d14))).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    upd_y = base.filter(
+        keys & (F.to_date("ts") >= F.lit(d14)) & (F.to_date("ts") < F.lit(d28))
+    ).withColumn("value", F.col("value") + F.lit(2000.0))
+    workdir = _workdir("rtrh_multiocc_")
+    n_chunks = 5
+    feeds = {}
+    for label, upd in (("x", upd_x), ("y", upd_y)):
+        feed = _os.path.join(workdir, f"feed_{label}")
+        chunked = upd.withColumn(
+            "__c", F.pmod(F.xxhash64("event_id"), F.lit(n_chunks))
+        )
+        for i in range(n_chunks):  # one file per micro-batch
+            chunked.filter(F.col("__c") == i).drop("__c").coalesce(
+                1
+            ).write.mode("append").parquet(feed)
+        feeds[label] = feed
+    sink = ParquetUpsertSink(
+        _os.path.join(workdir, "t"),
+        key_cols=("event_id", "ts"),
+        partition_source="ts",
+    )
+    sink.write_batch(base, 0)
+    sink.set_clustering(["value", "user_id"], mode="zorder")
+    sink.compact(spark, files_per_partition=4)  # applies + caches bounds
+    schema = spark.read.parquet(feeds["x"]).schema
+
+    def start(label: str, epoch_base: int):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feeds[label])
+            .writeStream.foreachBatch(
+                lambda b, e: sink.write_batch_occ(b, epoch_base + e)
+            )
+            .option(
+                "checkpointLocation", _os.path.join(workdir, f"ckpt_{label}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import time as _time
+
+    qx, qy = start("x", 10_000), start("y", 20_000)
+    overlapped = qx.isActive and qy.isActive
+    maintained_live = False
+    passes = 0
+    while qx.isActive or qy.isActive:
+        overlapped = overlapped or (qx.isActive and qy.isActive)
+        if passes < 2:
+            live_before = qx.isActive or qy.isActive
+            sink.optimize(spark, files_per_partition=2)  # recorded z
+            passes += 1
+            maintained_live = maintained_live or live_before
+        else:
+            _time.sleep(0.05)
+    qx.awaitTermination()
+    qy.awaitTermination()
+    if not overlapped:
+        raise RuntimeError("the two ingest streams never ran concurrently")
+    if passes < 1 or not maintained_live:
+        raise RuntimeError(
+            f"maintenance did not interleave with live ingest "
+            f"(passes={passes}, live={maintained_live})"
+        )
     return sink.read(spark).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

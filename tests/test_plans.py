@@ -604,3 +604,78 @@ def test_column_mapped_read_pushes_filters_to_physical_scan(spark, tmp_path):
     plan = physical_plan(sink.read(spark).filter(F.col("amount") > 15))
     assert re.search(r"PushedFilters: \[.*GreaterThan\(total", plan), plan
     assert "ReadSchema" in plan and "amount" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
+def test_aqe_skew_join_split_fires_on_hot_key(spark, tmp_path):
+    """AQE's skew-join split demonstrably fires (VERDICT r11 item 4):
+    a 99%-hot-key probe side through a forced sort-merge join carries
+    the ``skew=true`` marker in the executed plan when the split is
+    on, and not when it is off. The three load-bearing fixture
+    conditions (multi-mapper probe side, MATERIALIZED dim side so the
+    SMJ(Sort(Shuffle),Sort(Shuffle)) pattern matches, thresholds
+    scaled to the fixture) are the same ones bench.py's skew_bench
+    documents — this pins them so the bench evidence can't silently
+    regress to two identical timings."""
+    ev = catalog.load_table(spark, SF, "events").repartition(16)
+    skewed = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
+        .withColumn(
+            "hot_key",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(100)) < 99, F.lit("hot-0")
+            ).otherwise(F.concat(F.lit("k-"), F.col("event_id").cast("string"))),
+        )
+        .withColumn(
+            "payload", F.repeat(F.md5(F.col("event_id").cast("string")), 6)
+        )
+    )
+    rdir = str(tmp_path / "dim")
+    (
+        skewed.select("hot_key")
+        .distinct()
+        .withColumn("dim_payload", F.md5(F.col("hot_key")))
+        .write.mode("overwrite")
+        .parquet(rdir)
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thresh = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    prev_advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # sf0.001 hot partition is ~12.5 KB compressed (measured via
+        # OptimizeSkewedJoin's DEBUG stats); scale the 256 MB
+        # production default accordingly (same reasoning as skew_bench)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        markers = {}
+        for flag in ("false", "true"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            j = (
+                skewed.join(spark.read.parquet(rdir), "hot_key")
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            j.collect()
+            markers[flag] = (
+                "skew=true" in j._jdf.queryExecution().executedPlan().toString()
+            )
+        assert markers == {"false": False, "true": True}, markers
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            prev_thresh,
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
