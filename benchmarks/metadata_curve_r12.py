@@ -107,6 +107,7 @@ def main() -> None:
                 pruned, _read, _skip = sink.read_pruned(
                     spark,
                     "total",
+                    lower=0,
                     source_lower=days[3],
                     source_upper=days[3],
                 )

@@ -67,7 +67,20 @@ def norm(v):
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    # A REALISTIC session for the scale run: local-mode driver heap IS
+    # executor memory, and the bare-session 1g default OOMs legitimate
+    # 6M-row shuffles/broadcasts (observed: GCLocker retry storms in
+    # the dedup self-join tier, broadcast build failure in the
+    # connected-components loop). 48g mirrors a production executor
+    # profile on this 128 GiB box; the sf0.01 driver contract still
+    # runs the bare session — this harness is the scale check, not
+    # the contract check.
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .getOrCreate()
+    )
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )
@@ -110,13 +123,40 @@ def main() -> None:
                 flush=True,
             )
             continue
+        # Oracle watchdog: several dedup ground-truth oracles are
+        # deliberately ALL-PAIRS exact (the right oracle at sf0.01's
+        # 5k docs, O(n²)-infeasible at sf1's 50k). The SPARK side is
+        # the scalable path under test; when the exact oracle can't
+        # finish in 180 s it is interrupted and the entry recorded
+        # rows-only-at-sf1 with the reason — never silently skipped.
+        import threading as _th
+
         t0 = time.perf_counter()
-        res = con.sql(oracles[name])
-        cm = {c: i for i, c in enumerate(res.columns)}
-        drows = sorted(
-            tuple(str(norm(row[cm[c]])) for c in cols)
-            for row in res.fetchall()
-        )
+        timer = _th.Timer(180.0, con.interrupt)
+        timer.start()
+        try:
+            res = con.sql(oracles[name])
+            cm = {c: i for i, c in enumerate(res.columns)}
+            drows = sorted(
+                tuple(str(norm(row[cm[c]])) for c in cols)
+                for row in res.fetchall()
+            )
+        except Exception as exc:  # noqa: BLE001 — interrupt lands here
+            print(
+                json.dumps(
+                    {
+                        "q": name,
+                        "oracle_timeout_s": 180,
+                        "rows_only": len(srows),
+                        "wall": walls[name],
+                        "note": f"{type(exc).__name__}"[:80],
+                    }
+                ),
+                flush=True,
+            )
+            continue
+        finally:
+            timer.cancel()
         duck_wall = round(time.perf_counter() - t0, 2)
         ok = srows == drows and sorted(res.columns) == cols
         if not ok:
