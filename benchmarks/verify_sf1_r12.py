@@ -48,7 +48,15 @@ def pick(names: list[str]) -> list[str]:
             n.startswith("tpch_")
             or n.startswith("dedup_")
             or n.startswith("text_")
-            or n in ("doc_fingerprint", "simhash_documents", "search_bm25_topk")
+            or n.startswith("ann_")
+            or n.startswith("embedding_")
+            or n
+            in (
+                "doc_fingerprint",
+                "simhash_documents",
+                "search_bm25_topk",
+                "ivf_cell_stats",
+            )
         )
     )
     return chosen
@@ -100,6 +108,8 @@ def main() -> None:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     names = pick(list(qs))
+    if len(sys.argv) > 2:  # optional subset: verify_sf1_r12.py DIR q1,q2
+        names = [n for n in sys.argv[2].split(",") if n in qs]
     fails, errs = [], []
     walls: dict[str, float] = {}
     for name in names:

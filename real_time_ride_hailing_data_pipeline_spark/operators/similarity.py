@@ -83,43 +83,106 @@ def brute_force_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    screen_margin: int = 32,
 ) -> DataFrame:
     """Exact per-query top-k against a broadcast query *set* — the
     batch retrieval shape (eval-set decontamination, hard-negative
     mining run k queries at once, not one).
 
-    The query set is broadcast, so the corpus side stays a single
-    map stage: BroadcastNestedLoopJoin (build = Q query rows) fans
-    each corpus row out to Q scored rows without shuffling the corpus.
-    Norms are precomputed ONCE per corpus row and once per query —
-    not per (row, query) pair — so per-pair work is a single dot
-    product instead of three (measured 3× on the bench corpus); the
-    materialized double sqrt values are the exact IEEE values the
-    inline form computes, so cosines stay bit-identical. The
-    per-query ranking is row_number over (query_id), which Spark
-    3.5+ executes with a WindowGroupLimit — every input partition
-    keeps only its local top-k per query before the shuffle, so
-    shuffle volume is O(k × Q × partitions), independent of corpus
-    size. Returns (query_id, rn, vec_id, sim).
+    Two-phase, like :func:`bucketed_cosine_pairs` (r12 — the previous
+    single-phase form scored every (corpus row × query) pair with the
+    interpreted exact-DECIMAL fold, ~5× slower than DuckDB at sf1;
+    the hot loop is now one BLAS matmul per Arrow batch):
+
+    - **Screen (Arrow mapInPandas, fp64 BLAS):** the query matrix is
+      collected once (Q is small by contract — it rides a broadcast
+      either way) and captured in the closure; each corpus batch
+      computes an (n × Q) cosine matrix in one ``X @ Q.T`` and keeps,
+      per query, every row within ``1e-9`` of its batch-local
+      ``k + screen_margin``-th best. LOSSLESS: per-sim fp64-vs-exact
+      drift is ~1e-13 ≪ the 1e-9 band, and the band keeps whole tie
+      groups, so the exact top-k can never be screened out (same
+      margin argument as the pair screen). Candidate volume is
+      O((k + margin + ties) × Q × batches), independent of corpus
+      size.
+    - **Refine (JVM, exact DECIMAL):** candidates join back to their
+      vectors (corpus by id — a broadcast-able candidate set; query
+      side broadcast) and only they pay the exact-decimal dot
+      product, so the reported sims stay bit-identical across engines
+      (module docstring). Final ranking: row_number over
+      (sim DESC, id ASC), rn <= k.
+
+    Returns (query_id, rn, vec_id, sim).
     """
-    corpus = embeddings.withColumn(
-        "_nrm", F.expr(f"sqrt(cast({_dot_decimal(vec_col, vec_col)} as double))")
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r["_qvec"]) for r in qrows], dtype=np.float64)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    m = k + screen_margin
+    eps = 1e-9
+
+    def _screen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = (vecs @ qmat.T) / np.outer(norms, qnorms)  # n x Q
+            out_q, out_id = [], []
+            top = min(m, sims.shape[0])
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                cut = np.partition(col, -top)[-top] - eps
+                keep = np.nonzero(col >= cut)[0]
+                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+                out_id.append(ids[keep])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                }
+            )
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        _screen, f"{query_id_col} long, {id_col} long"
+    )
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(
+            f"sqrt(cast({_dot_decimal(vec_col, vec_col)} as double))"
+        ).alias("_nrm"),
     )
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        spark.createDataFrame(
+            [(r["_qid"], r["_qvec"]) for r in qrows],
+            queries.select(
+                F.col(query_id_col).alias("_qid"),
+                F.col(vec_col).alias("_qvec"),
+            ).schema,
         ).withColumn(
-            "_qnrm", F.expr(f"sqrt(cast({_dot_decimal('_qvec', '_qvec')} as double))")
+            "_qnrm",
+            F.expr(f"sqrt(cast({_dot_decimal('_qvec', '_qvec')} as double))"),
         )
     )
     # same operand order as cosine_similarity_expr: corpus norm first
-    scored = corpus.crossJoin(q).select(
-        F.col("_qid").alias(query_id_col),
-        F.col(id_col),
-        F.expr(
-            f"round(cast({_dot_decimal(vec_col, '_qvec')} as double) / "
-            f"  (_nrm * _qnrm), 6)"
-        ).alias("sim"),
+    scored = (
+        cands.join(corpus, id_col)
+        .join(q, cands[query_id_col] == q["_qid"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.expr(
+                f"round(cast({_dot_decimal(vec_col, '_qvec')} as double) / "
+                f"  (_nrm * _qnrm), 6)"
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (

@@ -82,14 +82,16 @@ row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
 filters on the selective scans, BroadcastHashJoin on dim joins,
 SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
 below are *intended* tiny-side broadcasts (the query vector in
-ann_cosine_topk and the Q-row query set in ann_batch_topk; the scalar
+ann_cosine_topk; the scalar
 threshold in tpch_q22; the corpus-stats row in search_bm25_topk;
 the one-row token-totals in dsir_importance_resample);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
-queries and the embedding-pair candidate stage (a per-cell numpy
-matmul, where BLAS beats interpreted SQL lambda folds by orders of
-magnitude — the exact-decimal refine stays JVM-side). Queries that execute a StreamingQuery (or an iterative
+queries and the BLAS candidate screens (the embedding-pair per-cell
+matmul and, since r12, ann_batch_topk's lossless batch-local top-m
+screen — one numpy matmul per Arrow batch, where BLAS beats
+interpreted SQL lambda folds by orders of magnitude — the
+exact-decimal refine stays JVM-side in both). Queries that execute a StreamingQuery (or an iterative
 fixpoint: dedup_cluster_assignment, dedup_semantic_keep_list) are
 audited by their component batch plans and marked below.
 

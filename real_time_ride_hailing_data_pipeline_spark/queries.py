@@ -3467,8 +3467,12 @@ def streaming_multi_writer_occ_ingest(spark: SparkSession, sf_dir: str) -> DataF
     feeds = {}
     for label, upd in (("x", upd_x), ("y", upd_y)):
         feed = _os.path.join(workdir, f"feed_{label}")
+        # chunk by DATE, not by key hash: each micro-batch then pins
+        # and rewrites ~3 day partitions instead of all 14 — the
+        # partition-scoped batch shape a real ingest stream has, and
+        # the one that keeps each OCC pin/merge O(touched days)
         chunked = upd.withColumn(
-            "__c", F.pmod(F.xxhash64("event_id"), F.lit(n_chunks))
+            "__c", F.pmod(F.dayofmonth("ts"), F.lit(n_chunks))
         )
         for i in range(n_chunks):  # one file per micro-batch
             chunked.filter(F.col("__c") == i).drop("__c").coalesce(
@@ -7177,11 +7181,13 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch similarity search (operators/similarity.py:
     brute_force_topk_batch): exact per-query top-5 for a broadcast
     query *set* (every 128th vector) — the eval-decontamination /
-    hard-negative-mining retrieval shape. The corpus never shuffles
-    for scoring (BroadcastNestedLoopJoin, build = Q rows) and the
-    per-query ranking runs under a WindowGroupLimit, so shuffle
-    volume is O(k·Q·partitions) regardless of corpus size. Exact
-    DECIMAL dot products keep cosines bit-identical to the oracle."""
+    hard-negative-mining retrieval shape. Two-phase since r12: a
+    lossless fp64 BLAS screen (one matmul per Arrow batch, 1e-9
+    band over the batch-local top-(k+margin) so the exact winners
+    can never be screened out) feeds an exact-DECIMAL refine on the
+    O(k·Q·batches) survivors — the corpus never shuffles for
+    scoring, and the reported cosines stay bit-identical to the
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 128 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
