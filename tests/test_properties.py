@@ -545,3 +545,90 @@ def test_global_row_index_matches_enumerate_sorted(spark, tmp_path_factory, ids)
         if pos % 97 == 0
     }
     assert got == expected
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_batch_topk_screen_is_lossless(spark, data):
+    """The r12 two-phase brute_force_topk_batch (fp64 BLAS screen +
+    exact-DECIMAL refine) returns EXACTLY the single-phase exact
+    result on arbitrary corpora — including the adversarial tie shape
+    (duplicated vectors, so whole tie-groups straddle the screen's
+    cut) and a margin squeezed to 0, where only the 1e-9 band and the
+    top-k-per-batch argument protect losslessness."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    dim = 6
+    n = data.draw(st.integers(min_value=6, max_value=16))
+    base = [
+        [
+            data.draw(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                )
+            )
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    rows = []
+    vid = 0
+    for vec in base:
+        if all(abs(x) < 1e-6 for x in vec):
+            vec[0] = 1.0  # avoid zero norm
+        copies = data.draw(st.integers(min_value=1, max_value=3))
+        for _ in range(copies):  # exact duplicates -> guaranteed ties
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = data.draw(st.integers(min_value=1, max_value=4))
+    got = sorted(
+        tuple(r)
+        for r in sim.brute_force_topk_batch(
+            df, qdf, k=k, screen_margin=0
+        ).collect()
+    )
+    # single-phase reference built from the SAME SQL arithmetic
+    # (exact-decimal cosine + row_number over sim DESC, id ASC): what
+    # the property pins is that the fp64 SCREEN never changes the
+    # result — not the decimal arithmetic itself, which a Python
+    # float re-derivation would diverge from at round() boundaries
+    from pyspark.sql import Window as _W
+
+    scored = (
+        df.crossJoin(
+            F.broadcast(
+                qdf.select(
+                    F.col("query_id").alias("_qid"),
+                    F.col("embedding").alias("_qvec"),
+                )
+            )
+        )
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id"),
+            sim.cosine_similarity_expr("embedding", "_qvec").alias("sim"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    expected = sorted(
+        tuple(r)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "rn", "vec_id", "sim")
+        .collect()
+    )
+    assert got == expected, (got, expected)
