@@ -195,6 +195,10 @@ def ivf_topk(
     the exact-decimal dot product, so the final ranking is
     engine-stable and the registry entry carries a full value-hash
     oracle."""
+    from real_time_ride_hailing_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
     emb = assign_cells(embeddings, centroids, id_col, vec_col)
     q = F.broadcast(
         query.select(F.col(vec_col).alias("_qvec"))
@@ -202,11 +206,14 @@ def ivf_topk(
         .withColumn("_probes", nearest_cells_expr("_qq", centroids, nprobe))
         .drop("_qq")
     )
-    scored = (
-        emb.join(q, F.array_contains(F.col("_probes"), F.col("cell")))
-        .select(F.col(id_col), cosine_similarity_expr(vec_col, "_qvec").alias("sim"))
-    )
-    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    pruned = emb.join(
+        q, F.array_contains(F.col("_probes"), F.col("cell"))
+    ).select(F.col(id_col), F.col(vec_col))
+    # scoring of the pruned cells delegates to the r12 two-phase
+    # top-k (fp64 BLAS screen + exact-decimal refine) — identical
+    # candidate set and final decimal ranking, minus the interpreted
+    # per-row decimal fold over every probed vector
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def cell_stats(

@@ -63,17 +63,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against a (1-row or small) query set.
 
-    ``crossJoin(broadcast(query))`` never shuffles the big side: Spark
-    plans BroadcastNestedLoopJoin (build = the query rows) -> map-side
-    scoring -> TakeOrderedAndProject. Ties broken by id for
-    determinism. Returns (vec_id, sim) sorted desc.
+    Two-phase since r12: delegates to :func:`brute_force_topk_batch`
+    (lossless fp64 BLAS screen + exact-DECIMAL refine — the previous
+    form paid the interpreted decimal fold for EVERY corpus row; at
+    sf1 that was 14 s for one query where the screen form is
+    sub-second). For a multi-row query set, the global top-k over the
+    union of per-query top-k's equals the old global ranking over all
+    (row, query) pairs — any globally-ranked pair is inside its own
+    query's top-k. Ties broken by id for determinism. Returns
+    (vec_id, sim) sorted desc.
     """
-    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
-    scored = embeddings.crossJoin(q).select(
-        F.col(id_col),
-        cosine_similarity_expr(vec_col, "_qvec").alias("sim"),
+    qids = query.select(F.col(vec_col).alias(vec_col)).withColumn(
+        "_bfqid", F.monotonically_increasing_id()
     )
-    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    ranked = brute_force_topk_batch(
+        embeddings,
+        qids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col="_bfqid",
+    )
+    return (
+        ranked.select(F.col(id_col), F.col("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def brute_force_topk_batch(
@@ -198,19 +213,40 @@ def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64) -> C
     Plane p's normal has component c_j in {-1, +1} derived from
     md5(p:j) — seedless, engine-portable determinism. Sign of the
     (+/-1-weighted) projection gives bit p. Map-only.
+
+    r12: the md5-derived signs are DATA-INDEPENDENT (they depend only
+    on (p, j)), but the original expression recomputed md5 inside the
+    per-element lambda — planes × dim interpreted md5 calls PER ROW
+    (5.1M md5s on a 20k-vector scan, the entire cost of the LSH
+    entry). The signs are now computed once driver-side — bit-equal
+    by construction: Python's md5 of the same "p:j" bytes, first hex
+    nibble odd → +1 — and embedded as integer literals, so the scan
+    does only the multiply-accumulate.
     """
-    # component sign: first hex nibble of md5("p:j") odd -> +1 else -1
-    proj = (
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim - 1}), (x, j) -> "
-        f"  cast(cast(x as double) * (2 * ((instr('0123456789abcdef', "
-        f"    substr(md5(cast(concat(cast(p as string), ':', cast(j as string)) as binary)), 1, 1)) - 1) % 2) - 1) "
-        f"  as decimal(30,12))), cast(0 as decimal(38,12)), "
-        f"  (acc, v) -> cast(acc + v as decimal(38,12)))"
-    )
-    return F.expr(
-        f"aggregate(sequence(0, {num_planes - 1}), cast(0 as bigint), (acc, p) -> "
-        f"  acc + case when {proj} > 0 then cast(shiftleft(cast(1 as bigint), cast(p as int)) as bigint) else 0 end)"
-    )
+    import hashlib
+
+    def _sign(p: int, j: int) -> int:
+        nibble = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0]
+        # original SQL: 2 * ((instr('0123456789abcdef', nibble) - 1) % 2) - 1
+        return 2 * (int(nibble, 16) % 2) - 1
+
+    planes = [
+        [_sign(p, j) for j in range(dim)] for p in range(num_planes)
+    ]
+    bits = []
+    for p, signs in enumerate(planes):
+        arr = "array(" + ",".join(str(s) for s in signs) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, s) -> "
+            f"  cast(cast(x as double) * s as decimal(30,12))), "
+            f"  cast(0 as decimal(38,12)), "
+            f"  (acc, v) -> cast(acc + v as decimal(38,12)))"
+        )
+        bits.append(
+            f"(case when {proj} > 0 then cast({1 << p} as bigint) "
+            f"else cast(0 as bigint) end)"
+        )
+    return F.expr(" + ".join(bits))
 
 
 def lsh_bucketed_topk(
@@ -237,11 +273,13 @@ def lsh_bucketed_topk(
             "_qsig", hyperplane_signature("_qvec", num_planes, dim)
         )
     )
-    scored = (
-        emb_sig.join(q_sig, F.col("_sig") == F.col("_qsig"))
-        .select(F.col(id_col), cosine_similarity_expr(vec_col, "_qvec").alias("sim"))
+    pruned = emb_sig.join(q_sig, F.col("_sig") == F.col("_qsig")).select(
+        F.col(id_col), F.col(vec_col)
     )
-    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # the signature filter prunes the scan; scoring the surviving
+    # bucket delegates to the r12 two-phase top-k (same decimal
+    # ranking, no interpreted per-row fold)
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def bucketed_cosine_pairs(

@@ -81,17 +81,19 @@ enforced by tests/test_plans.py: no CartesianProduct anywhere, no
 row-at-a-time Python UDF (BatchEvalPython) in any transform plan, pushed
 filters on the selective scans, BroadcastHashJoin on dim joins,
 SortMergeJoin on big-big joins. The only BroadcastNestedLoopJoin nodes
-below are *intended* tiny-side broadcasts (the query vector in
-ann_cosine_topk; the scalar
+below are *intended* tiny-side broadcasts (the scalar
 threshold in tpch_q22; the corpus-stats row in search_bm25_topk;
-the one-row token-totals in dsir_importance_resample);
+the one-row token-totals in dsir_importance_resample; the 1-row
+probe-set array_contains join in ann_ivf_topk, twice because the
+pruned relation feeds both the screen and the refine);
 Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 is the sanctioned Python boundary and appears only in the pandas-UDF
 queries and the BLAS candidate screens (the embedding-pair per-cell
-matmul and, since r12, ann_batch_topk's lossless batch-local top-m
-screen — one numpy matmul per Arrow batch, where BLAS beats
-interpreted SQL lambda folds by orders of magnitude — the
-exact-decimal refine stays JVM-side in both). Queries that execute a StreamingQuery (or an iterative
+matmul and, since r12, the top-k family's lossless batch-local top-m
+screen — ann_cosine/ann_batch/ann_ivf/ann_lsh all refine through it,
+one numpy matmul per Arrow batch, where BLAS beats interpreted SQL
+lambda folds by orders of magnitude — the exact-decimal refine stays
+JVM-side in every case). Queries that execute a StreamingQuery (or an iterative
 fixpoint: dedup_cluster_assignment, dedup_semantic_keep_list) are
 audited by their component batch plans and marked below.
 
