@@ -113,13 +113,17 @@ def brute_force_topk_batch(
       collected once (Q is small by contract — it rides a broadcast
       either way) and captured in the closure; each corpus batch
       computes an (n × Q) cosine matrix in one ``X @ Q.T`` and keeps,
-      per query, every row within ``1e-9`` of its batch-local
-      ``k + screen_margin``-th best. LOSSLESS: per-sim fp64-vs-exact
-      drift is ~1e-13 ≪ the 1e-9 band, and the band keeps whole tie
-      groups, so the exact top-k can never be screened out (same
-      margin argument as the pair screen). Candidate volume is
-      O((k + margin + ties) × Q × batches), independent of corpus
-      size.
+      per query, every row within ``1e-6 + 1e-9`` of its batch-local
+      ``k + screen_margin``-th best. LOSSLESS w.r.t. the REFINE'S
+      ranking, which orders by round(sim, 6) DESC then id ASC: two
+      rows up to 1e-6 apart in raw cosine can round to the SAME 6-dp
+      value and tie-break by id, so the band must cover the full
+      rounding granularity (1e-6) plus fp64-vs-exact drift (~1e-13 ≪
+      1e-9) — a bare fp-drift band would screen out a lower-id row
+      that the exact ranking tie-breaks INTO the top-k (ADVICE r12,
+      matching bucketed_cosine_pairs' 1e-6 margin). Candidate volume
+      is O((k + margin + ties-within-1e-6) × Q × batches),
+      independent of corpus size.
     - **Refine (JVM, exact DECIMAL):** candidates join back to their
       vectors (corpus by id — a broadcast-able candidate set; query
       side broadcast) and only they pay the exact-decimal dot
@@ -135,11 +139,19 @@ def brute_force_topk_batch(
     qrows = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     ).collect()
-    qids = np.array([r["_qid"] for r in qrows], dtype=np.int64)
+    qids = [r["_qid"] for r in qrows]  # native type — ids need not be long
     qmat = np.asarray([list(r["_qvec"]) for r in qrows], dtype=np.float64)
     qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    # zero-norm guard: a 0-vector's cosine is undefined; inf norm makes
+    # its sims 0.0 (finite) instead of NaN — an unguarded NaN landing on
+    # np.partition's cut element would make keep all-False and silently
+    # drop the ENTIRE batch's candidates for that query (ADVICE r12)
+    qnorms = np.where(qnorms == 0.0, np.inf, qnorms)
     m = k + screen_margin
-    eps = 1e-9
+    # the refine ranks by round(sim, 6): the band must cover the full
+    # 6-dp rounding granularity plus fp drift, not just drift — see
+    # docstring (ADVICE r12)
+    eps = 1e-6 + 1e-9
 
     def _screen(batches):
         for pdf in batches:
@@ -148,32 +160,41 @@ def brute_force_topk_batch(
             ids = pdf[id_col].to_numpy()
             vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.sqrt((vecs * vecs).sum(axis=1))
+            norms = np.where(norms == 0.0, np.inf, norms)
             sims = (vecs @ qmat.T) / np.outer(norms, qnorms)  # n x Q
+            # belt-and-braces: any residual non-finite sim (NaN/inf in
+            # the raw vectors — out of contract) must never poison the
+            # partition cut; rank it last instead
+            np.nan_to_num(sims, copy=False, nan=-np.inf)
             out_q, out_id = [], []
             top = min(m, sims.shape[0])
             for j in range(sims.shape[1]):
                 col = sims[:, j]
                 cut = np.partition(col, -top)[-top] - eps
                 keep = np.nonzero(col >= cut)[0]
-                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
-                out_id.append(ids[keep])
-            yield pd.DataFrame(
-                {
-                    query_id_col: np.concatenate(out_q),
-                    id_col: np.concatenate(out_id),
-                }
-            )
+                out_q.extend([qids[j]] * len(keep))
+                out_id.extend(ids[keep].tolist())
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_id})
 
+    # output schema derives from the INPUT id types (string/int/...
+    # doc ids all pass through unchanged — ADVICE r12: the previous
+    # hardcoded `long, long` corrupted non-long ids)
+    q_id_type = queries.schema[query_id_col].dataType.simpleString()
+    c_id_type = embeddings.schema[id_col].dataType.simpleString()
     cands = embeddings.select(id_col, vec_col).mapInPandas(
-        _screen, f"{query_id_col} long, {id_col} long"
+        _screen, f"{query_id_col} {q_id_type}, {id_col} {c_id_type}"
     )
+    # zero-norm rows are EXCLUDED (cosine undefined; the screen scores
+    # them 0.0 but a batch containing only zero vectors still emits
+    # them as batch-local "best" candidates, and the exact refine's
+    # division would raise under ANSI mode)
     corpus = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         F.expr(
             f"sqrt(cast({_dot_decimal(vec_col, vec_col)} as double))"
         ).alias("_nrm"),
-    )
+    ).filter(F.col("_nrm") > 0)
     q = F.broadcast(
         spark.createDataFrame(
             [(r["_qid"], r["_qvec"]) for r in qrows],
@@ -184,7 +205,7 @@ def brute_force_topk_batch(
         ).withColumn(
             "_qnrm",
             F.expr(f"sqrt(cast({_dot_decimal('_qvec', '_qvec')} as double))"),
-        )
+        ).filter(F.col("_qnrm") > 0)
     )
     # same operand order as cosine_similarity_expr: corpus norm first
     scored = (
@@ -262,9 +283,16 @@ def lsh_bucketed_topk(
     matches the query's exactly (Hamming radius 0; widen by unioning
     neighboring signatures for higher recall).
 
-    The signature equality is a *filter*, not a join of the big side:
-    with the table written partitioned/bucketed by signature this is
-    partition pruning — the 100 TB scan shrinks by ~2^-num_planes.
+    The signature equality is a *filter*, not a join of the big side.
+    As executed here it is a cheap predicate over a full scan;
+    DESIGNED FOR a layout where the signatures are materialized and
+    the table written partitioned/bucketed by (a banded prefix of)
+    them, which turns the filter into partition pruning and shrinks
+    the 100 TB scan by ~2^-num_planes — the executed build-then-probe
+    proof of exactly that pattern is the IVF index
+    (``ivf.build_cell_index`` + ``ivf.ivf_topk_indexed``,
+    PartitionFilters plan-asserted); the LSH signature column slots
+    into the same ``partitionBy`` write unchanged.
     """
     sig = hyperplane_signature(vec_col, num_planes, dim)
     emb_sig = embeddings.withColumn("_sig", sig)

@@ -50,22 +50,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # DuckDB oracles (observed in CORRECTNESS_r02.json: exactly registry positions
 # 0-49, registry order).  ``_VERIFY_FIRST`` pins an explicit priority order.
 #
-# r12 rotation (VERDICT r11 item 5): no coverage debt remains, so the
-# window keeps the flagship anchors, adds the ONE entry born this
-# round (streaming_multi_writer_occ_ingest — two live StreamingQueries
-# OCC-ingesting disjoint partitions of one table with maintenance
-# interleaved, VERDICT r11 item 3), re-verifies the OCC/concurrency
-# family whose commit paths r12 changed (pin-lock schema/spec/colmap
-# re-validation, all-candidate merge footprints, the ledger eviction
-# floor, auto-compaction moved outside the commit lock — ADVICE r11
-# items 1-4; green r11 rows do not cover the new code), and fills the
-# remaining slots with the STALEST-green breadth entries by the
-# CORRECTNESS_r* ledger: the full r2-green tier (last driver rows
-# r2!), the r3-green tier, the r4-green tier, then ten of the r5-green
-# tier spanning the streaming/join/TPC-H/graph families. All rotated-
-# out names keep r11 driver-green rows and stay fully oracle-checked
-# at sf0.001 by tests/test_queries_oracle.py every pytest run
-# (rotation log in COVERAGE.md).
+# r13 rotation (VERDICT r12 item 4): the window keeps the flagship
+# anchors, adds the ONE entry born this round (ann_ivf_indexed_topk —
+# the materialized partitionBy("cell") IVF index probed through real
+# partition pruning, VERDICT r12 item 1), re-verifies every entry
+# whose code r13 touches (the OCC family — the idempotence ledger's
+# eviction floor became per-writer-namespace and write_batch_occ/
+# merge_into_occ grew writer_id, ADVICE r12 medium; the ANN top-k
+# family — the fp64 screen's band widened to 1e-6+1e-9, schema now
+# derived from input id types, zero-norm guard, ADVICE r12 high+low;
+# dedup_containment_pairs — the MinHash pre-screen, VERDICT r12 item
+# 3), and fills the remaining slots with the STALEST-green breadth
+# entries by the CORRECTNESS_r* ledger: the ENTIRE r5-green tier (19
+# names, last driver rows r5), the full r6-green TPC-H tier (6), then
+# ten of the r7-green tier spanning join/agg/source/dedup/window
+# families. All rotated-out names keep r12 driver-green rows and stay
+# fully oracle-checked at sf0.001 by tests/test_queries_oracle.py
+# every pytest run (rotation log in COVERAGE.md).
 #
 # Queries NOT named here follow in definition order; rows-only-by-design
 # entries (random payloads: generator_ride_events, agg_approx_distinct_
@@ -84,58 +85,61 @@ _VERIFY_FIRST: list[str] = [
     "streaming_postgres_replay",
     "streaming_city_metrics_replay",
     "transform_with_state_running_totals",
-    # --- the r12-born entry (VERDICT r11 item 3) ---
+    # --- the r13-born entry (VERDICT r12 item 1) ---
+    "ann_ivf_indexed_topk",
+    # --- re-verification of code r13 touched: the OCC family (per-
+    # namespace eviction floor + writer_id, ADVICE r12 medium) ... ---
     "streaming_multi_writer_occ_ingest",
-    # --- re-verification of the OCC/concurrency family whose commit
-    # paths r12 hardened (ADVICE r11 items 1-4) ---
     "lakehouse_concurrent_disjoint_writers",
     "streaming_ingest_concurrent_maintenance",
     "optimize_concurrent_merge_race",
     "lakehouse_merge_into_full",
-    # --- breadth rotation: stalest-green first — the ENTIRE tier whose
-    # last driver rows are r2 ... ---
-    "argmax_event_per_type",
-    "city_running_totals_direct",
-    "orders_by_weekday",
-    "ride_trip_durations",
-    "set_except_open_not_finished_custkeys",
-    "sliding_window_metrics",
-    "text_term_frequencies",
-    "tpch_q17_small_quantity_revenue",
-    "window_ntile_order_deciles",
-    "window_running_total",
-    # --- ... the r3-green tier ... ---
-    "anti_join_customers_without_big_orders",
-    "doc_fingerprint",
-    "embedding_norm_stats",
-    "multimodal_frame_sample",
-    "semi_join_customers_with_open_orders",
-    "text_language_id",
-    "text_ngram_doc_frequency",
-    "text_token_stats",
-    # --- ... the r4-green tier ... ---
+    # --- ... and the ANN top-k family (screen band/schema/zero-norm,
+    # ADVICE r12 high + lows) ---
     "ann_cosine_topk",
-    "dedup_cluster_assignment",
-    "dedup_embedding_pairs",
-    "embedding_quantize_int8",
-    "session_window_user_sessions",
-    "simhash_documents",
-    "split_train_val_test",
-    "stream_stream_join_purchase_attribution",
-    "streaming_dedup_replay",
-    "text_repetition_scores",
-    # --- ... then ten of the r5-green tier, spanning the streaming /
-    # join / TPC-H / graph / LLM-pipeline families ---
-    "agg_distinct_users_per_type",
-    "graph_pagerank_supply",
-    "ride_roundtrip_city_metrics",
-    "stateful_sessionizer_closed_sessions",
-    "stream_static_enrichment",
-    "streaming_append_replay",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q22_global_sales_opportunity",
+    "ann_batch_topk",
+    # --- breadth rotation: stalest-green first — the ENTIRE tier whose
+    # last driver rows are r5 (includes ann_ivf_topk, which also rides
+    # the rebuilt screen, and dedup_containment_pairs, which gets the
+    # r13 MinHash pre-screen) ... ---
+    "cube_orders_totals",
+    "ride_corrupt_record_capture",
+    "streaming_sliding_replay",
+    "streaming_complete_topk_replay",
+    "streaming_fanout_replay",
+    "streaming_jdbc_replay",
+    "text_quality_scores",
+    "multimodal_binary_stats",
+    "stratified_sample_per_lang",
+    "weighted_corpus_mix",
+    "pack_documents_token_bins",
+    "ivf_cell_stats",
+    "ann_ivf_topk",
+    "dedup_substring_spans",
+    "stream_stream_left_outer_attribution",
+    "stream_stream_full_outer_attribution",
+    "statestore_open_windows",
+    "dedup_containment_pairs",
+    "jdbc_source_partitioned_read",
+    # --- ... the full r6-green TPC-H tier ... ---
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    # --- ... then ten of the r7-green tier, spanning join / agg /
+    # source-format / dedup / window families ---
+    "join_broadcast_enrichment",
+    "agg_percentiles_per_type",
+    "dedup_ngram_jaccard",
+    "tpch_q19_disjunctive_revenue",
+    "orc_source_agg",
+    "textfile_source_doc_roundtrip",
+    "binaryfile_source_stats",
+    "session_window_dynamic_gap",
+    "zorder_cluster_key",
+    "global_sort_orders",
     # overflow sacrifice: with BOTH gated entries present this list has
     # 51 present names and [:50] must drop ONE — by sitting last, the
     # drop lands here, on a query that has been driver-green since r1
@@ -148,19 +152,19 @@ _VERIFY_FIRST: list[str] = [
 # absent in the driver's environment — keeps every verified slot a
 # full-hash oracle row instead of whatever rows-only entry comes first
 # in definition order. Both carry full oracles and multiple green
-# driver rows.
+# driver rows (last r7).
 _VERIFY_SPARES: list[str] = [
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
+    "mapinarrow_embedding_stats",
+    "applyinarrow_label_stats",
 ]
 
-# Entries born DURING r11 are IN the window above (they exist before
-# the r11 driver freeze): lakehouse_concurrent_disjoint_writers (full
-# OCC ingest) and streaming_ingest_concurrent_maintenance (live
-# stream + concurrent OPTIMIZE/bloom-rebuild), both oracle-verified
-# locally at sf0.001+sf0.01. With the 5 late-r10 entries also in the
-# window, every oracle-backed entry in the registry has (or gets this
-# round) at least one driver row — no r12 coverage debt is queued.
+# The entry born DURING r13 is IN the window above (it exists before
+# the r13 driver freeze): ann_ivf_indexed_topk (materialized
+# partition-pruned IVF index, full value-hash oracle shared with
+# ann_ivf_topk), oracle-verified locally at sf0.001+sf0.01. Every
+# oracle-backed registry entry keeps at least one driver-green row
+# across r1-r12; the r13 window refreshes the stalest tiers (r5/r6 +
+# ten r7 names) — no coverage debt is queued.
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -3489,13 +3493,18 @@ def streaming_multi_writer_occ_ingest(spark: SparkSession, sf_dir: str) -> DataF
     sink.compact(spark, files_per_partition=4)  # applies + caches bounds
     schema = spark.read.parquet(feeds["x"]).schema
 
-    def start(label: str, epoch_base: int):
+    def start(label: str):
+        # each stream commits under its OWN writer namespace: epoch
+        # keys (the Structured Streaming batchId) are monotone per
+        # stream, and the idempotence ledger's eviction floor is
+        # tracked per namespace — two streams sharing one table never
+        # poison each other's floor (ADVICE r12)
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(feeds[label])
             .writeStream.foreachBatch(
-                lambda b, e: sink.write_batch_occ(b, epoch_base + e)
+                lambda b, e: sink.write_batch_occ(b, e, writer_id=label)
             )
             .option(
                 "checkpointLocation", _os.path.join(workdir, f"ckpt_{label}")
@@ -3506,7 +3515,11 @@ def streaming_multi_writer_occ_ingest(spark: SparkSession, sf_dir: str) -> DataF
 
     import time as _time
 
-    qx, qy = start("x", 10_000), start("y", 20_000)
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+    )
+
+    qx, qy = start("x"), start("y")
     overlapped = qx.isActive and qy.isActive
     maintained_live = False
     passes = 0
@@ -3514,9 +3527,17 @@ def streaming_multi_writer_occ_ingest(spark: SparkSession, sf_dir: str) -> DataF
         overlapped = overlapped or (qx.isActive and qy.isActive)
         if passes < 2:
             live_before = qx.isActive or qy.isActive
-            sink.optimize(spark, files_per_partition=2)  # recorded z
-            passes += 1
-            maintained_live = maintained_live or live_before
+            try:
+                sink.optimize(spark, files_per_partition=2)  # recorded z
+                passes += 1
+                maintained_live = maintained_live or live_before
+            except ConcurrentWriterError:
+                # maintenance lost the writer-lock race against the two
+                # live ingest streams — retry on the next loop pass
+                # (the two-process pytest twin does the same; ADVICE
+                # r12: a bare call here nondeterministically failed the
+                # whole entry after the 120 s lock timeout)
+                _time.sleep(0.05)
         else:
             _time.sleep(0.05)
     qx.awaitTermination()
@@ -6007,9 +6028,11 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.cell_stats(emb, _ivf_centroids(spark, sf_dir))
 
 
-@query(
-    "ann_ivf_topk",
-    oracle="WITH "
+# shared by ann_ivf_topk and ann_ivf_indexed_topk: the indexed variant
+# probes the SAME 4 cells and scores the SAME candidate set — only the
+# physical access path differs (partition-pruned read vs filtered scan)
+_ANN_IVF_ORACLE = (
+    "WITH "
     + _ivf_oracle_ctes(k=8, iters=4)
     + f""",
     qrow AS (SELECT vec_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
@@ -6028,8 +6051,11 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN qrow
     WHERE fa.cell IN (SELECT j FROM probes)
     ORDER BY sim DESC, e.vec_id LIMIT 10
-    """,
+    """
 )
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 by cosine for the lowest-id query vector,
     probing the 4 (of 8) trained cells nearest the query — scores
@@ -6048,6 +6074,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk(emb, query_vec, _ivf_centroids(spark, sf_dir), k=10, nprobe=4)
+
+
+@query("ann_ivf_indexed_topk", oracle=_ANN_IVF_ORACLE)
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-index ANN path (VERDICT r12 item 1): build the
+    IVF index — the corpus written ``partitionBy("cell")`` by
+    ``ivf.build_cell_index`` — then probe it through
+    ``ivf.ivf_topk_indexed``, whose literal ``cell IN (probes)``
+    predicate is resolved at PLANNING time into the scan's
+    ``PartitionFilters`` (plan-asserted in tests/test_plans.py):
+    unprobed cells' files are never listed or read. This is the 100 TB
+    difference between "scan everything, filter cheap" (``ann_ivf_topk``
+    — correct, but O(corpus) I/O) and reading ~nprobe/k of the files.
+    Same trained quantizer, same probe routing, same exact-decimal
+    scoring → the same full value-hash oracle as ``ann_ivf_topk``."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    index_path = _os.path.join(_workdir("rtrh_ivfidx_"), "index")
+    ivf.build_cell_index(emb, cents, index_path)
+    query_vec = emb.orderBy("vec_id").limit(1)
+    return ivf.ivf_topk_indexed(
+        spark, index_path, query_vec, cents, k=10, nprobe=4
+    )
 
 
 # ---------------------------------------------------------------------------

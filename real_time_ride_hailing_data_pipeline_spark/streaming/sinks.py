@@ -2655,8 +2655,14 @@ class ParquetUpsertSink:
         # non-idempotent payload (exactly-once OCC replay)
         try:
             with open(os.path.join(self.merged_path, "_OCC_KEY")) as fh:
-                self._occ_record_applied(int(json.load(fh)), epoch)
-        except (FileNotFoundError, ValueError, TypeError):
+                data = json.load(fh)
+            if isinstance(data, dict):  # {"epoch": e, "writer": ns}
+                self._occ_record_applied(
+                    int(data["epoch"]), epoch, str(data.get("writer", ""))
+                )
+            else:  # legacy plain-int staging
+                self._occ_record_applied(int(data), epoch)
+        except (FileNotFoundError, ValueError, TypeError, KeyError):
             pass
         shutil.rmtree(self.merged_path, ignore_errors=True)
         return epoch
@@ -3710,82 +3716,129 @@ class ParquetUpsertSink:
     _OCC_LEDGER_CAP = 512
 
     def _occ_applied_raw(self) -> dict:
-        """Idempotence ledger file: ``{"applied": {epoch: version},
-        "floor": maxEvictedEpoch|None}``. Legacy flat-map files (no
-        floor recorded) load with ``floor=None``."""
+        """Idempotence ledger file: ``{"applied": {key: version},
+        "floors": {writer_ns: maxEvictedEpoch}}``. Keys are
+        ``"<epoch>"`` for the default writer namespace and
+        ``"<writer_id>:<epoch>"`` otherwise; floors are tracked PER
+        NAMESPACE because epochs are only monotone per writer — a
+        single global floor under oldest-version-first eviction would
+        spuriously flag writer A's genuinely-new epochs once any
+        higher-based writer B entry ages out (ADVICE r12). Legacy
+        files (flat map, or scalar ``"floor"``) load into the default
+        namespace."""
         try:
             with open(self._occ_applied_file()) as fh:
                 data = json.load(fh)
         except (FileNotFoundError, ValueError):
-            return {"applied": {}, "floor": None}
+            return {"applied": {}, "floors": {}}
         try:
             if isinstance(data, dict) and "applied" in data:
+                floors = {
+                    str(ns): int(v)
+                    for ns, v in data.get("floors", {}).items()
+                }
+                if data.get("floor") is not None:  # legacy scalar
+                    floors[""] = max(
+                        int(data["floor"]), floors.get("", int(data["floor"]))
+                    )
                 return {
                     "applied": {
                         str(k): int(v) for k, v in data["applied"].items()
                     },
-                    "floor": (
-                        int(data["floor"])
-                        if data.get("floor") is not None
-                        else None
-                    ),
+                    "floors": floors,
                 }
             return {
                 "applied": {str(k): int(v) for k, v in data.items()},
-                "floor": None,
+                "floors": {},
             }
         except (AttributeError, TypeError, ValueError):
-            return {"applied": {}, "floor": None}
+            return {"applied": {}, "floors": {}}
 
     def _occ_applied(self) -> dict[str, int]:
         """Idempotence ledger: OCC epoch key -> committed snapshot
         version (bounded; see ``write_batch_occ``)."""
         return self._occ_applied_raw()["applied"]
 
-    def _occ_replay_check(self, epoch_id: int) -> int | None:
+    @staticmethod
+    def _occ_key(epoch_id: int, writer_id: str = "") -> str:
+        """Ledger key for an (epoch, writer) pair. Epochs must be
+        monotone PER WRITER namespace (the Structured Streaming
+        batchId contract); distinct writers use distinct
+        ``writer_id``s so their interleaved commits never share a
+        floor."""
+        if writer_id:
+            if ":" in writer_id:
+                raise ValueError(
+                    f"writer_id may not contain ':' (got {writer_id!r})"
+                )
+            return f"{writer_id}:{epoch_id}"
+        return str(epoch_id)
+
+    @staticmethod
+    def _occ_key_parse(key: str) -> tuple[str, int | None]:
+        """(writer_ns, epoch) for a ledger key; epoch None when the
+        key is not integer-suffixed (foreign/corrupt entry)."""
+        ns, sep, ep = key.rpartition(":")
+        if not sep:
+            ns, ep = "", key
+        try:
+            return ns, int(ep)
+        except ValueError:
+            return ns, None
+
+    def _occ_replay_check(
+        self, epoch_id: int, writer_id: str = ""
+    ) -> int | None:
         """Committed version for a replayed epoch key, or None when
-        the key is genuinely new. A key at or below the ledger's
-        EVICTION FLOOR raises instead of returning None: its entry
-        aged out of the bounded ledger, so treating it as new would
-        re-apply a non-idempotent payload — silently degrading
-        exactly-once to at-least-once outside the retention window.
-        Raising surfaces the misconfiguration (ledger smaller than the
-        stream's checkpoint retention) instead of corrupting data."""
+        the key is genuinely new. A key at or below ITS OWN WRITER
+        NAMESPACE's eviction floor raises instead of returning None:
+        its entry aged out of the bounded ledger, so treating it as
+        new would re-apply a non-idempotent payload — silently
+        degrading exactly-once to at-least-once outside the retention
+        window. Raising surfaces the misconfiguration (ledger smaller
+        than the stream's checkpoint retention) instead of corrupting
+        data. Floors are per-namespace because epochs are only
+        monotone per writer (ADVICE r12: a global floor fail-stops
+        the lower-based stream in a multi-writer table)."""
         raw = self._occ_applied_raw()
-        key = str(epoch_id)
+        key = self._occ_key(epoch_id, writer_id)
         if key in raw["applied"]:
             return raw["applied"][key]
-        floor = raw["floor"]
+        floor = raw["floors"].get(writer_id)
         if floor is not None and int(epoch_id) <= floor:
             raise ValueError(
-                f"OCC epoch {epoch_id} is at or below the idempotence "
-                f"ledger's eviction floor ({floor}): its commit record "
-                f"aged out of the {self._OCC_LEDGER_CAP}-entry ledger, "
-                f"so re-applying cannot be made exactly-once. Size "
-                f"_OCC_LEDGER_CAP to the stream's checkpoint retention."
+                f"OCC epoch {epoch_id} (writer {writer_id!r}) is at or "
+                f"below its namespace's idempotence-ledger eviction "
+                f"floor ({floor}): its commit record aged out of the "
+                f"{self._OCC_LEDGER_CAP}-entry ledger, so re-applying "
+                f"cannot be made exactly-once. Size _OCC_LEDGER_CAP to "
+                f"the stream's checkpoint retention."
             )
         return None
 
-    def _occ_record_applied(self, key: int, version: int) -> None:
+    def _occ_record_applied(
+        self, key: int, version: int, writer_id: str = ""
+    ) -> None:
         raw = self._occ_applied_raw()
-        applied, floor = raw["applied"], raw["floor"]
-        applied[str(key)] = int(version)
+        applied, floors = raw["applied"], raw["floors"]
+        applied[self._occ_key(key, writer_id)] = int(version)
         if len(applied) > self._OCC_LEDGER_CAP:
-            # oldest keys age out; the floor remembers the highest
-            # EVICTED epoch so a later replay of one is detected
-            # (raised) rather than silently re-applied
+            # oldest keys (by commit version) age out; each writer
+            # namespace's floor remembers ITS highest evicted epoch so
+            # a later replay of one is detected (raised) rather than
+            # silently re-applied, without one writer's eviction
+            # poisoning another's floor
             for k in sorted(applied, key=lambda s: applied[s])[
                 : len(applied) - self._OCC_LEDGER_CAP
             ]:
                 applied.pop(k, None)
-                try:
-                    ik = int(k)
-                except ValueError:
+                ns, ep = self._occ_key_parse(k)
+                if ep is None:
                     continue
-                if floor is None or ik > floor:
-                    floor = ik
+                if floors.get(ns) is None or ep > floors[ns]:
+                    floors[ns] = ep
         self._atomic_json_write(
-            self._occ_applied_file(), {"applied": applied, "floor": floor}
+            self._occ_applied_file(), {"applied": applied, "floors": floors}
         )
 
     def _occ_gc(self) -> None:
@@ -3816,6 +3869,7 @@ class ParquetUpsertSink:
         epoch_id: int,
         max_retries: int = 5,
         on_staged: Callable[[], None] | None = None,
+        writer_id: str = "",
     ) -> dict:
         """MERGE one batch under OPTIMISTIC concurrency (Delta-style
         full OCC — VERDICT r10 item 4). Protocol per attempt:
@@ -3879,7 +3933,7 @@ class ParquetUpsertSink:
                 f"{sorted(stored_cols)}; use write_batch("
                 f"schema_evolution=True)"
             )
-        replayed = self._occ_replay_check(epoch_id)
+        replayed = self._occ_replay_check(epoch_id, writer_id)
         if replayed is not None:
             return {"version": replayed, "attempts": 0, "touched": []}
         if batch_df.isEmpty():
@@ -3894,7 +3948,7 @@ class ParquetUpsertSink:
                     else epoch_id
                 )
                 self._snapshot(spark, version, touched=[])
-                self._occ_record_applied(epoch_id, version)
+                self._occ_record_applied(epoch_id, version, writer_id)
             return {"version": version, "attempts": 1, "touched": []}
         occ_root = (
             f"{self.path.rstrip('/')}__occ_{os.getpid()}_{_uuid.uuid4().hex}"
@@ -3945,6 +3999,7 @@ class ParquetUpsertSink:
             entry_schema=schema,
             max_retries=max_retries,
             on_staged=on_staged,
+            writer_id=writer_id,
         )
 
     def _read_pinned(
@@ -3971,6 +4026,7 @@ class ParquetUpsertSink:
         max_retries: int = 5,
         on_staged: Callable[[], None] | None = None,
         op: str = "merge",
+        writer_id: str = "",
     ) -> dict:
         """The generic OCC protocol (shared by ``write_batch_occ`` and
         ``merge_into_occ``): pin → ``stage_fn(pin_root, merged_dir)``
@@ -4007,7 +4063,7 @@ class ParquetUpsertSink:
                     self._heal_migration_snapshot(spark)
                     self._finish_pending_epoch(spark)
                     self._occ_gc()
-                    replayed = self._occ_replay_check(epoch_id)
+                    replayed = self._occ_replay_check(epoch_id, writer_id)
                     if replayed is not None:
                         return {
                             "version": replayed,
@@ -4102,7 +4158,8 @@ class ParquetUpsertSink:
                     # a non-idempotent payload (exactly-once, not
                     # at-least-once)
                     self._atomic_json_write(
-                        os.path.join(merged, "_OCC_KEY"), epoch_id
+                        os.path.join(merged, "_OCC_KEY"),
+                        {"epoch": epoch_id, "writer": writer_id},
                     )
                     self._atomic_json_write(
                         os.path.join(merged, "_EPOCH"), version
@@ -4120,7 +4177,7 @@ class ParquetUpsertSink:
                     # same resurrection-safe ordering deletes use)
                     self._commit(spark, drop_staging=False)
                     self._snapshot(spark, version, touched, op=op)
-                    self._occ_record_applied(epoch_id, version)
+                    self._occ_record_applied(epoch_id, version, writer_id)
                     shutil.rmtree(self.merged_path, ignore_errors=True)
                 # the commit lock is RELEASED before the scoped
                 # compaction: an O(bytes) rewrite inside the lock turns
@@ -4154,6 +4211,7 @@ class ParquetUpsertSink:
         when_not_matched_insert_condition=None,
         max_retries: int = 5,
         on_staged: Callable[[], None] | None = None,
+        writer_id: str = "",
     ) -> dict:
         """``MERGE INTO`` under the same optimistic protocol as
         ``write_batch_occ`` — two merges touching disjoint partitions
@@ -4210,7 +4268,7 @@ class ParquetUpsertSink:
                 "merge_into_occ does not support column-mapped tables; "
                 "use merge_into"
             )
-        replayed = self._occ_replay_check(epoch_id)
+        replayed = self._occ_replay_check(epoch_id, writer_id)
         if replayed is not None:
             return {"version": replayed, "attempts": 0, "touched": []}
         schema = self._stored_schema()
@@ -4302,6 +4360,7 @@ class ParquetUpsertSink:
             entry_schema=schema,
             max_retries=max_retries,
             on_staged=on_staged,
+            writer_id=writer_id,
         )
 
     def _phys_name_of(self, logical: str) -> str:

@@ -679,3 +679,28 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark, tmp_path):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_advisory
         )
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
+def test_ann_ivf_indexed_topk_probe_is_partition_pruned(spark):
+    """VERDICT r12 item 1: the materialized IVF index's probe predicate
+    must be PARTITION PRUNING, not a post-scan filter — the registry
+    entry's own plan (not a hand-built twin) carries PartitionFilters
+    on `cell` in its index scan, and the result value-matches the
+    unpartitioned ann_ivf_topk (same candidate set, same exact-decimal
+    ranking)."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = q.all_queries()["ann_ivf_indexed_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, seg
+    assert_no_python_udf(df)  # Arrow MapInPandas screen is allowed
+    got = [(r["vec_id"], r["sim"]) for r in df.collect()]
+    base = [
+        (r["vec_id"], r["sim"])
+        for r in q.all_queries()["ann_ivf_topk"](spark, SF).collect()
+    ]
+    assert got == base and len(got) == 10, (got, base)

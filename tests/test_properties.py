@@ -632,3 +632,82 @@ def test_batch_topk_screen_is_lossless(spark, data):
         .collect()
     )
     assert got == expected, (got, expected)
+
+
+def test_batch_topk_screen_keeps_ties_at_6dp_rounding(spark):
+    """ADVICE r12 (high): the refine ranks by round(sim, 6) DESC then
+    id ASC, so two rows whose RAW cosines differ by up to ~1e-6 can
+    round to the SAME 6-dp value and tie-break by id. A screen band of
+    bare fp drift (1e-9) dropped a lower-id row sitting ~3e-8 below
+    the batch-local k-th best even though the exact ranking tie-breaks
+    it INTO the top-k. Deterministic adversarial shape: id 0 at raw
+    cosine 1 - d^2/2 ≈ 1 - 3e-8 (rounds to 1.000000), ids 1..k at raw
+    1.0 — with screen_margin=0 the old band screened id 0 out; the
+    correct result is ids 0..k-1."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    d = 2.0 ** -12  # f32-exact; 1 - cos = d^2/2 ≈ 2.98e-8 (> 1e-9, < 1e-6)
+    k = 3
+    rows = [(0, [1.0, d])] + [(i, [1.0, 0.0]) for i in range(1, k + 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = sorted(
+        (r["vec_id"], r["rn"], r["sim"])
+        for r in sim.brute_force_topk_batch(
+            df, qdf, k=k, screen_margin=0
+        ).collect()
+    )
+    # every sim rounds to 1.0 at 6 dp -> tie-break by id: 0, 1, 2
+    assert got == [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], got
+
+
+def test_batch_topk_supports_non_long_ids(spark):
+    """ADVICE r12 (low): the screen's output schema derives from the
+    INPUT id types — string doc ids and int query ids pass through
+    the two-phase path unchanged (the previous hardcoded `long, long`
+    schema corrupted them)."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.6, 0.8]), ("doc-c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(5, [1.0, 0.0])], "query_id int, embedding array<float>"
+    )
+    got = [
+        (r["query_id"], r["rn"], r["vec_id"])
+        for r in sim.brute_force_topk_batch(df, qdf, k=2)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [(5, 1, "doc-a"), (5, 2, "doc-b")], got
+
+
+def test_batch_topk_zero_norm_vectors_do_not_poison_screen(spark):
+    """ADVICE r12 (low): a zero-norm corpus vector's NaN cosine must
+    not land on the screen's partition cut and silently drop the whole
+    batch's candidates — guarded norms score it 0.0 and real vectors
+    still rank."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.8, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = [
+        (r["rn"], r["vec_id"])
+        for r in sim.brute_force_topk_batch(df, qdf, k=1, screen_margin=0)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == [(1, 1)], got

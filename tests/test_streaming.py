@@ -3255,6 +3255,88 @@ def test_occ_ledger_eviction_floor_raises_on_stale_replay(spark, tmp_path):
     assert got["k1"] == 1 and got["k6"] == 6  # neither replay re-applied
 
 
+def test_occ_ledger_floor_is_scoped_per_writer_namespace(spark, tmp_path):
+    """ADVICE r12 (medium): the eviction floor must be tracked PER
+    writer namespace — epochs are only monotone per writer. Under the
+    old single global floor, evicting ONE of writer y's entries (epoch
+    base far above writer x's) raised the floor over ALL of x's future
+    epochs, spuriously fail-stopping x on genuinely-new keys. Here x
+    and y interleave under distinct writer_ids: y's evictions must not
+    poison x, replays of retained keys stay no-ops, and a replay of a
+    key evicted FROM ITS OWN namespace still raises."""
+    sink, d1, _ = _occ_seed(spark, tmp_path, snap=False)
+    sink._OCC_LEDGER_CAP = 4
+
+    def put(writer, epoch, total):
+        return sink.write_batch_occ(
+            spark.createDataFrame(
+                [(f"{writer}{epoch}", d1, total)],
+                "k string, window_start timestamp, total bigint",
+            ),
+            epoch,
+            writer_id=writer,
+        )["version"]
+
+    # interleave: x:1 y:1 x:2 y:2 x:3 y:3 — cap 4 evicts x:1 then y:1
+    versions = {}
+    for e in range(1, 4):
+        versions[("x", e)] = put("x", e, e)
+        versions[("y", e)] = put("y", e, 100 + e)
+    # x:4 is genuinely new and ABOVE x's floor (x:1 evicted, floor_x=1,
+    # 4 > 1) — must commit, not raise, even though y's epochs (same
+    # ints, different namespace) interleaved through the ledger
+    put("x", 4, 4)
+    # a retained key replays as a no-op with its original version
+    replay = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("y3", d1, 999)],
+            "k string, window_start timestamp, total bigint",
+        ),
+        3,
+        writer_id="y",
+    )
+    assert replay["version"] == versions[("y", 3)]
+    assert replay["attempts"] == 0
+    # a key evicted from ITS OWN namespace still raises
+    with pytest.raises(ValueError, match="eviction floor"):
+        put("x", 1, 999)
+    got = dict((r["k"], r["total"]) for r in sink.read(spark).collect())
+    assert got["x1"] == 1 and got["y3"] == 103 and got["x4"] == 4, got
+
+
+def test_occ_crash_recovery_records_writer_scoped_key(spark, tmp_path):
+    """A crashed OCC commit whose staging carries a writer-scoped
+    _OCC_KEY records the ledger entry under that writer's namespace on
+    recovery — the replayed (epoch, writer) pair is a no-op, while the
+    SAME epoch int under another writer is genuinely new."""
+    import json as _json
+    import os as _os
+
+    sink, d1, _ = _occ_seed(spark, tmp_path, snap=False)
+    v = sink.write_batch_occ(
+        spark.createDataFrame(
+            [("a", d1, 1)], "k string, window_start timestamp, total bigint"
+        ),
+        7,
+        writer_id="x",
+    )["version"]
+    # simulate the crash window: ledger entry lost, staging (with the
+    # writer-scoped key) left behind for recovery
+    raw = sink._occ_applied_raw()
+    raw["applied"].pop("x:7")
+    sink._atomic_json_write(sink._occ_applied_file(), raw)
+    _os.makedirs(sink.merged_path, exist_ok=True)
+    with open(_os.path.join(sink.merged_path, "_OCC_KEY"), "w") as fh:
+        _json.dump({"epoch": 7, "writer": "x"}, fh)
+    with open(_os.path.join(sink.merged_path, "_EPOCH"), "w") as fh:
+        _json.dump(v, fh)
+    open(_os.path.join(sink.merged_path, "_SUCCESS"), "w").close()
+    sink._finish_pending_epoch(spark)
+    assert sink._occ_replay_check(7, "x") == v  # recovered into x's ns
+    assert sink._occ_replay_check(7, "y") is None  # y's 7 is new
+    assert sink._occ_replay_check(7) is None  # default ns too
+
+
 def test_occ_auto_compact_runs_after_commit_lock_released(spark, tmp_path):
     """ADVICE r11 (low): the scoped post-commit compaction runs AFTER
     the OCC commit lock is released (compact takes its own lock), so a
@@ -3345,7 +3427,7 @@ def test_two_process_streaming_occ_ingest_with_maintenance(spark, tmp_path):
         "q = (spark.readStream.schema(spark.read.parquet(feed).schema)\n"
         "     .option('maxFilesPerTrigger', 1).parquet(feed)\n"
         "     .writeStream.foreachBatch("
-        "lambda b, e: sink.write_batch_occ(b, 20000 + e))\n"
+        "lambda b, e: sink.write_batch_occ(b, e, writer_id='child'))\n"
         "     .option('checkpointLocation', {ckpt_c!r})\n"
         "     .trigger(availableNow=True).start())\n"
         "q.awaitTermination()\n"
@@ -3376,7 +3458,7 @@ def test_two_process_streaming_occ_ingest_with_maintenance(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(feed_p)
             .writeStream.foreachBatch(
-                lambda b, e: sink.write_batch_occ(b, 10_000 + e)
+                lambda b, e: sink.write_batch_occ(b, e, writer_id="parent")
             )
             .option("checkpointLocation", str(tmp_path / "ckpt_p"))
             .trigger(availableNow=True)
