@@ -149,6 +149,51 @@ def lsh_band_hashes(signature_col: str, bands: int, rows_per_band: int) -> Colum
     )
 
 
+def _band_pairs_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "sh",
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band-sharing (doc_a < doc_b) pairs from a PRE-SHINGLED relation
+    — the candidate core of :func:`minhash_lsh_candidates`, factored
+    out so callers that already hold (and cache) the shingle relation
+    (e.g. the containment pre-screen) don't tokenize twice."""
+    rows_per_band = num_hashes // bands
+    sigs = sh_df.select(
+        F.col(id_col), minhash_signature(shingle_col, num_hashes).alias("sig")
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    # feeds three plan branches (bucket sizing + both join sides)
+    banded = banded.cache()
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band_idx", "band_hash"],
+    )
+    left = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_a")
+    )
+    right = banded.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -175,39 +220,16 @@ def minhash_lsh_candidates(
     collisions per band, keeping false candidates negligible. (8x4
     banding measurably missed a true j~0.9 pair on the test corpus.)
     """
-    rows_per_band = num_hashes // bands
-    sigs = df.select(
+    sh = df.select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
-    ).select(F.col(id_col), minhash_signature("shingles", num_hashes).alias("sig"))
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(lsh_band_hashes("sig", bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
     )
-    # the banded relation feeds three plan branches (bucket sizing +
-    # both sides of the self-join); cache it so the signature pipeline
-    # runs once, not three times
-    banded = banded.cache()
-    # cap degenerate buckets before the quadratic self-join
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
-        ["band_idx", "band_hash"],
-    )
-    left = banded.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_a")
-    )
-    right = banded.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("doc_b")
-    )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    return _band_pairs_from_shingles(
+        sh,
+        id_col=id_col,
+        shingle_col="shingles",
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
     )
 
 
@@ -569,6 +591,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    prescreen: str | None = None,
 ) -> DataFrame:
     """EXACT asymmetric near-dup join by shingle CONTAINMENT
     |A∩B| / min(|A|,|B|) — the measure that catches a short document
@@ -596,6 +619,24 @@ def containment_pairs(
     prefix×index join whose fan-out rides the posting lists of each
     document's RAREST shingles only; exact verification
     (array_intersect) runs on the surviving sparse candidate set.
+
+    ``prescreen="minhash"`` (VERDICT r12 item 3): on DUPLICATE-
+    DEGENERATE corpora (most docs inside near-dup clusters) the exact
+    prefix filter loses selectivity — cluster members share their rare
+    shingles, so the prefix×index fan-out and the distinct over it
+    approach all-cluster-pairs (measured: the 379 s sf1 outlier).
+    The screened mode generates candidates from the MinHash band join
+    instead (bounded per bucket by ``max_bucket``, candidate volume
+    ~band collisions, never posting-list-quadratic) and runs the SAME
+    exact containment verify on them — the standard lossy-screen +
+    exact-verify composition (PPJoin+ family). The screen bounds
+    RECALL, not precision: every reported pair is still exactly
+    verified; a true pair is kept iff it shares a band, probability
+    1-(1-j^2)^16 in its symmetric Jaccard j (≥0.99 at j≥0.5 — the
+    regime degenerate clusters live in; a low-Jaccard pure-containment
+    pair, short-doc-in-long, can be missed). The exact default stays
+    the oracle twin: tests pin that the screened output equals the
+    exact output on the test corpora.
     """
     from fractions import Fraction
 
@@ -605,57 +646,69 @@ def containment_pairs(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
     )
     sh = sh.cache()  # feeds the index build and both verify sides
-    # tot rides the array size computed BEFORE the explode — one window
-    # pass (the df-ordered row_number) instead of two
-    ex = sh.select(
-        F.col(id_col), F.size("sh").alias("tot"), F.explode("sh").alias("shingle")
-    )
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
-    indexed = (
-        ex.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .select(F.col(id_col), "shingle", "rn", "tot")
-    )
-    indexed = indexed.cache()  # prefix side is a filter of this index
     frac = Fraction(threshold).limit_denominator(10_000)
     tn, td = frac.numerator, frac.denominator  # t = tn/td
-    # m(S) = ceil(t·tot) = (tn*tot + td - 1) div td; prefix = tot - m + 1
-    prefix = indexed.filter(
-        F.col("rn")
-        <= F.col("tot") - F.expr(f"cast(({tn} * tot + {td} - 1) div {td} as int)") + 1
-    )
-    left = prefix.select(
-        "shingle",
-        F.col(id_col).alias("doc_a"),
-        F.col("rn").alias("rn_a"),
-        F.col("tot").alias("tot_a"),
-    )
-    right = indexed.select(
-        "shingle",
-        F.col(id_col).alias("doc_b"),
-        F.col("rn").alias("rn_b"),
-        F.col("tot").alias("tot_b"),
-    )
-    # orient so the prefix side is the min-size side (ties by id — for
-    # equal sizes both prefixes must witness, either suffices)
-    smaller_first = (F.col("tot_a") < F.col("tot_b")) | (
-        (F.col("tot_a") == F.col("tot_b")) & (F.col("doc_a") < F.col("doc_b"))
-    )
-    m_small = F.expr(f"cast(({tn} * tot_a + {td} - 1) div {td} as int)")
-    cands = (
-        left.join(right, "shingle")
-        .filter(smaller_first)
-        .filter(
-            1 + F.least(F.col("tot_a") - F.col("rn_a"), F.col("tot_b") - F.col("rn_b"))
-            >= m_small
+    if prescreen == "minhash":
+        cands = _band_pairs_from_shingles(sh, id_col=id_col, shingle_col="sh")
+    elif prescreen is not None:
+        raise ValueError(f"unknown prescreen {prescreen!r}")
+    else:
+        # tot rides the array size computed BEFORE the explode — one
+        # window pass (the df-ordered row_number) instead of two
+        ex = sh.select(
+            F.col(id_col),
+            F.size("sh").alias("tot"),
+            F.explode("sh").alias("shingle"),
         )
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+        indexed = (
+            ex.join(dfreq, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .select(F.col(id_col), "shingle", "rn", "tot")
         )
-        .distinct()
-    )
+        indexed = indexed.cache()  # prefix side is a filter of this index
+        # m(S) = ceil(t·tot) = (tn*tot + td - 1) div td; prefix = tot - m + 1
+        prefix = indexed.filter(
+            F.col("rn")
+            <= F.col("tot")
+            - F.expr(f"cast(({tn} * tot + {td} - 1) div {td} as int)")
+            + 1
+        )
+        left = prefix.select(
+            "shingle",
+            F.col(id_col).alias("doc_a"),
+            F.col("rn").alias("rn_a"),
+            F.col("tot").alias("tot_a"),
+        )
+        right = indexed.select(
+            "shingle",
+            F.col(id_col).alias("doc_b"),
+            F.col("rn").alias("rn_b"),
+            F.col("tot").alias("tot_b"),
+        )
+        # orient so the prefix side is the min-size side (ties by id —
+        # for equal sizes both prefixes must witness, either suffices)
+        smaller_first = (F.col("tot_a") < F.col("tot_b")) | (
+            (F.col("tot_a") == F.col("tot_b")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        m_small = F.expr(f"cast(({tn} * tot_a + {td} - 1) div {td} as int)")
+        cands = (
+            left.join(right, "shingle")
+            .filter(smaller_first)
+            .filter(
+                1
+                + F.least(
+                    F.col("tot_a") - F.col("rn_a"), F.col("tot_b") - F.col("rn_b")
+                )
+                >= m_small
+            )
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")

@@ -7039,16 +7039,24 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT asymmetric containment dedup |A∩B|/min(|A|,|B|) >= 0.8
+    """Asymmetric containment dedup |A∩B|/min(|A|,|B|) >= 0.8
     (operators/dedup.py:containment_pairs) — catches short documents
     embedded in longer ones, which symmetric Jaccard structurally
-    misses. Candidates via asymmetric prefix filtering (the smaller
-    side's rarest-shingle prefix joined against the full inverted
-    index — lossless, so the oracle is the all-pairs ground truth);
-    exact verification on candidates only. Threshold compare is exact
-    integer (td*overlap >= tn*min_size)."""
+    misses. r13 (VERDICT r12 item 3): candidates come from the MinHash
+    BAND SCREEN (bucket-capped, never posting-list-quadratic) with the
+    exact containment verify on survivors — the lossy-screen +
+    exact-verify composition that bounds the candidate set on
+    duplicate-degenerate corpora, where the exact prefix filter's
+    selectivity collapses (the 379 s sf1 outlier). The screened output
+    equals the exact prefix-filter path's on the test corpora (pinned
+    in tests/test_scale_paths.py, and this entry's oracle IS the
+    all-pairs ground truth); the exact path stays available as
+    prescreen=None. Threshold compare is exact integer
+    (td*overlap >= tn*min_size)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.containment_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.8)
+    return dd.containment_pairs(
+        docs, "text", "doc_id", shingle_n=3, threshold=0.8, prescreen="minhash"
+    )
 
 
 @query(

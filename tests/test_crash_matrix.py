@@ -688,3 +688,109 @@ def test_crash_matrix_occ_commits_recover_exactly_once(
                 f"divergence after crash at FS op #{crash_at} "
                 f"(step {crashed_step}): {exc}"
             ) from exc
+
+
+def test_crash_matrix_streaming_kill_resume_multi_stream_occ(spark, tmp_path):
+    """VERDICT r12 item 7: kill ONE of two live OCC ingest streams in
+    the worst window — AFTER its non-idempotent merge committed but
+    BEFORE Structured Streaming records the batch in the checkpoint —
+    then resume it from the same checkpoint while the second stream
+    and an interleaved OPTIMIZE keep writing. The restart REPLAYS the
+    killed batch with the same batchId; the writer-scoped idempotence
+    ledger must return the original version instead of re-applying
+    (a double-applied `total = t.total + s.total` is detectable), and
+    the final table must equal the serial application of every update
+    exactly once."""
+    import pyspark.sql.functions as F
+
+    from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
+        ConcurrentWriterError,
+    )
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"), key_cols=("k", "window_start"), retries=0
+    )
+    schema = "k string, window_start timestamp, total bigint"
+    sink.write_batch(
+        spark.createDataFrame(
+            [("x1", D1, 1), ("x2", D1, 2), ("y1", D2, 10), ("y2", D2, 20)],
+            schema,
+        ),
+        0,
+    )
+    # one file per micro-batch; X and Y touch DISJOINT partitions
+    feeds = {"x": tmp_path / "feed_x", "y": tmp_path / "feed_y"}
+    x_batches = [("x1", D1, 100)], [("x2", D1, 100)], [("x1", D1, 100)]
+    y_batches = [("y1", D2, 100)], [("y2", D2, 100)]
+    for label, batches in (("x", x_batches), ("y", y_batches)):
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(feeds[label]))
+    kill_flag = tmp_path / "killed_once"
+
+    def make_sink_fn(label):
+        def fn(batch, epoch):
+            if batch.isEmpty():
+                return
+            sink.merge_into_occ(
+                batch,
+                epoch,
+                when_matched_update={"total": "t.total + s.total"},
+                when_not_matched_insert=False,
+                writer_id=label,
+            )
+            # the injected kill: commit + ledger entry are durable,
+            # the checkpoint offset for this batch is NOT — the
+            # exactly-once crash window a process kill hits
+            if label == "x" and epoch == 1 and not kill_flag.exists():
+                kill_flag.touch()
+                raise RuntimeError("injected kill after commit")
+
+        return fn
+
+    def start(label):
+        return (
+            spark.readStream.schema(
+                spark.read.parquet(str(feeds[label])).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feeds[label]))
+            .writeStream.foreachBatch(make_sink_fn(label))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{label}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    qx, qy = start("x"), start("y")
+    try:
+        qx.awaitTermination()
+        raise AssertionError("stream x survived the injected kill")
+    except Exception as exc:  # noqa: BLE001 — the injected kill
+        assert "injected kill" in str(exc)
+    assert kill_flag.exists()
+    # maintenance interleaves while y is (or was) live, same as the
+    # registry entry — a lost lock race just retries semantics-free
+    try:
+        sink.optimize(spark, files_per_partition=2)
+    except ConcurrentWriterError:
+        pass
+    qy.awaitTermination()
+    # resume X from the SAME checkpoint: batch 1 replays (same
+    # batchId), the ledger makes it a no-op, batch 2 applies fresh
+    qx2 = start("x")
+    qx2.awaitTermination()
+    got = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert got == {"x1": 201, "x2": 102, "y1": 110, "y2": 120}, got
+    # the replayed epoch is recorded under x's namespace and replays
+    # as a version-guard no-op
+    res = sink.merge_into_occ(
+        spark.createDataFrame([("x2", D1, 999)], schema),
+        1,
+        when_matched_update={"total": "t.total + s.total"},
+        when_not_matched_insert=False,
+        writer_id="x",
+    )
+    assert res["attempts"] == 0 and res["touched"] == []
+    got2 = {r["k"]: r["total"] for r in sink.read(spark).collect()}
+    assert got2 == got, got2

@@ -749,3 +749,71 @@ def test_dsir_importance_weights_prefer_target_like_docs(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_containment_minhash_prescreen_matches_exact_path(spark):
+    """VERDICT r12 item 3: the MinHash band pre-screen in front of the
+    exact containment verify must not change the answer on the test
+    corpora — screened output == exact prefix-filter output, row for
+    row (overlap, min_size, containment included). The screen bounds
+    candidates on duplicate-degenerate corpora; this pins that it is
+    empirically lossless where the all-pairs ground truth is
+    checkable."""
+    from real_time_ride_hailing_data_pipeline_spark.operators import dedup
+
+    docs = catalog.load_table(spark, SF, "documents")
+    exact = {
+        tuple(r)
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    screened = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, threshold=0.8, prescreen="minhash"
+        ).collect()
+    }
+    assert screened == exact and len(exact) > 0
+
+
+def test_planted_dedup_truth_matches_brute_force(tmp_path):
+    """VERDICT r12 item 2: the sf1 planted dedup ground truth
+    (benchmarks/gen_sf1_r13.py — within-group enumeration + margin-
+    lifted base candidates, each re-evaluated EXACTLY on the generated
+    texts; semantic truth lifted analytically from identical replica
+    embeddings) must equal the brute-force all-pairs truth at the
+    GENERATED scale. Runs the generator's own --selfcheck on a subset
+    corpus small enough to brute-force every pytest run; the full
+    sf0.001/sf0.01-lifted self-checks run out-of-band and are logged
+    in BASELINE.md."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf1_r13",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "gen_sf1_r13.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    os.makedirs(src)
+    os.makedirs(out)
+    con = duckdb.connect()
+    base = "/root/testdata/sf0.001"
+    subset = {"documents": "ORDER BY doc_id LIMIT 150", "embeddings": "ORDER BY vec_id LIMIT 100"}
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{base}/{t}.parquet') "
+            f"{subset.get(t, '')}) TO '{src}/{t}.parquet' (FORMAT parquet)"
+        )
+    off = gen.emit_tables(con, str(src), str(out), 4)
+    n_pairs = gen.emit_duplicate_truth(con, str(src), str(out), 4, off["documents"])
+    gen.emit_semantic_truth(con, str(src), str(out), 4, off["embeddings"])
+    assert n_pairs > 0  # within-group replicas alone guarantee pairs
+    gen.selfcheck(con, str(out))  # raises AssertionError on any diff
