@@ -159,26 +159,30 @@ def emit_duplicate_truth(con, src: str, out: str, reps: int, off_doc: int) -> in
     sh_out = _SHINGLES.format(
         rel=f"read_parquet('{os.path.join(out, 'documents.parquet')}')"
     )
-    # one all-pairs pass at BASE scale only — margins comfortably under
-    # the 0.5/0.8 thresholds absorb the +-1-shingle suffix shifts; the
-    # tiny-doc branch keeps every sharing pair where one side has <= 4
-    # shingles (there a single shingle shift can move any ratio)
+    # one EXHAUSTIVE pass at BASE scale only, via the exact inverted-
+    # index join (equivalent to all-pairs: a pair sharing no shingle
+    # has i = 0 and cannot meet any margin; the list_intersect
+    # all-pairs form is O(n^2 * |sh|), >28 min even at 5k docs) —
+    # margins comfortably under the 0.5/0.8 thresholds absorb the
+    # +-1-shingle suffix shifts; the tiny-doc branch keeps every
+    # sharing pair where one side has <= 4 shingles (there a single
+    # shingle shift can move any ratio)
     con.execute(
         f"""
         CREATE OR REPLACE TEMP TABLE base_cands AS
         WITH t AS ({sh_src}),
+        ex AS (SELECT doc_id, len(sh)::BIGINT AS sz, unnest(sh) AS s FROM t),
         p AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.sh, b.sh))::BIGINT AS i,
-                 len(a.sh)::BIGINT AS sa, len(b.sh)::BIGINT AS sb
-          FROM t a JOIN t b ON a.doc_id < b.doc_id
+                 count(*)::BIGINT AS i,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b FROM p
-        WHERE i >= 1 AND (
-          10 * i >= 3 * (sa + sb - i)      -- jaccard >= 0.3
-          OR 2 * i >= least(sa, sb)        -- containment >= 0.5
-          OR least(sa, sb) <= 4            -- tiny docs: any sharing pair
-        )
+        WHERE 10 * i >= 3 * (sa + sb - i)   -- jaccard >= 0.3
+           OR 2 * i >= least(sa, sb)        -- containment >= 0.5
+           OR least(sa, sb) <= 4            -- tiny docs: any sharing pair
         """
     )
     n_base = con.sql("SELECT count(*) FROM base_cands").fetchone()[0]

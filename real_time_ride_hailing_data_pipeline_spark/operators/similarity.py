@@ -310,6 +310,60 @@ def lsh_bucketed_topk(
     return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> None:
+    """MATERIALIZE the LSH index: signatures computed once (map-only)
+    and the corpus written ``partitionBy("sig")`` — the layout the
+    ``lsh_bucketed_topk`` docstring points at, as an EXECUTED path:
+    probes against this index are partition pruning (the scan never
+    lists unprobed signatures' files), shrinking a 100 TB scan by
+    ~2^-num_planes. The build half of the same build-then-probe
+    contract as ``ivf.build_cell_index``; probe half:
+    :func:`lsh_topk_indexed` (PartitionFilters plan-asserted in
+    tests/test_plans.py). At production plane counts a banded PREFIX
+    of the signature keeps the partition count bounded; here the full
+    signature is the partition key (num_planes<=16 -> <=65536 cells,
+    populated cells bounded by the corpus)."""
+    embeddings.withColumn(
+        "sig", hyperplane_signature(vec_col, num_planes, dim)
+    ).write.partitionBy("sig").mode("overwrite").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k against the materialized signature-partitioned index:
+    the (1-row) query's signature is computed driver-side (a scalar
+    collect) and probed as a LITERAL equality predicate on the
+    partition column — PartitionFilters at planning time, identical
+    bucket semantics (Hamming radius 0) and scoring to
+    :func:`lsh_bucketed_topk` on the unpartitioned table."""
+    qsig = (
+        query.select(F.col(vec_col).alias("_qvec"))
+        .select(hyperplane_signature("_qvec", num_planes, dim).alias("s"))
+        .collect()[0]["s"]
+    )
+    pruned = (
+        spark.read.parquet(index_path)
+        .filter(F.col("sig") == int(qsig))
+        .select(F.col(id_col), F.col(vec_col))
+    )
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def bucketed_cosine_pairs(
     embeddings: DataFrame,
     bucket_col: str = "label",

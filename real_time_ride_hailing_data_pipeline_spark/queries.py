@@ -4359,13 +4359,20 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dedup: MinHash-LSH candidates (bucket join, never
     all-pairs — operators/dedup.py) + exact trigram-Jaccard verify at
     threshold 0.5. The oracle computes the ground-truth all-pairs
-    answer (affordable only at test scale); LSH recall at j>=0.5 with
-    32 hashes / 8 bands is ~1 - 1e-9, and the md5 hash family makes
-    the outcome deterministic, so the outputs coincide. At 100 TB only
+    answer (affordable only at test scale). Banding is the operator's
+    16 bands x 2 rows (r13 — the previous 8x4 is a strict candidate
+    SUBSET: agreeing on a 4-row band implies agreeing on both 2-row
+    halves; the sf1 planted-truth check caught 8x4 missing 333 of
+    250,600 true pairs, all below j=0.9). Recall is
+    1-(1-j^2)^16 per pair: ~0.99 at j=0.5, >0.9999 at j>=0.7,
+    1-3e-12 at j=0.9 — deterministic per pair under the md5 family,
+    and empirically TOTAL on the test corpora (sf0.001/sf0.01 value-
+    hash vs the exact all-pairs oracle, sf1 vs the planted truth);
+    the exact-by-theorem twin is dedup_ngram_jaccard. At 100 TB only
     the LSH plan survives: shuffle volume is (band hash, id) pairs,
     candidates are per-bucket."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
+    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=16)
     return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
 
 
@@ -4398,11 +4405,15 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step a training pipeline actually consumes — pairs
     alone don't say which doc to drop when clusters chain (a~b, b~c).
     The oracle computes the transitive closure with a recursive CTE
-    over the same ground-truth pairs. Scale: rounds = cluster
+    over the same ground-truth pairs. Banding 16x2 since r13, same as
+    dedup_near_duplicates (strict candidate superset of the previous
+    8x4; the closure was already sf1-exact under 8x4 — duplicate
+    cliques give each membership many witnessing edges — and stays
+    exact under more edges). Scale: rounds = cluster
     diameter (near-dup clusters are tiny cliques, 2-3 rounds); each
     round shuffles (node, label) pairs only."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=8)
+    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=16)
     pairs = dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
     comp = dd.connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"

@@ -558,7 +558,7 @@ def test_batch_topk_screen_is_lossless(spark, data):
     exact-DECIMAL refine) returns EXACTLY the single-phase exact
     result on arbitrary corpora — including the adversarial tie shape
     (duplicated vectors, so whole tie-groups straddle the screen's
-    cut) and a margin squeezed to 0, where only the 1e-9 band and the
+    cut) and a margin squeezed to 0, where only the eps band and the
     top-k-per-batch argument protect losslessness."""
     from real_time_ride_hailing_data_pipeline_spark.operators import (
         similarity as sim,
