@@ -228,6 +228,24 @@ def brute_force_topk_batch(
     )
 
 
+def plane_signs(num_planes: int = 16, dim: int = 64) -> list:
+    """The deterministic ±1 hyperplane-normal components used by
+    :func:`hyperplane_signature`: ``plane_signs(P, D)[p][j]`` is
+    component j of plane p's normal, derived from md5(f"{p}:{j}")
+    (first hex nibble odd → +1). Data-independent and seedless, so
+    ANY engine that embeds these integers as literals computes the
+    identical signature — this is what lets the DuckDB oracles replay
+    the LSH bucketing bit-exactly (r13)."""
+    import hashlib
+
+    def _sign(p: int, j: int) -> int:
+        nibble = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0]
+        # original SQL: 2 * ((instr('0123456789abcdef', nibble) - 1) % 2) - 1
+        return 2 * (int(nibble, 16) % 2) - 1
+
+    return [[_sign(p, j) for j in range(dim)] for p in range(num_planes)]
+
+
 def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64) -> Column:
     """Deterministic random-hyperplane LSH signature (a bit per plane).
 
@@ -243,17 +261,13 @@ def hyperplane_signature(vec_col: str, num_planes: int = 16, dim: int = 64) -> C
     by construction: Python's md5 of the same "p:j" bytes, first hex
     nibble odd → +1 — and embedded as integer literals, so the scan
     does only the multiply-accumulate.
+
+    r13: the sign table is exposed as :func:`plane_signs` so an
+    oracle (DuckDB SQL) can embed the SAME literals and replay the
+    bucketing exactly — the LSH tier no longer needs rows-only
+    verification.
     """
-    import hashlib
-
-    def _sign(p: int, j: int) -> int:
-        nibble = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0]
-        # original SQL: 2 * ((instr('0123456789abcdef', nibble) - 1) % 2) - 1
-        return 2 * (int(nibble, 16) % 2) - 1
-
-    planes = [
-        [_sign(p, j) for j in range(dim)] for p in range(num_planes)
-    ]
+    planes = plane_signs(num_planes, dim)
     bits = []
     for p, signs in enumerate(planes):
         arr = "array(" + ",".join(str(s) for s in signs) + ")"

@@ -706,6 +706,31 @@ def test_ann_ivf_indexed_topk_probe_is_partition_pruned(spark):
     assert got == base and len(got) == 10, (got, base)
 
 
+def test_ann_lsh_indexed_topk_probe_is_partition_pruned(spark):
+    """r13: the REGISTRY entry for the materialized LSH index (not
+    just the operator twin below) must probe through partition
+    pruning — PartitionFilters on `sig` in its index scan — and its
+    answer must value-match the unpartitioned ann_lsh_topk (same
+    Hamming-radius-0 bucket, same exact-decimal ranking; both now
+    share the full plane-literal DuckDB oracle)."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = q.all_queries()["ann_lsh_indexed_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "sig" in seg, seg
+    assert_no_python_udf(df)  # Arrow MapInPandas screen is allowed
+    got = [(r["vec_id"], r["sim"]) for r in df.collect()]
+    base = [
+        (r["vec_id"], r["sim"])
+        for r in q.all_queries()["ann_lsh_topk"](spark, SF).collect()
+    ]
+    assert got == base and len(got) == 10, (got, base)
+
+
 def test_lsh_signature_partitioned_layout_prunes_probe_scan(spark, tmp_path):
     """The LSH twin of the IVF build-then-probe proof (VERDICT r12
     "what's wrong" item 1): materialize build_lsh_index (corpus
