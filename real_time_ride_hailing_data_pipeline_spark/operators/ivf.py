@@ -243,6 +243,30 @@ def build_cell_index(
     ).mode("overwrite").parquet(path)
 
 
+def ingest_into_cell_index(
+    batch: DataFrame,
+    centroids: Centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance (r13): route a batch of new
+    vectors into an existing cell-partitioned index (built by
+    :func:`build_cell_index`) — assign cells with the SAME trained
+    quantizer (assignment is per-vector, so base+delta assignment is
+    identical to a full rebuild) and append into the matching ``cell=``
+    partition directories. The map-only assign + partitioned append
+    touches ONLY the partitions the batch lands in; probes stay
+    partition-pruned and value-exact throughout (no rebuild, no
+    reindex). This is the foreachBatch body that keeps a 100 TB vector
+    index current under streaming ingest; the registry entry
+    ``ann_ivf_streaming_ingest_topk`` drives it from a real
+    StreamingQuery and value-matches the full-corpus oracle."""
+    assign_cells(batch, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(path)
+
+
 def probe_cells_for(
     query: DataFrame,
     centroids: Centroids,

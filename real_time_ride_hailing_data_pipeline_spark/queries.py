@@ -91,6 +91,7 @@ _VERIFY_FIRST: list[str] = [
     # partition-pruned IVF index) + its LSH twin and the LSH tier's
     # first-ever full oracle (plane literals replayed in DuckDB) ---
     "ann_ivf_indexed_topk",
+    "ann_ivf_streaming_ingest_topk",
     "ann_lsh_indexed_topk",
     "ann_lsh_topk",
     # --- re-verification of code r13 touched: the OCC family (per-
@@ -134,24 +135,25 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q6_forecast_revenue",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
-    # --- ... then seven of the r7-green tier, spanning join / agg /
+    # --- ... then six of the r7-green tier, spanning join / agg /
     # source-format / dedup / window families (zorder_cluster_key,
-    # global_sort_orders and binaryfile_source_stats yielded their
-    # slots to the three LSH-tier names above — all three stay
-    # oracle-checked at sf0.001 every pytest run and queue first for
-    # r14) ---
+    # global_sort_orders, binaryfile_source_stats and
+    # textfile_source_doc_roundtrip yielded their slots to the four
+    # r13-born/upgraded vector-tier names above — all four displaced
+    # entries stay oracle-checked at sf0.001 every pytest run and
+    # queue first for r14) ---
     "join_broadcast_enrichment",
     "agg_percentiles_per_type",
     "dedup_ngram_jaccard",
     "tpch_q19_disjunctive_revenue",
     "orc_source_agg",
-    "textfile_source_doc_roundtrip",
     "session_window_dynamic_gap",
-    # overflow sacrifice: with BOTH gated entries present this list has
-    # 51 present names and [:50] must drop ONE — by sitting last, the
-    # drop lands here, on a query that has been driver-green since r1
-    # and stays plan-asserted in pytest, never on a never-verified
-    # entry above.
+    # tail anchor: with BOTH gated entries present this list is exactly
+    # 50; with protobuf absent (this environment) it is 49 and the
+    # first spare below fills slot 50. Driver-green since r1 and
+    # plan-asserted in pytest, so a [:50] drop (if a future edit
+    # overfills the list) lands here, never on a never-verified entry
+    # above.
     "top_cities_by_trips",
 ]
 
@@ -166,15 +168,18 @@ _VERIFY_SPARES: list[str] = [
 ]
 
 # Entries born DURING r13 are IN the window above (they exist before
-# the r13 driver freeze): ann_ivf_indexed_topk and ann_lsh_indexed_topk
+# the r13 driver freeze): ann_ivf_indexed_topk, ann_lsh_indexed_topk
 # (materialized partition-pruned vector indexes, full value-hash
-# oracles shared with their scan-path twins), plus ann_lsh_topk's
-# FIRST full oracle (previously rows-only) — all oracle-verified
-# locally at sf0.001+sf0.01. Every oracle-backed registry entry keeps
-# at least one driver-green row across r1-r12; the r13 window
-# refreshes the stalest tiers (r5/r6 + eight r7 names) — coverage debt
-# queued for r14: zorder_cluster_key, global_sort_orders (displaced by
-# the LSH pair; both r7-green and plan-asserted in pytest).
+# oracles shared with their scan-path twins),
+# ann_ivf_streaming_ingest_topk (incremental index maintenance under a
+# real StreamingQuery, full-corpus oracle), plus ann_lsh_topk's FIRST
+# full oracle (previously rows-only) — all oracle-verified locally at
+# sf0.001+sf0.01. Every oracle-backed registry entry keeps at least
+# one driver-green row across r1-r12; the r13 window refreshes the
+# stalest tiers (r5/r6 + six r7 names) — coverage debt queued for r14:
+# zorder_cluster_key, global_sort_orders, binaryfile_source_stats,
+# textfile_source_doc_roundtrip (displaced by the vector tier; all
+# r7-green and oracle-checked every pytest run).
 
 
 def _ordered(mapping: dict[str, _V]) -> dict[str, _V]:
@@ -6205,6 +6210,61 @@ def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     index_path = _os.path.join(_workdir("rtrh_ivfidx_"), "index")
     ivf.build_cell_index(emb, cents, index_path)
+    query_vec = emb.orderBy("vec_id").limit(1)
+    return ivf.ivf_topk_indexed(
+        spark, index_path, query_vec, cents, k=10, nprobe=4
+    )
+
+
+@query("ann_ivf_streaming_ingest_topk", oracle=_ANN_IVF_ORACLE)
+def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance under streaming ingest (r13):
+    the materialized IVF index is built on 3/4 of the corpus, then a
+    REAL StreamingQuery delivers the remaining quarter in one-file
+    micro-batches whose foreachBatch body is
+    ``ivf.ingest_into_cell_index`` — same trained quantizer, map-only
+    assign, appends touching only the landed-in ``cell=`` partitions.
+    The post-ingest probe (``ivf.ivf_topk_indexed``) still partition-
+    prunes and must value-match the FULL-corpus oracle — the bar that
+    proves the index never needs a rebuild to stay correct: per-vector
+    assignment makes base+delta bit-identical to build-from-scratch.
+    This is what "the index stays current at 100 TB" means physically:
+    ingest cost is O(batch), probe cost stays O(nprobe/k · corpus),
+    and correctness is the same value-hash as the static build."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    workdir = _workdir("rtrh_ivfing_")
+    index_path = _os.path.join(workdir, "index")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    ivf.build_cell_index(base, cents, index_path)
+    feed = _os.path.join(workdir, "feed")
+    n_chunks = 3
+    chunked = delta.withColumn(
+        "__c", F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks))
+    )
+    for i in range(n_chunks):  # one file per micro-batch
+        chunked.filter(F.col("__c") == i).drop("__c").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(
+            lambda b, e: ivf.ingest_into_cell_index(b, cents, index_path)
+        )
+        .option("checkpointLocation", _os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk_indexed(
         spark, index_path, query_vec, cents, k=10, nprobe=4

@@ -79,3 +79,45 @@ def test_cell_assignment_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_ingest_equals_full_rebuild_and_stays_pruned(
+    spark, tmp_path
+):
+    """r13 index maintenance: build the cell index on 3/4 of the
+    corpus, ingest the remaining quarter in three batches through
+    ingest_into_cell_index — the probe over the maintained index must
+    (a) still carry PartitionFilters on `cell` (appends never break
+    pruning) and (b) value-match the same probe over a from-scratch
+    full-corpus index: per-vector assignment makes base+delta
+    bit-identical to a rebuild."""
+    from pyspark.sql import functions as F
+
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    emb = _emb(spark)
+    cents = ivf.train_coarse_quantizer(emb, k=K, iters=2)
+    maintained = str(tmp_path / "maintained")
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf.build_cell_index(emb.filter(F.col("vec_id") % 4 != 3), cents, maintained)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    for i in range(3):
+        ivf.ingest_into_cell_index(
+            delta.filter(F.col("vec_id") % 3 == i), cents, maintained
+        )
+    ivf.build_cell_index(emb, cents, rebuilt)
+    query = emb.orderBy("vec_id").limit(1)
+    df_m = ivf.ivf_topk_indexed(spark, maintained, query, cents, k=5, nprobe=3)
+    plan = physical_plan(df_m)
+    assert "PartitionFilters" in plan, plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+    got = [(r["vec_id"], r["sim"]) for r in df_m.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in ivf.ivf_topk_indexed(
+            spark, rebuilt, query, cents, k=5, nprobe=3
+        ).collect()
+    ]
+    assert got == want and len(got) == 5, (got, want)
