@@ -6264,7 +6264,11 @@ def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    stream.awaitTermination(120)
+    # a silent timeout here would probe a partially-ingested index and
+    # "succeed" with wrong values — fail loudly instead
+    if not stream.awaitTermination(300):
+        stream.stop()
+        raise RuntimeError("ingest stream did not drain within 300s")
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk_indexed(
         spark, index_path, query_vec, cents, k=10, nprobe=4
