@@ -237,34 +237,58 @@ def build_cell_index(
     path); the probe half is :func:`ivf_topk_indexed`. One map-only
     assignment pass + one shuffle-free partitioned write. At 100 TB
     with k=1024 cells the index turns ANN search I/O from O(corpus)
-    into O(nprobe/k x corpus)."""
-    assign_cells(embeddings, centroids, id_col, vec_col).write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(path)
+    into O(nprobe/k x corpus).
+
+    The layout is ``cell=<c>/ingest_epoch=<e>/`` (base rows land in
+    epoch -1): the second level is what makes incremental ingest
+    EXACTLY-ONCE — :func:`ingest_into_cell_index` dynamic-overwrites
+    its own epoch's partitions, so a crash-replayed micro-batch
+    replaces its previous (possibly partial) attempt instead of
+    appending duplicates. Probes filter only on ``cell``, so pruning
+    is untouched by the extra level."""
+    assign_cells(embeddings, centroids, id_col, vec_col).withColumn(
+        "ingest_epoch", F.lit(-1)
+    ).write.partitionBy("cell", "ingest_epoch").mode("overwrite").parquet(
+        path
+    )
 
 
 def ingest_into_cell_index(
     batch: DataFrame,
     centroids: Centroids,
     path: str,
+    epoch: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """INCREMENTAL index maintenance (r13): route a batch of new
-    vectors into an existing cell-partitioned index (built by
-    :func:`build_cell_index`) — assign cells with the SAME trained
-    quantizer (assignment is per-vector, so base+delta assignment is
-    identical to a full rebuild) and append into the matching ``cell=``
-    partition directories. The map-only assign + partitioned append
-    touches ONLY the partitions the batch lands in; probes stay
-    partition-pruned and value-exact throughout (no rebuild, no
-    reindex). This is the foreachBatch body that keeps a 100 TB vector
-    index current under streaming ingest; the registry entry
-    ``ann_ivf_streaming_ingest_topk`` drives it from a real
-    StreamingQuery and value-matches the full-corpus oracle."""
-    assign_cells(batch, centroids, id_col, vec_col).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(path)
+    """INCREMENTAL, EXACTLY-ONCE index maintenance (r13): route a
+    batch of new vectors into an existing cell-partitioned index
+    (built by :func:`build_cell_index`) — assign cells with the SAME
+    trained quantizer (assignment is per-vector, so base+delta
+    assignment is identical to a full rebuild) and write into the
+    matching ``cell=<c>/ingest_epoch=<epoch>/`` partitions via DYNAMIC
+    PARTITION OVERWRITE. Idempotence falls out of the layout: a
+    micro-batch replayed after a crash (committed to the index but not
+    yet to the stream checkpoint) carries the same deterministic
+    ``epoch`` (the file source replays the same files per batchId), so
+    the overwrite REPLACES its previous — possibly partial — attempt
+    instead of appending duplicates; partitions of other epochs,
+    including the epoch -1 base, are untouched (that is what "dynamic"
+    means: only partitions present in the written data are replaced).
+    The map-only assign + partitioned write touches ONLY the
+    partitions the batch lands in; probes stay partition-pruned
+    (``cell`` is the first partition level) and value-exact throughout
+    — no rebuild, no reindex, no dedup pass. This is the foreachBatch
+    body that keeps a 100 TB vector index current under streaming
+    ingest; the registry entry ``ann_ivf_streaming_ingest_topk``
+    drives it from a real StreamingQuery and value-matches the
+    full-corpus oracle, and the crash matrix kills/resumes the stream
+    across the append-vs-checkpoint window."""
+    assign_cells(batch, centroids, id_col, vec_col).withColumn(
+        "ingest_epoch", F.lit(int(epoch))
+    ).write.partitionBy("cell", "ingest_epoch").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(path)
 
 
 def probe_cells_for(

@@ -6258,7 +6258,7 @@ def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
         .writeStream.foreachBatch(
-            lambda b, e: ivf.ingest_into_cell_index(b, cents, index_path)
+            lambda b, e: ivf.ingest_into_cell_index(b, cents, index_path, e)
         )
         .option("checkpointLocation", _os.path.join(workdir, "ckpt"))
         .trigger(availableNow=True)

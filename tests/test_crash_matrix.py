@@ -794,3 +794,80 @@ def test_crash_matrix_streaming_kill_resume_multi_stream_occ(spark, tmp_path):
     assert res["attempts"] == 0 and res["touched"] == []
     got2 = {r["k"]: r["total"] for r in sink.read(spark).collect()}
     assert got2 == got, got2
+
+
+def test_crash_matrix_streaming_kill_resume_ivf_index_ingest(spark, tmp_path):
+    """r13 vector-index maintenance under the same worst crash window:
+    kill the ingest stream AFTER a micro-batch's partitions landed in
+    the index but BEFORE the checkpoint recorded the batch, then
+    resume from the same checkpoint. The replayed batch carries the
+    same batchId, so ingest_into_cell_index's dynamic partition
+    overwrite REPLACES the epoch's partitions instead of appending
+    duplicates — the final index must be row-identical to a
+    from-scratch rebuild (no dups, no loss), and the probe must
+    value-match it."""
+    import pyspark.sql.functions as F
+
+    from real_time_ride_hailing_data_pipeline_spark import catalog
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+
+    emb = catalog.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf.train_coarse_quantizer(emb, k=4, iters=2)
+    index = str(tmp_path / "index")
+    ivf.build_cell_index(emb.filter(F.col("vec_id") % 4 != 3), cents, index)
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    feed = str(tmp_path / "feed")
+    for i in range(3):  # one file per micro-batch
+        delta.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    kill_flag = tmp_path / "killed_once"
+
+    def ingest(batch, epoch):
+        ivf.ingest_into_cell_index(batch, cents, index, epoch)
+        # index write durable, checkpoint offset NOT — the
+        # exactly-once crash window a process kill hits
+        if epoch == 1 and not kill_flag.exists():
+            kill_flag.touch()
+            raise RuntimeError("injected kill after index write")
+
+    def start():
+        return (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.awaitTermination()
+        raise AssertionError("stream survived the injected kill")
+    except Exception as exc:  # noqa: BLE001 — the injected kill
+        assert "injected kill" in str(exc)
+    assert kill_flag.exists()
+    q2 = start()  # resume: batch 1 REPLAYS with the same batchId
+    q2.awaitTermination()
+    idx = spark.read.parquet(index)
+    n = emb.count()
+    assert idx.count() == n, (idx.count(), n)
+    assert idx.select("vec_id").distinct().count() == n
+    query = emb.orderBy("vec_id").limit(1)
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in ivf.ivf_topk_indexed(
+            spark, index, query, cents, k=5, nprobe=3
+        ).collect()
+    ]
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf.build_cell_index(emb, cents, rebuilt)
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in ivf.ivf_topk_indexed(
+            spark, rebuilt, query, cents, k=5, nprobe=3
+        ).collect()
+    ]
+    assert got == want and len(got) == 5, (got, want)

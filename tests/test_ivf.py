@@ -105,9 +105,20 @@ def test_incremental_ingest_equals_full_rebuild_and_stays_pruned(
     delta = emb.filter(F.col("vec_id") % 4 == 3)
     for i in range(3):
         ivf.ingest_into_cell_index(
-            delta.filter(F.col("vec_id") % 3 == i), cents, maintained
+            delta.filter(F.col("vec_id") % 3 == i), cents, maintained, i
         )
+    # crash-replay idempotence: re-delivering an epoch (same batch,
+    # same epoch id — what a checkpoint replay does) must REPLACE its
+    # partitions, not append duplicates
+    ivf.ingest_into_cell_index(
+        delta.filter(F.col("vec_id") % 3 == 1), cents, maintained, 1
+    )
     ivf.build_cell_index(emb, cents, rebuilt)
+    # the replayed epoch left no duplicates and lost no rows
+    idx = spark.read.parquet(maintained)
+    n = emb.count()
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
     query = emb.orderBy("vec_id").limit(1)
     df_m = ivf.ivf_topk_indexed(spark, maintained, query, cents, k=5, nprobe=3)
     plan = physical_plan(df_m)
