@@ -298,15 +298,14 @@ def lsh_bucketed_topk(
     neighboring signatures for higher recall).
 
     The signature equality is a *filter*, not a join of the big side.
-    As executed here it is a cheap predicate over a full scan;
-    DESIGNED FOR a layout where the signatures are materialized and
-    the table written partitioned/bucketed by (a banded prefix of)
-    them, which turns the filter into partition pruning and shrinks
-    the 100 TB scan by ~2^-num_planes — the executed build-then-probe
-    proof of exactly that pattern is the IVF index
-    (``ivf.build_cell_index`` + ``ivf.ivf_topk_indexed``,
-    PartitionFilters plan-asserted); the LSH signature column slots
-    into the same ``partitionBy`` write unchanged.
+    As executed here it is a cheap predicate over a full scan — the
+    UNMATERIALIZED twin. The materialized layout that turns the same
+    filter into partition pruning (shrinking a 100 TB scan by
+    ~2^-num_planes) is an EXECUTED path since late r13:
+    :func:`build_lsh_index` writes the corpus ``partitionBy("sig")``
+    and :func:`lsh_topk_indexed` probes it (PartitionFilters
+    plan-asserted; registry entry ``ann_lsh_indexed_topk`` carries the
+    shared full value-hash oracle).
     """
     sig = hyperplane_signature(vec_col, num_planes, dim)
     emb_sig = embeddings.withColumn("_sig", sig)
