@@ -342,10 +342,41 @@ def build_lsh_index(
     tests/test_plans.py). At production plane counts a banded PREFIX
     of the signature keeps the partition count bounded; here the full
     signature is the partition key (num_planes<=16 -> <=65536 cells,
-    populated cells bounded by the corpus)."""
+    populated cells bounded by the corpus).
+
+    Like the IVF index, the layout is ``sig=<s>/ingest_epoch=<e>``
+    (base rows in epoch -1) so :func:`ingest_into_lsh_index` can
+    maintain it exactly-once; probes filter only on ``sig``."""
     embeddings.withColumn(
         "sig", hyperplane_signature(vec_col, num_planes, dim)
-    ).write.partitionBy("sig").mode("overwrite").parquet(path)
+    ).withColumn("ingest_epoch", F.lit(-1)).write.partitionBy(
+        "sig", "ingest_epoch"
+    ).mode("overwrite").parquet(path)
+
+
+def ingest_into_lsh_index(
+    batch: DataFrame,
+    path: str,
+    epoch: int,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+) -> None:
+    """EXACTLY-ONCE incremental maintenance of the signature-
+    partitioned LSH index — the LSH twin of
+    ``ivf.ingest_into_cell_index``: signatures are data-independent
+    (same md5 plane literals), so base+delta ingest is bit-identical
+    to a full rebuild, and dynamic partition overwrite on
+    ``sig=<s>/ingest_epoch=<epoch>`` makes a crash-replayed
+    micro-batch (same deterministic batchId) REPLACE its previous
+    attempt instead of appending duplicates."""
+    batch.withColumn(
+        "sig", hyperplane_signature(vec_col, num_planes, dim)
+    ).withColumn("ingest_epoch", F.lit(int(epoch))).write.partitionBy(
+        "sig", "ingest_epoch"
+    ).option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def lsh_topk_indexed(

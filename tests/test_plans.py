@@ -760,3 +760,49 @@ def test_lsh_signature_partitioned_layout_prunes_probe_scan(spark, tmp_path):
         for r in sim.lsh_bucketed_topk(emb, query, k=5, num_planes=4).collect()
     ]
     assert got == base and len(got) > 0, (got, base)
+
+def test_lsh_index_incremental_ingest_is_exactly_once(spark, tmp_path):
+    """r13 maintenance symmetry: the LSH index takes the same
+    exactly-once incremental ingest as the IVF index — build on 3/4 of
+    the corpus, ingest the rest in epochs, REPLAY one epoch (what a
+    checkpoint restart does): no duplicates, no loss, and the pruned
+    probe equals the probe over a from-scratch full rebuild
+    (signatures are data-independent, so base+delta == rebuild)."""
+    from pyspark.sql import functions as F
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = catalog.load_table(spark, SF, "embeddings")
+    maintained = str(tmp_path / "maintained")
+    rebuilt = str(tmp_path / "rebuilt")
+    sim.build_lsh_index(
+        emb.filter(F.col("vec_id") % 4 != 3), maintained, num_planes=4
+    )
+    delta = emb.filter(F.col("vec_id") % 4 == 3)
+    for i in range(2):
+        sim.ingest_into_lsh_index(
+            delta.filter(F.col("vec_id") % 2 == i), maintained, i, num_planes=4
+        )
+    sim.ingest_into_lsh_index(  # crash-replay of epoch 1
+        delta.filter(F.col("vec_id") % 2 == 1), maintained, 1, num_planes=4
+    )
+    sim.build_lsh_index(emb, rebuilt, num_planes=4)
+    idx = spark.read.parquet(maintained)
+    n = emb.count()
+    assert idx.count() == n and idx.select("vec_id").distinct().count() == n
+    query = emb.orderBy("vec_id").limit(1)
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in sim.lsh_topk_indexed(
+            spark, maintained, query, k=5, num_planes=4
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in sim.lsh_topk_indexed(
+            spark, rebuilt, query, k=5, num_planes=4
+        ).collect()
+    ]
+    assert got == want and len(got) > 0, (got, want)
