@@ -291,6 +291,44 @@ def ingest_into_cell_index(
     ).mode("overwrite").parquet(path)
 
 
+def compact_cell_index(spark, path: str) -> dict:
+    """Fold accumulated ingest epochs back into the epoch -1 base —
+    the maintenance step that completes the index lifecycle
+    (build → ingest → COMPACT → probe). Streaming ingest leaves one
+    file per (landed cell, epoch); after 10k micro-batches a hot cell
+    holds 10k small files and the probe's scan degrades to file-count,
+    not byte-count — exactly the small-files problem OPTIMIZE solves
+    for the lakehouse tier. One shuffle (``repartition("cell")`` puts
+    each cell wholly in one task → exactly one output file per cell),
+    then an atomic directory swap so probes see either the old or the
+    new index, never a mix. Not safe under a LIVE concurrent writer —
+    run it between ingest batches (the registry entry does) or gate it
+    with the lakehouse sink's writer lock; the index is derived data,
+    so any crash mid-swap is recoverable by rebuild. Returns
+    {'files_before', 'files_after'}."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def _count(p: str) -> int:
+        return len(_glob.glob(_os.path.join(p, "cell=*", "*", "*.parquet")))
+
+    files_before = _count(path)
+    tmp, old = path + ".compact", path + ".old"
+    (
+        spark.read.parquet(path)
+        .withColumn("ingest_epoch", F.lit(-1))
+        .repartition("cell")
+        .write.partitionBy("cell", "ingest_epoch")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return {"files_before": files_before, "files_after": _count(path)}
+
+
 def probe_cells_for(
     query: DataFrame,
     centroids: Centroids,

@@ -6230,7 +6230,13 @@ def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     assignment makes base+delta bit-identical to build-from-scratch.
     This is what "the index stays current at 100 TB" means physically:
     ingest cost is O(batch), probe cost stays O(nprobe/k · corpus),
-    and correctness is the same value-hash as the static build."""
+    and correctness is the same value-hash as the static build.
+
+    The entry runs the FULL lifecycle: build → streamed exactly-once
+    ingest (dynamic partition overwrite per epoch) → COMPACT
+    (``ivf.compact_cell_index`` folds the epoch files back into the
+    base, one file per cell, atomic swap) → pruned probe — and the
+    compacted answer must still match the full-corpus oracle."""
     import os as _os
 
     from real_time_ride_hailing_data_pipeline_spark.operators import ivf
@@ -6269,6 +6275,12 @@ def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     if not stream.awaitTermination(300):
         stream.stop()
         raise RuntimeError("ingest stream did not drain within 300s")
+    # complete the lifecycle: fold the streamed epochs back into the
+    # base (one file per cell — the small-files problem a 10k-batch
+    # ingest otherwise leaves behind), then probe the compacted index
+    stats = ivf.compact_cell_index(spark, index_path)
+    if stats["files_after"] > stats["files_before"]:
+        raise RuntimeError(f"compaction grew the index: {stats}")
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk_indexed(
         spark, index_path, query_vec, cents, k=10, nprobe=4

@@ -132,3 +132,19 @@ def test_incremental_ingest_equals_full_rebuild_and_stays_pruned(
         ).collect()
     ]
     assert got == want and len(got) == 5, (got, want)
+    # lifecycle close: compaction folds the epochs into one file per
+    # cell, loses nothing, and the probe answer is unchanged
+    stats = ivf.compact_cell_index(spark, maintained)
+    assert stats["files_after"] <= stats["files_before"]
+    idx2 = spark.read.parquet(maintained)
+    # exactly one file per POPULATED cell
+    assert stats["files_after"] == idx2.select("cell").distinct().count()
+    assert idx2.count() == n
+    assert idx2.select("vec_id").distinct().count() == n
+    got2 = [
+        (r["vec_id"], r["sim"])
+        for r in ivf.ivf_topk_indexed(
+            spark, maintained, query, cents, k=5, nprobe=3
+        ).collect()
+    ]
+    assert got2 == want, (got2, want)
