@@ -313,8 +313,17 @@ def compact_cell_index(spark, path: str) -> dict:
     def _count(p: str) -> int:
         return len(_glob.glob(_os.path.join(p, "cell=*", "*", "*.parquet")))
 
-    files_before = _count(path)
     tmp, old = path + ".compact", path + ".old"
+    # recover from a previous crashed compaction: if it died between
+    # the two renames, `path` is gone and `old` holds the pre-swap
+    # index — restore it (always safe; the index content is identical
+    # either way). Any remaining leftover dir is then disposable.
+    if not _os.path.exists(path) and _os.path.exists(old):
+        _os.rename(old, path)
+    for leftover in (tmp, old):
+        if _os.path.exists(leftover):
+            _shutil.rmtree(leftover)
+    files_before = _count(path)
     (
         spark.read.parquet(path)
         .withColumn("ingest_epoch", F.lit(-1))

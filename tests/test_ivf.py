@@ -148,3 +148,33 @@ def test_incremental_ingest_equals_full_rebuild_and_stays_pruned(
         ).collect()
     ]
     assert got2 == want, (got2, want)
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    """compact_cell_index's swap is two renames; a crash between them
+    leaves `path` missing and `path + '.old'` holding the pre-swap
+    index (plus a complete `.compact` rewrite). The next call must
+    restore and proceed — not wedge, not lose rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    cents = ivf.train_coarse_quantizer(emb, k=K, iters=2)
+    index = str(tmp_path / "index")
+    ivf.build_cell_index(emb.filter(F.col("vec_id") % 2 == 0), cents, index)
+    ivf.ingest_into_cell_index(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, index, 0
+    )
+    n = emb.count()
+    # simulate the worst crash window: path renamed away, rewrite left
+    shutil.copytree(index, index + ".compact")
+    os.rename(index, index + ".old")
+    stats = ivf.compact_cell_index(spark, index)
+    idx = spark.read.parquet(index)
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+    assert not os.path.exists(index + ".old")
+    assert not os.path.exists(index + ".compact")
+    assert stats["files_after"] == idx.select("cell").distinct().count()
