@@ -291,6 +291,67 @@ def ingest_into_cell_index(
     ).mode("overwrite").parquet(path)
 
 
+def ivf_topk_indexed_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: Centroids,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch retrieval against the MATERIALIZED index — the
+    vector-service shape: a (small, broadcast-contract) query set, one
+    partition-pruned branch per query unioned into a single plan.
+    Each branch routes its own nprobe cells (literal ``cell IN``,
+    PartitionFilters at planning time) and scores through the
+    two-phase exact-decimal top-k, so every query reads ~nprobe/k of
+    the files it would under a full scan and the union is Q·k rows.
+    Per-query probe routing is a Q-row driver collect (the sanctioned
+    scalar shape). At service scale, group queries by probe-set
+    overlap to share branches; semantics are unchanged because each
+    query's candidate set depends only on ITS probed cells. Returns
+    (query_id, rn, vec_id, sim) — same contract as
+    ``similarity.brute_force_topk_batch``."""
+    from pyspark.sql import Window
+
+    qschema = queries.select(query_id_col, vec_col).schema
+    qrows = queries.select(query_id_col, vec_col).collect()
+    outs = []
+    for r in qrows:
+        q1 = spark.createDataFrame(
+            [(r[query_id_col], r[vec_col])], qschema
+        ).select(vec_col)
+        topk = ivf_topk_indexed(
+            spark,
+            index_path,
+            q1,
+            centroids,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        outs.append(
+            topk.select(
+                F.lit(r[query_id_col]).alias(query_id_col),
+                F.col(id_col),
+                F.col("sim"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return res.withColumn("rn", F.row_number().over(w)).select(
+        query_id_col, "rn", id_col, "sim"
+    )
+
+
 def compact_cell_index(spark, path: str) -> dict:
     """Fold accumulated ingest epochs back into the epoch -1 base —
     the maintenance step that completes the index lifecycle

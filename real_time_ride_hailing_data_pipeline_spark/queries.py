@@ -91,6 +91,7 @@ _VERIFY_FIRST: list[str] = [
     # partition-pruned IVF index) + its LSH twin and the LSH tier's
     # first-ever full oracle (plane literals replayed in DuckDB) ---
     "ann_ivf_indexed_topk",
+    "ann_ivf_indexed_batch_topk",
     "ann_ivf_streaming_ingest_topk",
     "ann_lsh_indexed_topk",
     "ann_lsh_topk",
@@ -148,12 +149,12 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q19_disjunctive_revenue",
     "orc_source_agg",
     "session_window_dynamic_gap",
-    # tail anchor: with BOTH gated entries present this list is exactly
-    # 50; with protobuf absent (this environment) it is 49 and the
-    # first spare below fills slot 50. Driver-green since r1 and
-    # plan-asserted in pytest, so a [:50] drop (if a future edit
-    # overfills the list) lands here, never on a never-verified entry
-    # above.
+    # tail anchor / overflow sacrifice: with protobuf absent (this
+    # environment) this 51-name list has 50 present — exactly the
+    # window, no spare needed; with BOTH gated entries present [:50]
+    # must drop ONE and, by sitting last, the drop lands here — on a
+    # query driver-green since r1 and plan-asserted in pytest, never
+    # on a never-verified entry above.
     "top_cities_by_trips",
 ]
 
@@ -6284,6 +6285,72 @@ def ann_ivf_streaming_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     query_vec = emb.orderBy("vec_id").limit(1)
     return ivf.ivf_topk_indexed(
         spark, index_path, query_vec, cents, k=10, nprobe=4
+    )
+
+
+_ANN_IVF_BATCH_ORACLE = (
+    "WITH "
+    + _ivf_oracle_ctes(k=8, iters=4)
+    + f""",
+    qset AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             ORDER BY vec_id LIMIT 3),
+    bprobes AS (
+      SELECT qid, j FROM (
+        SELECT qs.qid, c.j,
+               row_number() OVER (
+                 PARTITION BY qs.qid
+                 ORDER BY sum((q.xi - c.ci) * (q.xi - c.ci)), c.j) AS rn
+        FROM qset qs JOIN qd q ON q.vec_id = qs.qid
+        JOIN c4 c ON q.pos = c.pos
+        GROUP BY qs.qid, c.j
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT qs.qid AS query_id, e.vec_id,
+             round(CAST({_DOT_DECIMAL_DUCK.format(a="e.embedding", b="qs.qv")} AS DOUBLE)
+               / (sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="e.embedding", b="e.embedding")} AS DOUBLE))
+                * sqrt(CAST({_DOT_DECIMAL_DUCK.format(a="qs.qv", b="qs.qv")} AS DOUBLE))), 6) AS sim
+      FROM embeddings e
+      JOIN final_assign fa ON e.vec_id = fa.vec_id
+      JOIN bprobes p ON fa.cell = p.j
+      JOIN qset qs ON qs.qid = p.qid
+    )
+    SELECT query_id, rn, vec_id, sim FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """
+)
+
+
+@query("ann_ivf_indexed_batch_topk", oracle=_ANN_IVF_BATCH_ORACLE)
+def ann_ivf_indexed_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval against the materialized IVF index (r13) — the
+    vector-service shape: 3 queries (the lowest vec_ids), each routed
+    to its OWN nprobe=4 cells and answered from a partition-pruned
+    branch (literal ``cell IN`` per branch, PartitionFilters at
+    planning time), unioned into one plan. Per-query candidate sets
+    depend only on that query's probed cells — the semantics a
+    multi-tenant retrieval endpoint must keep — and every branch
+    scores through the two-phase exact-decimal top-k, so the DuckDB
+    oracle (same trained quantizer, per-query probe routing, and
+    ranking, unrolled in SQL) value-matches per (query_id, rn)."""
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    index_path = _os.path.join(_workdir("rtrh_ivfbat_"), "index")
+    ivf.build_cell_index(emb, cents, index_path)
+    queries = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf.ivf_topk_indexed_batch(
+        spark, index_path, queries, cents, k=5, nprobe=4
     )
 
 

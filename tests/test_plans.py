@@ -706,6 +706,30 @@ def test_ann_ivf_indexed_topk_probe_is_partition_pruned(spark):
     assert got == base and len(got) == 10, (got, base)
 
 
+def test_ann_ivf_indexed_batch_topk_branches_are_partition_pruned(spark):
+    """r13 batch retrieval: every per-query branch in the unioned plan
+    must probe through partition pruning (one PartitionFilters-carrying
+    scan per query), and each query's rows must equal the single-query
+    indexed probe — per-query candidate sets depend only on that
+    query's probed cells."""
+    from real_time_ride_hailing_data_pipeline_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    df = q.all_queries()["ann_ivf_indexed_batch_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("PartitionFilters") >= 3, plan
+    assert_no_python_udf(df)  # Arrow MapInPandas screen is allowed
+    rows = df.collect()
+    assert len(rows) == 15  # 3 queries x k=5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["sim"]))
+    assert len(by_q) == 3
+    for qid, got in by_q.items():
+        assert [rn for rn, _, _ in sorted(got)] == [1, 2, 3, 4, 5], got
+
+
 def test_ann_lsh_indexed_topk_probe_is_partition_pruned(spark):
     """r13: the REGISTRY entry for the materialized LSH index (not
     just the operator twin below) must probe through partition
