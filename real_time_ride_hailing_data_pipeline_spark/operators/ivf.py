@@ -319,6 +319,8 @@ def ivf_topk_indexed_batch(
 
     qschema = queries.select(query_id_col, vec_col).schema
     qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("ivf_topk_indexed_batch: empty query set")
     outs = []
     for r in qrows:
         q1 = spark.createDataFrame(
