@@ -157,7 +157,15 @@ def test_sink_compaction_reduces_files_preserves_data(spark, tmp_path):
         ParquetUpsertSink,
     )
 
-    sink = ParquetUpsertSink(str(tmp_path / "t"), key_cols=("event_type", "window_start"))
+    # write_distribution="none": this test demonstrates compact()
+    # collapsing accreted per-micro-batch files; the r13 hash
+    # distribution already writes each merge as one file per
+    # partition, which would leave compaction nothing to show here.
+    sink = ParquetUpsertSink(
+        str(tmp_path / "t"),
+        key_cols=("event_type", "window_start"),
+        write_distribution="none",
+    )
     t0 = dt.datetime(2024, 1, 1)
     schema = (
         "event_type string, window_start timestamp, last_updated timestamp, "

@@ -2418,8 +2418,17 @@ def test_read_pruned_at_prunes_the_versions_own_files(spark, tmp_path):
     """Time-travel file skipping: an epoch copy carries the stats (and
     deletion vectors) AS OF its commit, so read_pruned_at prunes with
     the version's own bounds and equals read_at + filter; partitions
-    whose copies predate any stats are read unpruned (safe)."""
-    sink = _evo_sink(tmp_path)
+    whose copies predate any stats are read unpruned (safe).
+
+    write_distribution="none": the r13 hash distribution writes ONE
+    file per toy-scale partition, which leaves this test's epoch
+    copies nothing to skip WITHIN a partition (sel == tot, vacuously).
+    The capability pinned here — the version's own stats prune the
+    version's own files — needs a multi-file-per-partition epoch copy,
+    which the undistributed write's task-contiguous splits provide
+    (production tables get the same via write_buckets / compaction
+    toward ~128 MB files)."""
+    sink = _evo_sink(tmp_path, write_distribution="none")
     rows = [
         (f"k{i}", dt.datetime(2024, 1, 15 + (i % 2), 10, i % 60), i)
         for i in range(400)
@@ -3841,12 +3850,14 @@ def test_optimize_folds_deletion_vectors_and_sorts(spark, tmp_path):
 # -- z-order clustering + bloom point-lookup skipping (r10) ------------------
 
 
-def _zb_sink(tmp_path, spark, n=4000):
+def _zb_sink(tmp_path, spark, n=4000, **kw):
     """A one-date sink over n rows with two independent numeric dims
     (a = id mod 97, b = hash-scattered 0..999) and a high-cardinality
     key k — the shape where lexicographic sort fails the trailing dim
     and min/max stats fail point probes."""
-    sink = ParquetUpsertSink(str(tmp_path / "zb"), key_cols=("k", "window_start"))
+    sink = ParquetUpsertSink(
+        str(tmp_path / "zb"), key_cols=("k", "window_start"), **kw
+    )
     d = dt.datetime(2024, 1, 15, 10, 0)
     df = spark.range(n).select(
         F.concat(F.lit("u"), F.col("id")).alias("k"),
@@ -3888,7 +3899,11 @@ def test_zorder_prunes_every_dimension(spark, tmp_path):
 def test_zorder_validates_and_interops(spark, tmp_path):
     """sort_by and zorder_by are mutually exclusive; a z-ordered table
     keeps pruning after a merge refreshes the touched stats."""
-    sink = _zb_sink(tmp_path, spark, n=500)
+    # write_distribution="none": this single-date fixture asserts the
+    # MERGED partition still prunes — the r13 hash distribution writes
+    # the merge as ONE file (nothing to skip within one partition at
+    # toy scale), so pin the fragment layout the assertion needs.
+    sink = _zb_sink(tmp_path, spark, n=500, write_distribution="none")
     with pytest.raises(ValueError, match="not both"):
         sink.compact(spark, sort_by="a", zorder_by=["b"])
     sink.compact(spark, files_per_partition=8, zorder_by=["a", "b"])
@@ -3933,7 +3948,10 @@ def test_bloom_survives_merge_delete_and_compact(spark, tmp_path):
     findable AND the touched partition's blooms were rebuilt (no
     stale-skip); a DV delete needs no rebuild (supersets stay safe);
     compaction rebuilds for the rewritten layout; drop removes."""
-    sink = _zb_sink(tmp_path, spark, n=1000)
+    # write_distribution="none": the touched-partition bloom-rebuild
+    # assertions need the merge to leave >1 file in the (single-date)
+    # partition — see test_zorder_validates_and_interops.
+    sink = _zb_sink(tmp_path, spark, n=1000, write_distribution="none")
     sink.compact(spark, files_per_partition=8)
     sink.create_bloom_index(spark, "uid", m=8192, k=3)
     d = dt.datetime(2024, 1, 15, 10, 0)
@@ -4278,6 +4296,10 @@ def test_read_point_at_travels_with_bloom_and_rename(spark, tmp_path):
         str(tmp_path / "t"),
         key_cols=("k", "window_start"),
         snapshot_dir=str(tmp_path / "snap"),
+        # the epoch-copy bloom-pruning assertion needs the epoch-1
+        # merge to leave >1 file in this single-date partition; the
+        # r13 hash distribution would write it as one file
+        write_distribution="none",
     )
     d = dt.datetime(2024, 1, 15, 10, 0)
     base = spark.createDataFrame(
