@@ -235,9 +235,14 @@ def build_cell_index(
     This is the build half of the build-then-probe contract
     (VERDICT r12 item 1 — the docstring claim is now an executed
     path); the probe half is :func:`ivf_topk_indexed`. One map-only
-    assignment pass + one shuffle-free partitioned write. At 100 TB
-    with k=1024 cells the index turns ANN search I/O from O(corpus)
-    into O(nprobe/k x corpus).
+    assignment pass + one cell-clustered partitioned write: rows are
+    ``repartition("cell")``-ed first (guide §6 — without the shuffle
+    every scan task writes a file into every cell it holds vectors
+    for, O(tasks x cells) tiny files; with it each cell lands as one
+    right-sized file, which is also what every future probe wants to
+    read). At 100 TB with k=1024 cells the index turns ANN search I/O
+    from O(corpus) into O(nprobe/k x corpus); fat cells that outgrow
+    one healthy file are re-split by compaction, not by the build.
 
     The layout is ``cell=<c>/ingest_epoch=<e>/`` (base rows land in
     epoch -1): the second level is what makes incremental ingest
@@ -248,9 +253,9 @@ def build_cell_index(
     is untouched by the extra level."""
     assign_cells(embeddings, centroids, id_col, vec_col).withColumn(
         "ingest_epoch", F.lit(-1)
-    ).write.partitionBy("cell", "ingest_epoch").mode("overwrite").parquet(
-        path
-    )
+    ).repartition("cell").write.partitionBy("cell", "ingest_epoch").mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def ingest_into_cell_index(
@@ -286,7 +291,7 @@ def ingest_into_cell_index(
     across the append-vs-checkpoint window."""
     assign_cells(batch, centroids, id_col, vec_col).withColumn(
         "ingest_epoch", F.lit(int(epoch))
-    ).write.partitionBy("cell", "ingest_epoch").option(
+    ).repartition("cell").write.partitionBy("cell", "ingest_epoch").option(
         "partitionOverwriteMode", "dynamic"
     ).mode("overwrite").parquet(path)
 

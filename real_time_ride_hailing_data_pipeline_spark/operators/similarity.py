@@ -347,11 +347,15 @@ def build_lsh_index(
     Like the IVF index, the layout is ``sig=<s>/ingest_epoch=<e>``
     (base rows in epoch -1) so :func:`ingest_into_lsh_index` can
     maintain it exactly-once; probes filter only on ``sig``."""
+    # sig-clustered write (guide §6, same trade as ivf.build_cell_index):
+    # one shuffle so each populated signature lands as ONE file instead
+    # of O(tasks x sigs) fragments — the probe reads whole buckets, so
+    # the bucket IS the right file unit.
     embeddings.withColumn(
         "sig", hyperplane_signature(vec_col, num_planes, dim)
-    ).withColumn("ingest_epoch", F.lit(-1)).write.partitionBy(
-        "sig", "ingest_epoch"
-    ).mode("overwrite").parquet(path)
+    ).withColumn("ingest_epoch", F.lit(-1)).repartition(
+        "sig"
+    ).write.partitionBy("sig", "ingest_epoch").mode("overwrite").parquet(path)
 
 
 def ingest_into_lsh_index(
@@ -372,11 +376,11 @@ def ingest_into_lsh_index(
     attempt instead of appending duplicates."""
     batch.withColumn(
         "sig", hyperplane_signature(vec_col, num_planes, dim)
-    ).withColumn("ingest_epoch", F.lit(int(epoch))).write.partitionBy(
-        "sig", "ingest_epoch"
-    ).option("partitionOverwriteMode", "dynamic").mode(
-        "overwrite"
-    ).parquet(path)
+    ).withColumn("ingest_epoch", F.lit(int(epoch))).repartition(
+        "sig"
+    ).write.partitionBy("sig", "ingest_epoch").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(path)
 
 
 def lsh_topk_indexed(
