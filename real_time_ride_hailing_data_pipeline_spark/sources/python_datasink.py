@@ -5,8 +5,11 @@ Completes the Python-connector surface next to the batch reader and
 ``SimpleDataSourceStreamReader`` in python_datasource.py: `writer()`
 covers ``DataSourceArrowWriter`` (executors receive Arrow RecordBatches
 — the fast boundary) and `streamWriter()` covers
-``DataSourceStreamWriter`` (row iterator per micro-batch task;
-``DataSourceStreamArrowWriter`` is the same shape over RecordBatches).
+``DataSourceStreamArrowWriter`` (the 4.1 Arrow form of the micro-batch
+write task; the row-iterator ``DataSourceStreamWriter`` is the same
+protocol over pickled Rows — r13 moved this sink off it per the
+optimization guide §4, keeping row-level sink coverage in the
+``streaming_foreach_row_sink`` registry entry).
 
 Exactly-once visibility is the FileStreamSink manifest design
 re-expressed at the Python boundary:
@@ -54,7 +57,7 @@ from dataclasses import dataclass, field
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
-    DataSourceStreamWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -204,10 +207,18 @@ class JsonlArrowWriter(DataSourceArrowWriter):
         _abort(messages)
 
 
-class JsonlStreamWriter(DataSourceStreamWriter):
-    """Streaming writer (row-iterator API): the epoch id IS the
+class JsonlStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming writer over the ARROW boundary (r13, guide §4: the
+    row-iterator ``DataSourceStreamWriter`` ships every micro-batch
+    row as a pickled Row — the slow boundary; the 4.1 Arrow form hands
+    each task whole RecordBatches). Emitted JSONL records are
+    identical: ``batch.to_pylist()`` yields the same field order and
+    Python values (datetime/Decimal/bytes all land in
+    ``_json_default``) the Row path produced. The epoch id IS the
     generation, so deterministic names + the per-epoch manifest make a
-    replayed micro-batch overwrite itself instead of appending twice."""
+    replayed micro-batch overwrite itself instead of appending twice.
+    (Row-at-a-time sink coverage lives on in the registry's
+    ``streaming_foreach_row_sink`` ForeachWriter entry.)"""
 
     def __init__(self, path: str) -> None:
         self.path = path
@@ -215,9 +226,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
     def write(self, iterator: Iterator) -> JsonlCommitMessage:
         tmp, rows = _task_file(self.path), 0
         with open(tmp, "w") as f:
-            for row in iterator:
-                f.write(_dumps(row.asDict()) + "\n")
-                rows += 1
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(_dumps(rec) + "\n")
+                    rows += 1
         if rows == 0:
             os.remove(tmp)
             return JsonlCommitMessage(files=[], rows=0)
