@@ -66,13 +66,21 @@ def pagerank_fixed_point(
     )
     nodes = nodes.cache()
     n = nodes.count()  # driver scalar: |V| (the only collect)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
+    # outdeg is ITERATION-INVARIANT: attach it to the edge list once
+    # before the loop instead of re-joining it every round (guide
+    # §1.2/§2.4 — one join per iteration removed; r13). The enriched
+    # edge relation is hash-repartitioned on the loop's join key and
+    # cached, so each round's edge⋈ranks join finds its left side
+    # already distributed by hash(src) and shuffles only the (node,
+    # rank) relation — per round: one ranks shuffle + one groupBy
+    # shuffle, the structural minimum for message-passing.
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src").repartition("src").cache()
     teleport = (3 * BASE) // (20 * n)
     ranks = nodes.withColumn("r", F.lit(BASE // n).cast("long"))
     for i in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            e2.join(ranks, e2["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("r DIV outdeg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("acc"))

@@ -256,11 +256,17 @@ def test_shuffled_hash_join_is_pinned(spark):
 
 def test_iterative_operators_keep_bounded_plans(spark):
     """VERDICT r4 item 4: lineage checkpointing must cap plan size for
-    iterative operators — a 9-iteration PageRank (3 localCheckpoints)
-    must plan NO more Exchange nodes than a 3-iteration run, and the
+    iterative operators — a 9-iteration PageRank plans exactly as many
+    Exchange nodes as a 6-iteration one (both end on a 3-round segment
+    above a checkpoint, so depth is iteration-INDEPENDENT), and the
     checkpointed run's values must be bit-identical to an
     unchckpointed one (exact integer fixed-point is unaffected by
-    materialization)."""
+    materialization). (r13: the former `9-iter <= 3-iter` form broke
+    when the un-checkpointed rounds got cheaper — the pre-partitioned
+    cached edge relation lets round 1 reuse the cached `nodes`
+    partitioning, while a checkpoint-segment round pays one extra
+    ranks-side Exchange because the LogicalRDD loses it. Bounded-ness,
+    the thing r4 asked for, is the equality below.)"""
     from real_time_ride_hailing_data_pipeline_spark.operators import dedup as dd
     from real_time_ride_hailing_data_pipeline_spark.operators.graph import (
         pagerank_fixed_point,
@@ -272,10 +278,13 @@ def test_iterative_operators_keep_bounded_plans(spark):
         "src long, dst long",
     )
 
-    short_plan = physical_plan(pagerank_fixed_point(edges, iters=3))
+    mid_plan = physical_plan(pagerank_fixed_point(edges, iters=6))
     long_df = pagerank_fixed_point(edges, iters=9)
     long_plan = physical_plan(long_df)
-    assert long_plan.count("Exchange") <= short_plan.count("Exchange")
+    assert long_plan.count("Exchange") == mid_plan.count("Exchange"), (
+        long_plan.count("Exchange"),
+        mid_plan.count("Exchange"),
+    )
 
     unchecked = pagerank_fixed_point(edges, iters=9, checkpoint_every=100)
     assert sorted(map(tuple, long_df.collect())) == sorted(
