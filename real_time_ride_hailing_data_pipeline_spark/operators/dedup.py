@@ -202,6 +202,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 16,
     max_bucket: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH bucket join.
 
@@ -219,14 +220,25 @@ def minhash_lsh_candidates(
     background pair (j ~ 0.02) needs two simultaneous minhash
     collisions per band, keeping false candidates negligible. (8x4
     banding measurably missed a true j~0.9 pair on the test corpus.)
+
+    ``shingles``: optional pre-computed ``(id_col, "sh")`` relation
+    (r13, guide §1.2 — don't compute things twice): a composed
+    candidates→verify pipeline shingles the corpus ONCE, caches it,
+    and passes it here AND to :func:`jaccard_verify`; the interpreted
+    tokenize+shingle fold is the map-side cost of this pipeline, so
+    running it once, not twice, is a direct win at any scale.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("shingles")
+    sh = (
+        shingles
+        if shingles is not None
+        else df.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+        )
     )
     return _band_pairs_from_shingles(
         sh,
         id_col=id_col,
-        shingle_col="shingles",
+        shingle_col="sh",
         num_hashes=num_hashes,
         bands=bands,
         max_bucket=max_bucket,
@@ -239,6 +251,7 @@ def prefix_filter_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard candidate pairs via prefix filtering
     (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity Search",
@@ -262,8 +275,18 @@ def prefix_filter_candidates(
     rare-leaning prefix shingles. No all-pairs stage anywhere; the
     frequency-ascending order makes hot buckets structurally rare
     (common shingles land in suffixes and never join).
+
+    ``shingles``: optional pre-computed ``(id_col, "sh")`` relation —
+    same contract as :func:`minhash_lsh_candidates` (a composed
+    candidates→verify pipeline tokenizes once).
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    sh = (
+        shingles
+        if shingles is not None
+        else df.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+        )
+    )
     # tot rides the array size computed BEFORE the explode — one window
     # pass (the df-ordered row_number) instead of two
     ex = sh.select(
@@ -342,6 +365,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
@@ -349,13 +373,19 @@ def jaccard_verify(
     set and computes |A∩B| / |A∪B| with exact integer sizes; the
     4-decimal value uses the half-up integer identity so it matches
     any decimal-arithmetic oracle. Never run this on all pairs.
+
+    ``shingles``: optional pre-computed (and caller-cached)
+    ``(id_col, "sh")`` relation shared with the candidate generator —
+    the whole pipeline then tokenizes the corpus exactly once.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
-    )
-    # feeds both pair sides (and is plan-identical across the LSH,
-    # prefix-filter and cluster queries): cache so shingling runs once
-    sh = sh.cache()
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = df.select(
+            F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+        )
+        # feeds both pair sides: cache so shingling runs once
+        sh = sh.cache()
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")

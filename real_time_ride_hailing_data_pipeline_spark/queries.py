@@ -4397,8 +4397,17 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH plan survives: shuffle volume is (band hash, id) pairs,
     candidates are per-bucket."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=16)
-    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+    # one tokenize+shingle pass feeds BOTH the LSH signatures and the
+    # exact verify (r13, guide §1.2): the interpreted shingle fold is
+    # this pipeline's map-side cost — run it once, cache the (id, sh)
+    # relation, and let candidates + verify share it.
+    sh = docs.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).cache()
+    cands = dd.minhash_lsh_candidates(
+        docs, shingle_n=3, num_hashes=32, bands=16, shingles=sh
+    )
+    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5, shingles=sh)
 
 
 @query(
@@ -4438,8 +4447,15 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter (near-dup clusters are tiny cliques, 2-3 rounds); each
     round shuffles (node, label) pairs only."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(docs, shingle_n=3, num_hashes=32, bands=16)
-    pairs = dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+    # shared shingle relation (same one-tokenize-pass reuse as
+    # dedup_near_duplicates, r13)
+    sh = docs.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).cache()
+    cands = dd.minhash_lsh_candidates(
+        docs, shingle_n=3, num_hashes=32, bands=16, shingles=sh
+    )
+    pairs = dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5, shingles=sh)
     comp = dd.connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
         "node", "doc_id"
     )
@@ -4474,8 +4490,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is (shingle, id) pairs with common shingles
     structurally excluded from the join."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dd.prefix_filter_candidates(docs, shingle_n=3, threshold=0.5)
-    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5)
+    # shared shingle relation (one tokenize pass for prefix-index +
+    # verify, r13)
+    sh = docs.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).cache()
+    cands = dd.prefix_filter_candidates(
+        docs, shingle_n=3, threshold=0.5, shingles=sh
+    )
+    return dd.jaccard_verify(cands, docs, shingle_n=3, threshold=0.5, shingles=sh)
 
 
 @query(
@@ -8423,9 +8446,14 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     base = _scratch_dir("rtrh_dpp")
     fact_dir, dim_dir = base + "/fact", base + "/dim"
-    events.withColumn("part_date", F.to_date("ts")).write.mode(
-        "overwrite"
-    ).partitionBy("part_date").parquet(fact_dir)
+    # cluster rows by the partition value before the partitioned write
+    # (guide §6): without it every scan task writes a file into every
+    # date it holds rows for — 32 tasks x 30 dates ≈ 960 ~4 KB files
+    # for a fixture this query then has to LIST and plan over; with it
+    # the fact lands one right-sized file per partition.
+    events.withColumn("part_date", F.to_date("ts")).repartition(
+        "part_date"
+    ).write.mode("overwrite").partitionBy("part_date").parquet(fact_dir)
     fact = spark.read.parquet(fact_dir)
     (
         fact.select("part_date")
