@@ -40,6 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -2483,9 +2484,22 @@ class ParquetUpsertSink:
         and the dirs a post-evolution overwrite drained."""
         # Stage the batch (the reference's S4 staging write, parquet
         # instead of JDBC): the merge must not read and overwrite the
-        # same files, and retries re-read a stable input.
-        batch.write.mode("overwrite").parquet(self.staging_path)
-        staged = spark.read.parquet(self.staging_path)
+        # same files, and retries re-read a stable input. Staged
+        # PARTITIONED by part_date (r13, guide §6/§1.2): the batch's
+        # touched-partition set then falls out of a driver-side
+        # LISTDIR instead of a distinct+collect Spark job per commit,
+        # and the merge's staged side arrives already clustered by the
+        # partition key. The read pins the batch's own schema so the
+        # partition column comes back as its exact type regardless of
+        # the session's partition-type-inference setting.
+        self._distribute(batch).write.mode("overwrite").partitionBy(
+            "part_date"
+        ).parquet(self.staging_path)
+        staged = (
+            spark.read.option("basePath", self.staging_path)
+            .schema(batch.schema)
+            .parquet(self.staging_path)
+        )
 
         existing = self._read_table(spark)
         out_cols = self._evolved_columns(existing, staged)
@@ -2496,9 +2510,13 @@ class ParquetUpsertSink:
         # With a single spec this is exactly the batch's part_dates.
         if len(self._transforms()) == 1:
             # never-evolved table (the hot path): the batch's own
-            # part_dates ARE the touched set — one collect
+            # part_dates ARE the staging's partition dirs — zero jobs
             touched = [
-                r[0] for r in staged.select("part_date").distinct().collect()
+                None
+                if d.endswith("__HIVE_DEFAULT_PARTITION__")
+                else datetime.date.fromisoformat(d.split("=", 1)[1])
+                for d in sorted(os.listdir(self.staging_path))
+                if d.startswith("part_date=")
             ]
         else:
             live_dirs = {
