@@ -506,6 +506,37 @@ def main() -> None:
         best = first if first["wall"] <= second["wall"] else second
         split_stable[name] = best
         stable[name] = best["wall"]
+    # r14 (VERDICT r13 item 2, additions only): a THIRD warm sample for
+    # the 5 slowest entries overall. The same few sink-lifecycle
+    # entries swing ±30-40% between same-code runs (BASELINE.md) and
+    # dominate the registry total's noise; one more sample exactly
+    # where the variance lives makes the round-over-round trend
+    # readable for ~60 s of extra wall. No metric is removed or
+    # renamed — the min-of-3 folds into `stable`/`split_stable` and the
+    # stat string below says so.
+    slow5 = sorted(stable, key=lambda n: stable[n], reverse=True)[:5]
+    for name in slow5:
+        ev0, trig0, add0 = (
+            listener.events,
+            listener.trigger_ms,
+            listener.add_batch_ms,
+        )
+        t0 = time.perf_counter()
+        try:
+            registry[name](spark, bench_dir).collect()
+            wall3 = time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 — keep the earlier samples
+            continue
+        drain_listener(listener, ev0, name)
+        if name in split_stable and listener.events != ev0:
+            third = {
+                "wall": round(wall3, 4),
+                "trigger_exec": round((listener.trigger_ms - trig0) / 1000, 4),
+                "add_batch": round((listener.add_batch_ms - add0) / 1000, 4),
+            }
+            if third["wall"] < split_stable[name]["wall"]:
+                split_stable[name] = third
+        stable[name] = round(min(stable[name], wall3), 4)
     print(
         json.dumps(
             {
@@ -517,7 +548,7 @@ def main() -> None:
                     4,
                 ),
                 "unit": "sec",
-                "stat": "slowest-10-batch+8-streaming-min-of-2",
+                "stat": "slowest-10-batch+8-streaming-min-of-2+slowest-5-min-of-3",
                 "retimed": stable,
                 "sf": sf,
                 "layout": layout,

@@ -346,9 +346,21 @@ def prefix_filter_candidates(
     alpha = F.expr(
         f"cast(({tn} * (tot_a + tot_b) + {tn + td} - 1) div ({tn + td}) as int)"
     )
+    # Length filter (r14 — the Bayardo/Arasu size bound, still exact):
+    # J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|) (the overlap
+    # can't exceed the smaller set, the union can't be under the
+    # larger), so J >= t forces td*min >= tn*max. Cheapest predicate
+    # first: it reads only the two sizes already on the joined row and
+    # kills the prefix-collision flood between size-discrepant docs
+    # BEFORE the positional arithmetic and the distinct — the fan-out
+    # term that degenerates on duplicate-heavy corpora (the sf1 tail).
     return (
         left.join(right, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least(F.col("tot_a"), F.col("tot_b")) * td
+            >= F.greatest(F.col("tot_a"), F.col("tot_b")) * tn
+        )
         .filter(
             1 + F.least(F.col("tot_a") - F.col("rn_a"), F.col("tot_b") - F.col("rn_b"))
             >= alpha

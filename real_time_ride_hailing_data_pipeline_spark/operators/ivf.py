@@ -308,54 +308,57 @@ def ivf_topk_indexed_batch(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Batch retrieval against the MATERIALIZED index — the
-    vector-service shape: a (small, broadcast-contract) query set, one
-    partition-pruned branch per query unioned into a single plan.
-    Each branch routes its own nprobe cells (literal ``cell IN``,
-    PartitionFilters at planning time) and scores through the
-    two-phase exact-decimal top-k, so every query reads ~nprobe/k of
-    the files it would under a full scan and the union is Q·k rows.
-    Per-query probe routing is a Q-row driver collect (the sanctioned
-    scalar shape). At service scale, group queries by probe-set
-    overlap to share branches; semantics are unchanged because each
-    query's candidate set depends only on ITS probed cells. Returns
+    vector-service shape: a (small, broadcast-contract) query set
+    answered from ONE partition-pruned scan of the UNION of all
+    queries' probe sets, with a per-query CELL MASK inside the BLAS
+    screen (r14, VERDICT r13 item 3 — previously one pruned plan
+    branch per query, unioned: Q scans of overlapping cell sets and a
+    Q-branch plan). Probe routing is a Q-row driver collect (the
+    sanctioned scalar shape); the union probe set becomes one literal
+    ``cell IN`` predicate (PartitionFilters at planning time), and the
+    mask keeps each query's candidate set dependent only on ITS
+    probed cells — the semantics a multi-tenant retrieval endpoint
+    must keep, now enforced inside the screen instead of by plan
+    duplication. Scoring is the same two-phase exact-decimal top-k,
+    so per (query_id) the result is IDENTICAL to a single-query
+    :func:`ivf_topk_indexed` probe (plan-asserted + value-asserted in
+    tests/test_plans.py; the masked screen's losslessness is
+    property-tested in tests/test_properties.py). Returns
     (query_id, rn, vec_id, sim) — same contract as
     ``similarity.brute_force_topk_batch``."""
-    from pyspark.sql import Window
+    from real_time_ride_hailing_data_pipeline_spark.operators.similarity import (
+        brute_force_topk_batch,
+    )
 
-    qschema = queries.select(query_id_col, vec_col).schema
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qsel = queries.select(query_id_col, vec_col)
+    qrows = (
+        qsel.withColumn("_qq", quantize_expr(vec_col))
+        .select(
+            F.col(query_id_col),
+            nearest_cells_expr("_qq", centroids, nprobe).alias("_probes"),
+        )
+        .collect()
+    )
     if not qrows:
         raise ValueError("ivf_topk_indexed_batch: empty query set")
-    outs = []
-    for r in qrows:
-        q1 = spark.createDataFrame(
-            [(r[query_id_col], r[vec_col])], qschema
-        ).select(vec_col)
-        topk = ivf_topk_indexed(
-            spark,
-            index_path,
-            q1,
-            centroids,
-            k=k,
-            nprobe=nprobe,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        outs.append(
-            topk.select(
-                F.lit(r[query_id_col]).alias(query_id_col),
-                F.col(id_col),
-                F.col("sim"),
-            )
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("sim"), F.asc(id_col)
+    probe_map = {
+        r[query_id_col]: [int(c) for c in r["_probes"]] for r in qrows
+    }
+    union_probes = sorted({c for cells in probe_map.values() for c in cells})
+    pruned = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(union_probes))
+        .select(F.col(id_col), F.col(vec_col), F.col("cell"))
     )
-    return res.withColumn("rn", F.row_number().over(w)).select(
-        query_id_col, "rn", id_col, "sim"
+    return brute_force_topk_batch(
+        pruned,
+        qsel,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        mask_col="cell",
+        query_masks=probe_map,
     )
 
 

@@ -99,6 +99,8 @@ def brute_force_topk_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     screen_margin: int = 32,
+    mask_col: str | None = None,
+    query_masks: dict | None = None,
 ) -> DataFrame:
     """Exact per-query top-k against a broadcast query *set* — the
     batch retrieval shape (eval-set decontamination, hard-negative
@@ -131,6 +133,18 @@ def brute_force_topk_batch(
       (module docstring). Final ranking: row_number over
       (sim DESC, id ASC), rn <= k.
 
+    ``mask_col``/``query_masks`` (r14, VERDICT r13 item 3 — the
+    cell-masked batch screen): when set, ``mask_col`` names a column
+    of ``embeddings`` (e.g. an IVF cell id) and ``query_masks`` maps
+    each query id to the set of mask values that query is allowed to
+    see. The screen then cuts each query's batch-local top-m over ITS
+    masked subset only, and keeps only masked rows — so Q queries
+    with different probe sets share ONE scan of the union instead of
+    Q per-query plan branches, while each query's candidate set (and
+    therefore its exact top-k) still depends only on its own allowed
+    subset. Losslessness argument is unchanged: per (batch, query)
+    the masked subset is just "the corpus" of the single-query proof.
+
     Returns (query_id, rn, vec_id, sim).
     """
     import numpy as np
@@ -152,6 +166,11 @@ def brute_force_topk_batch(
     # 6-dp rounding granularity plus fp drift, not just drift — see
     # docstring (ADVICE r12)
     eps = 1e-6 + 1e-9
+    mask_arrays = None
+    if mask_col is not None:
+        if query_masks is None:
+            raise ValueError("mask_col requires query_masks")
+        mask_arrays = [np.asarray(sorted(query_masks[qid])) for qid in qids]
 
     def _screen(batches):
         for pdf in batches:
@@ -166,12 +185,28 @@ def brute_force_topk_batch(
             # the raw vectors — out of contract) must never poison the
             # partition cut; rank it last instead
             np.nan_to_num(sims, copy=False, nan=-np.inf)
+            masks = (
+                pdf[mask_col].to_numpy() if mask_arrays is not None else None
+            )
             out_q, out_id = [], []
-            top = min(m, sims.shape[0])
             for j in range(sims.shape[1]):
                 col = sims[:, j]
-                cut = np.partition(col, -top)[-top] - eps
-                keep = np.nonzero(col >= cut)[0]
+                if masks is None:
+                    top = min(m, sims.shape[0])
+                    cut = np.partition(col, -top)[-top] - eps
+                    keep = np.nonzero(col >= cut)[0]
+                else:
+                    # this query sees only its allowed subset: cut over
+                    # the masked sims, keep masked survivors — per
+                    # (batch, query) exactly the unmasked screen run on
+                    # the subset, so the losslessness proof carries over
+                    mj = np.isin(masks, mask_arrays[j])
+                    colm = col[mj]
+                    if colm.size == 0:
+                        continue
+                    top = min(m, colm.size)
+                    cut = np.partition(colm, -top)[-top] - eps
+                    keep = np.nonzero(mj & (col >= cut))[0]
                 out_q.extend([qids[j]] * len(keep))
                 out_id.extend(ids[keep].tolist())
             yield pd.DataFrame({query_id_col: out_q, id_col: out_id})
@@ -181,7 +216,8 @@ def brute_force_topk_batch(
     # hardcoded `long, long` corrupted non-long ids)
     q_id_type = queries.schema[query_id_col].dataType.simpleString()
     c_id_type = embeddings.schema[id_col].dataType.simpleString()
-    cands = embeddings.select(id_col, vec_col).mapInPandas(
+    screen_cols = [id_col, vec_col] + ([mask_col] if mask_col else [])
+    cands = embeddings.select(*screen_cols).mapInPandas(
         _screen, f"{query_id_col} {q_id_type}, {id_col} {c_id_type}"
     )
     # zero-norm rows are EXCLUDED (cosine undefined; the screen scores

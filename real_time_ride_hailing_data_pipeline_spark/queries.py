@@ -3310,6 +3310,7 @@ def streaming_ingest_concurrent_maintenance(spark: SparkSession, sf_dir: str) ->
     (the index survived the churn). Oracle: the serial final state —
     the linearizability bar for the whole concurrent composition."""
     import os as _os
+    import time as _time
 
     from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
     from real_time_ride_hailing_data_pipeline_spark.streaming.sinks import (
@@ -3418,6 +3419,17 @@ def streaming_ingest_concurrent_maintenance(spark: SparkSession, sf_dir: str) ->
                 )
         if not stream.isActive and passes >= 2:
             break
+        if passes >= 2:
+            # pace the probe loop (r14, VERDICT r13 item 6): once both
+            # maintenance passes are in, the loop's only job is to keep
+            # serving consistent reads until the replay drains — a 50 ms
+            # breath per probe keeps "reads served THROUGHOUT" (many
+            # probes per remaining micro-batch) while no longer
+            # busy-spinning driver+scheduler against the stream's own
+            # commits (guide §1.2: don't compute work you throw away;
+            # the un-paced loop burned ~a probe job per 300 ms purely to
+            # re-confirm an unchanged answer)
+            _time.sleep(0.05)
     stream.awaitTermination()
     if not overlapped:
         raise RuntimeError("stream drained before maintenance could overlap")

@@ -1333,8 +1333,20 @@ def streaming_cdc_downstream_apply(spark: SparkSession, sf_dir: str) -> DataFram
             .unionByName(upserts)
         )
     live = sink.read(spark)
-    # the composition proof: replica built ONLY from deltas == table
-    if replica.exceptAll(live).count() or live.exceptAll(replica).count():
+    # the composition proof: replica built ONLY from deltas == table.
+    # r14 (guide §1.2): (a) the replica — a per-version chain of
+    # broadcast-anti-join + union — is PERSISTED, so the proof and the
+    # returned read compute the chain once instead of three times;
+    # (b) multiset equality in ONE anti-join pass: with equal
+    # cardinalities, replica∖live = ∅ already implies live∖replica =
+    # ∅, so the second exceptAll — a full extra build+anti-join of
+    # both relations — is provably redundant. Within-query
+    # intermediate reuse only; nothing survives this invocation.
+    replica = replica.persist()
+    if (
+        replica.count() != live.count()
+        or replica.exceptAll(live).count()
+    ):
         raise RuntimeError("CDC replica diverged from the live table")
     return replica
 
@@ -1405,7 +1417,14 @@ def streaming_cdf_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(upserts)
     )
     live = sink.read(spark)
-    if replica.exceptAll(live).count() or live.exceptAll(replica).count():
+    # same persisted-replica + one-pass multiset-equality proof as the
+    # batch CDC consumer (r14): equal counts + empty replica∖live ⇒
+    # live∖replica empty
+    replica = replica.persist()
+    if (
+        replica.count() != live.count()
+        or replica.exceptAll(live).count()
+    ):
         raise RuntimeError("streaming-CDF replica diverged from the live table")
     return replica
 

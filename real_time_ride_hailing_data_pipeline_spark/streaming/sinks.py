@@ -5044,15 +5044,31 @@ class ParquetUpsertSink:
         max_rows = 0
         if auto:
             # size for the FATTEST file in this build: ~9.6 bits/row
-            # is the classic ~1% false-positive bloom sizing; one
-            # count-by-file pass, metadata-cheap
-            max_rows = (
-                df.groupBy(F.input_file_name())
-                .count()
-                .agg(F.max("count"))
-                .collect()[0][0]
-                or 0
-            )
+            # is the classic ~1% false-positive bloom sizing. The row
+            # count comes from the parquet FOOTERS, driver-side (r14,
+            # VERDICT r13 item 5 / guide §6 — the footer already holds
+            # num_rows): previously a count-by-file Spark pass, i.e. a
+            # SECOND full scan per build. The driver already lists
+            # these very dirs to plan the build, so the footer sweep
+            # adds O(files) metadata reads, no data pass. Sizing-only:
+            # an unreadable/zero-byte placeholder file is skipped (it
+            # contributes no rows to the fold either), and probes
+            # recover m from each bitset's length regardless.
+            import pyarrow.parquet as _pq
+
+            for d in dirs:
+                pdir = os.path.join(root, d)
+                for fname in os.listdir(pdir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    try:
+                        nr = _pq.ParquetFile(
+                            os.path.join(pdir, fname)
+                        ).metadata.num_rows
+                    except Exception:  # noqa: BLE001 — sizing only
+                        continue
+                    if nr > max_rows:
+                        max_rows = nr
         m_used: dict[str, int] = {}
         pos_cols = []
         for phys, mk in sorted(meta.items()):

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_ride_hailing_data_pipeline_spark import catalog
@@ -44,6 +45,10 @@ def test_tpch_q3_pushes_filters_and_broadcasts_customer(spark):
     assert_broadcast_join(df, expected=1)
 
 
+@pytest.mark.slow  # whole-registry sweep (243 s in the r14 baseline:
+# building every entry's plan EXECUTES the streaming replays). Slow
+# tier via pytest.ini; the committed plan-sweep digest
+# (plans/r14/SWEEP_DIGEST.md) pins the same invariant per round.
 def test_no_query_plan_contains_row_python_udf(spark):
     """The engine-wide no-row-UDF invariant (session.py docstring):
     every registered query plans without BatchEvalPython. (mapInPandas
@@ -715,19 +720,29 @@ def test_ann_ivf_indexed_topk_probe_is_partition_pruned(spark):
     assert got == base and len(got) == 10, (got, base)
 
 
-def test_ann_ivf_indexed_batch_topk_branches_are_partition_pruned(spark):
-    """r13 batch retrieval: every per-query branch in the unioned plan
-    must probe through partition pruning (one PartitionFilters-carrying
-    scan per query), and each query's rows must equal the single-query
-    indexed probe — per-query candidate sets depend only on that
-    query's probed cells."""
+def test_ann_ivf_indexed_batch_topk_single_masked_scan_matches_per_query(spark):
+    """r14 (VERDICT r13 item 3): the batch probe collapses the Q
+    per-query plan branches into ONE partition-pruned scan of the
+    UNION probe set + a per-query cell mask inside the BLAS screen.
+    Plan: no Union of per-query branches, exactly one MapInPandas
+    screen, PartitionFilters on `cell` at the index scan; semantics:
+    each query's rows must EQUAL the single-query indexed probe —
+    per-query candidate sets still depend only on that query's probed
+    cells."""
     from real_time_ride_hailing_data_pipeline_spark.plans.inspect import (
         physical_plan,
     )
 
     df = q.all_queries()["ann_ivf_indexed_batch_topk"](spark, SF)
     plan = physical_plan(df)
-    assert plan.count("PartitionFilters") >= 3, plan
+    assert "PartitionFilters" in plan, plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, seg
+    # formatted plans list each node twice (tree + numbered detail):
+    # count the detail entries — ONE screen, not Q, and no per-query
+    # union branches
+    assert plan.count(") MapInPandas") == 1, plan
+    assert "Union" not in plan, plan
     assert_no_python_udf(df)  # Arrow MapInPandas screen is allowed
     rows = df.collect()
     assert len(rows) == 15  # 3 queries x k=5
@@ -735,8 +750,37 @@ def test_ann_ivf_indexed_batch_topk_branches_are_partition_pruned(spark):
     for r in rows:
         by_q.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["sim"]))
     assert len(by_q) == 3
-    for qid, got in by_q.items():
-        assert [rn for rn, _, _ in sorted(got)] == [1, 2, 3, 4, 5], got
+    # each query's batch answer == its single-query indexed probe
+    import os as _os
+
+    from real_time_ride_hailing_data_pipeline_spark.operators import ivf
+    from real_time_ride_hailing_data_pipeline_spark.queries import (
+        _ivf_centroids,
+        _t,
+    )
+    from real_time_ride_hailing_data_pipeline_spark.streaming.job import _workdir
+
+    emb = _t(spark, SF, "embeddings")
+    cents = _ivf_centroids(spark, SF)
+    index_path = _os.path.join(_workdir("rtrh_ivfbat_test_"), "index")
+    ivf.build_cell_index(emb, cents, index_path)
+    for qrow in emb.orderBy("vec_id").limit(3).collect():
+        q1 = spark.createDataFrame(
+            [(qrow["embedding"],)], "embedding array<float>"
+        )
+        single = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                ivf.ivf_topk_indexed(
+                    spark, index_path, q1, cents, k=5, nprobe=4
+                ).collect()
+            )
+        ]
+        assert sorted(by_q[qrow["vec_id"]]) == single, (
+            qrow["vec_id"],
+            by_q[qrow["vec_id"]],
+            single,
+        )
 
 
 def test_ann_lsh_indexed_topk_probe_is_partition_pruned(spark):

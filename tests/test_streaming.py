@@ -2698,6 +2698,9 @@ def test_dir_level_zone_map_short_circuits(spark, tmp_path):
     assert total == tot and len(chosen) == sel
 
 
+@pytest.mark.slow  # 60-commit lifecycle sweep (43 s in the r14
+# baseline) — slow tier via pytest.ini; the bound it pins is
+# commit-count-independent, so the sweep length is the test.
 def test_metadata_bounded_over_many_commits(spark, tmp_path):
     """Log growth bound (VERDICT r10 item 6): after MANY commits, (a)
     a live plan still reads ONE consolidated JSON — never the
@@ -3375,6 +3378,10 @@ def test_occ_auto_compact_runs_after_commit_lock_released(spark, tmp_path):
     assert n == 1, os.listdir(pdir)
 
 
+@pytest.mark.slow  # boots two extra Spark driver processes (25 s in
+# the r14 baseline) — slow tier via pytest.ini; the in-process OCC
+# concurrency tests (test_occ_two_processes_disjoint_partitions and
+# the registry entry's oracle row) stay in the default run.
 def test_two_process_streaming_occ_ingest_with_maintenance(spark, tmp_path):
     """TWO live StreamingQueries in SEPARATE processes OCC-ingest
     disjoint partition ranges of ONE table concurrently, with an
