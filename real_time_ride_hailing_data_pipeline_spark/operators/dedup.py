@@ -346,21 +346,19 @@ def prefix_filter_candidates(
     alpha = F.expr(
         f"cast(({tn} * (tot_a + tot_b) + {tn + td} - 1) div ({tn + td}) as int)"
     )
-    # Length filter (r14 — the Bayardo/Arasu size bound, still exact):
-    # J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|) (the overlap
-    # can't exceed the smaller set, the union can't be under the
-    # larger), so J >= t forces td*min >= tn*max. Cheapest predicate
-    # first: it reads only the two sizes already on the joined row and
-    # kills the prefix-collision flood between size-discrepant docs
-    # BEFORE the positional arithmetic and the distinct — the fan-out
-    # term that degenerates on duplicate-heavy corpora (the sf1 tail).
+    # NOT applied — the Bayardo/Arasu LENGTH bound (J >= t forces
+    # td*min(|A|,|B|) >= tn*max): measured r14 on the sf1 planted
+    # corpus it pruned EXACTLY ZERO of the 16.4M positionally-filtered
+    # join rows (duplicate clusters are same-length replicas) while
+    # costing a consistent ~15% of entry wall (4 interleaved A/B runs,
+    # 47.9/53.6 s vs 40.3/46.5 s) — and the positional filter already
+    # dominates it wherever sizes diverge enough for it to fire
+    # (min(tot)-rn <= min(tot), so any pair failing the length bound
+    # with a shallow prefix match usually fails the positional bound
+    # too). Evidence in OPTIMIZATION_r14.md §7.
     return (
         left.join(right, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.least(F.col("tot_a"), F.col("tot_b")) * td
-            >= F.greatest(F.col("tot_a"), F.col("tot_b")) * tn
-        )
         .filter(
             1 + F.least(F.col("tot_a") - F.col("rn_a"), F.col("tot_b") - F.col("rn_b"))
             >= alpha
